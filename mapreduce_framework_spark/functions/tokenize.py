@@ -1,0 +1,42 @@
+"""Reference-fidelity tokenizer as pure Catalyst expressions.
+
+Replicates the reference mapper's tokenization byte-for-byte
+(reference w7/src/python/map.py:9-18):
+
+    line.lower()
+    line.translate(maketrans(string.punctuation, ' '*len(string.punctuation)))
+    line.split(' ')           # drop '' tokens
+
+``string.punctuation`` is the fixed 32-char set ``!"#$%&'()*+,-./:;<=>?@
+[\\]^_`{|}~``.  Using ``F.translate`` (not a regex) guarantees the exact
+same character set with no regex-class surprises, and stays inside
+whole-stage codegen — no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+import string
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+PUNCT = string.punctuation  # 32 chars, stable across Python versions
+PUNCT_SPACES = " " * len(PUNCT)
+
+# SQL-literal-safe copy for oracle SQL strings (single quote doubled).
+PUNCT_SQL = PUNCT.replace("'", "''")
+
+
+def tokens(text: Column) -> Column:
+    """array<string> of non-empty tokens, reference semantics."""
+    cleaned = F.translate(F.lower(text), PUNCT, PUNCT_SPACES)
+    return F.filter(F.split(cleaned, " "), lambda w: w != F.lit(""))
+
+
+def tokenize_sql_duckdb(col: str) -> str:
+    """The same tokenizer as a DuckDB expression producing a list, for
+    oracle SQL strings."""
+    return (
+        f"list_filter(string_split(translate(lower({col}), "
+        f"'{PUNCT_SQL}', '{PUNCT_SPACES}'), ' '), w -> w <> '')"
+    )

@@ -1,0 +1,5 @@
+"""Query modules. Importing this package populates the registry."""
+
+from mapreduce_framework_spark.queries import (  # noqa: F401
+    wordcount,
+)
