@@ -33,6 +33,31 @@ def tokens(text: Column) -> Column:
     return F.filter(F.split(cleaned, " "), lambda w: w != F.lit(""))
 
 
+def make_reference_tokenizer():
+    """Build the reference tokenizer as a self-contained closure.
+
+    Returned function is defined in a local scope so cloudpickle ships it
+    BY VALUE to Spark Python workers — executors never need this package
+    importable (they only have the driver's pickled closure).  Module-
+    level functions would pickle by reference and fail on workers with
+    ``ModuleNotFoundError``.
+    """
+    import string as _string
+
+    punct_table = str.maketrans(_string.punctuation, " " * len(_string.punctuation))
+
+    def py_tokens(text: str) -> list[str]:
+        # Verbatim reference semantics (w7/src/python/map.py:8-18):
+        # per line → strip, lower, punctuation→spaces, split, drop ''.
+        out: list[str] = []
+        for line in text.split("\n"):
+            line = line.strip().lower().translate(punct_table)
+            out.extend(w for w in line.split(" ") if w != "")
+        return out
+
+    return py_tokens
+
+
 def tokenize_sql_duckdb(col: str) -> str:
     """The same tokenizer as a DuckDB expression producing a list, for
     oracle SQL strings."""

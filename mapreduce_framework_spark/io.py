@@ -40,8 +40,28 @@ def sf_dir_from_env(default: str = DEFAULT_SF_DIR) -> str:
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one table. Parquet scan → column pruning + predicate pushdown
-    happen automatically once the caller selects/filters."""
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    happen automatically once the caller selects/filters.
+
+    ``events.ts`` is parquet TIMESTAMP(NANOS), which Spark's vectorized
+    reader rejects; we read it as raw nanos (legacy conf) and truncate to
+    microsecond TIMESTAMP_NTZ — the same ns→µs truncation DuckDB applies,
+    so oracle comparisons stay exact.
+    """
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+        if dict(df.dtypes).get("ts") == "bigint":
+            from pyspark.sql import functions as F
+
+            df = df.withColumn(
+                "ts",
+                F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("long")).cast(
+                    "timestamp_ntz"
+                ),
+            )
+        return df
+    return spark.read.parquet(path)
 
 
 def read_text_corpus(spark: SparkSession, path: str) -> DataFrame:

@@ -1,0 +1,154 @@
+"""Aggregations (SURVEY.md §2a O5 partial + O11 final — the heart of the
+reference).  Every groupBy here compiles to partial HashAggregate →
+exchange → final HashAggregate, i.e. exactly the reference's combiner →
+hash shuffle → reducer pipeline (map.py:16-22 → workerimpl.cc:254 →
+reduce.py:12-15), minus the blob-storage round-trips.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mapreduce_framework_spark.functions.numeric import davg, davg_sql, dsum, dsum_sql
+from mapreduce_framework_spark.io import table
+from mapreduce_framework_spark.registry import register
+
+
+@register(
+    "agg_groupby_sum",
+    oracle=f"""
+SELECT
+  l_returnflag,
+  l_linestatus,
+  {dsum_sql('l_quantity')} AS sum_qty,
+  {dsum_sql('l_extendedprice')} AS sum_base_price,
+  {dsum_sql('l_extendedprice * (1 - l_discount)', 4)} AS sum_disc_price,
+  {dsum_sql('l_extendedprice * (1 - l_discount) * (1 + l_tax)', 6)} AS sum_charge,
+  {davg_sql('l_quantity')} AS avg_qty,
+  {davg_sql('l_extendedprice')} AS avg_price,
+  count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2000-09-01'
+GROUP BY l_returnflag, l_linestatus
+""".strip(),
+    tags=("agg",),
+    bench=True,
+)
+def agg_groupby_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: the canonical partial+final aggregation."""
+    l = table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+    charge = disc_price * (F.lit(1) + F.col("l_tax"))
+    return (
+        l.where(F.col("l_shipdate") <= F.lit("2000-09-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum(F.col("l_quantity")).alias("sum_qty"),
+            dsum(F.col("l_extendedprice")).alias("sum_base_price"),
+            dsum(disc_price, 4).alias("sum_disc_price"),
+            dsum(charge, 6).alias("sum_charge"),
+            davg(F.col("l_quantity")).alias("avg_qty"),
+            davg(F.col("l_extendedprice")).alias("avg_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@register(
+    "agg_distinct",
+    oracle="""
+SELECT l_orderkey, count(DISTINCT l_suppkey) AS supp_cnt,
+       count(DISTINCT l_partkey) AS part_cnt
+FROM lineitem
+GROUP BY l_orderkey
+""".strip(),
+    tags=("agg",),
+)
+def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT(DISTINCT) — Catalyst expands to a two-phase aggregate; the
+    first phase dedups (key, value) pairs so the shuffle carries distinct
+    pairs only, which is what keeps this viable on skewed keys at scale."""
+    return (
+        table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(
+            F.countDistinct("l_suppkey").alias("supp_cnt"),
+            F.countDistinct("l_partkey").alias("part_cnt"),
+        )
+    )
+
+
+@register(
+    "agg_approx_distinct",
+    # HLL sketches differ between engines → rows-only check; the exact
+    # variant `agg_distinct` covers value correctness.
+    oracle=None,
+    tags=("agg", "approx"),
+)
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++): the 100 TB path for
+    distinct-cardinality — fixed-size sketch, no distinct-pair shuffle."""
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_nationkey")
+        .agg(F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx_customers"))
+    )
+
+
+@register(
+    "agg_grouping_sets",
+    oracle=f"""
+SELECT n_name, CAST(year(o_orderdate) AS INTEGER) AS o_year,
+       {dsum_sql('o_totalprice')} AS revenue,
+       count(*) AS n_orders
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY ROLLUP (n_name, CAST(year(o_orderdate) AS INTEGER))
+""".strip(),
+    tags=("agg", "rollup"),
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP (nation, year): grouping-set expansion + broadcast of the
+    25-row nation dim (never shuffle a fact table to join a fixed-size
+    dimension)."""
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    joined = o.join(c, o.o_custkey == c.c_custkey).join(
+        F.broadcast(n), c.c_nationkey == n.n_nationkey
+    )
+    return (
+        joined.withColumn("o_year", F.year("o_orderdate").cast("int"))
+        .rollup("n_name", "o_year")
+        .agg(
+            dsum(F.col("o_totalprice")).alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+@register(
+    "agg_having",
+    oracle=f"""
+SELECT o_custkey, count(*) AS n_orders, {dsum_sql('o_totalprice')} AS total_spent
+FROM orders
+GROUP BY o_custkey
+HAVING count(*) >= 5 AND {dsum_sql('o_totalprice')} > 150000
+""".strip(),
+    tags=("agg",),
+)
+def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group filter on aggregate values (HAVING ≙ post-agg .where)."""
+    return (
+        table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum(F.col("o_totalprice")).alias("total_spent"),
+        )
+        .where((F.col("n_orders") >= 5) & (F.col("total_spent") > 150000))
+    )

@@ -1,0 +1,224 @@
+"""Joins (SURVEY.md §2b) — the reduce-side-join pattern the reference
+course targeted (reference README.md:80 MovieLens "reduce joins"); the
+shuffle machinery it would have used is O7-O9 (hash partition → publish →
+group by partition).  Here every join is declarative and Catalyst/AQE
+pick the physical strategy; our job is to make the *right* strategy
+available:
+
+- bounded dims (nation/region) → explicit broadcast hint;
+- fact-fact joins → shuffled hash/sort-merge on the join key, where AQE
+  handles skewed keys (skewJoin splits oversized partitions);
+- semi/anti instead of join+distinct/filter — they short-circuit and
+  never widen rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mapreduce_framework_spark.functions.numeric import dsum, dsum_sql
+from mapreduce_framework_spark.io import table
+from mapreduce_framework_spark.registry import register
+
+
+@register(
+    "join_inner_equi",
+    oracle=f"""
+SELECT c_custkey, c_name, count(*) AS n_orders, {dsum_sql('o_totalprice')} AS total
+FROM orders JOIN customer ON o_custkey = c_custkey
+WHERE o_orderstatus = 'F'
+GROUP BY c_custkey, c_name
+""".strip(),
+    tags=("join",),
+    bench=True,
+)
+def join_inner_equi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-join orders ⋈ customer + aggregate.  Shuffles both sides on
+    custkey once; the aggregate reuses that partitioning (no second
+    exchange — asserted in plan tests)."""
+    o = table(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
+    c = table(spark, sf_dir, "customer")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum(F.col("o_totalprice")).alias("total"),
+        )
+    )
+
+
+@register(
+    "join_broadcast",
+    oracle=f"""
+SELECT p_brand, {dsum_sql('l_extendedprice * (1 - l_discount)', 4)} AS revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_type = 'PROMO'
+GROUP BY p_brand
+""".strip(),
+    tags=("join", "broadcast"),
+    bench=True,
+)
+def join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact ⋈ small dim with an explicit broadcast hint: the lineitem
+    side is never shuffled for the join (BroadcastHashJoin), which at
+    100 TB avoids moving the fact table entirely."""
+    l = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part").where(F.col("p_type") == "PROMO")
+    revenue = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(dsum(revenue, 4).alias("revenue"))
+    )
+
+
+@register(
+    "join_multiway",
+    oracle=f"""
+SELECT n_name, CAST(year(o_orderdate) AS INTEGER) AS o_year,
+       {dsum_sql('l_extendedprice * (1 - l_discount)', 4)} AS revenue
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+GROUP BY n_name, CAST(year(o_orderdate) AS INTEGER)
+""".strip(),
+    tags=("join",),
+    bench=True,
+)
+def join_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """customer–orders–lineitem–nation chain (TPC-H Q5 shape).  Catalyst
+    reorders; nation broadcast; the date filter is pushed below the joins
+    so lineitem only joins surviving orders."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp")
+    )
+    l = table(spark, sf_dir, "lineitem")
+    n = table(spark, sf_dir, "nation")
+    revenue = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(l, o.o_orderkey == l.l_orderkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .withColumn("o_year", F.year("o_orderdate").cast("int"))
+        .groupBy("n_name", "o_year")
+        .agg(dsum(revenue, 4).alias("revenue"))
+    )
+
+
+@register(
+    "join_left_outer",
+    oracle=f"""
+SELECT c_custkey,
+       count(o_orderkey) AS n_big_orders,
+       coalesce({dsum_sql('o_totalprice')}, 0.0) AS big_total
+FROM customer
+LEFT JOIN (SELECT * FROM orders WHERE o_totalprice > 400000) big
+  ON c_custkey = o_custkey
+GROUP BY c_custkey
+""".strip(),
+    tags=("join", "outer"),
+)
+def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All customers with their count of very large orders, including
+    zeros — null-extension semantics of LEFT OUTER."""
+    c = table(spark, sf_dir, "customer")
+    big = table(spark, sf_dir, "orders").where(F.col("o_totalprice") > 400000)
+    return (
+        c.join(big, c.c_custkey == big.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("n_big_orders"),
+            F.coalesce(dsum(F.col("o_totalprice")), F.lit(0.0)).alias("big_total"),
+        )
+    )
+
+
+@register(
+    "join_semi",
+    oracle="""
+SELECT c_custkey, c_name
+FROM customer
+WHERE EXISTS (SELECT 1 FROM orders
+              WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+""".strip(),
+    tags=("join", "semi"),
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS ≙ left_semi: probes stop at first match, output never
+    widens — cheaper than join+distinct at any scale."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").where(F.col("o_orderpriority") == "1-URGENT")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+@register(
+    "join_anti",
+    oracle="""
+SELECT c_custkey, c_name
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+""".strip(),
+    tags=("join", "anti"),
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT EXISTS ≙ left_anti."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").where(F.col("o_totalprice") > 300000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@register(
+    "join_theta_range",
+    oracle=f"""
+WITH buckets AS (
+  SELECT * FROM (VALUES
+    (TIMESTAMP '1995-01-01', TIMESTAMP '1997-01-01', 'early'),
+    (TIMESTAMP '1997-01-01', TIMESTAMP '1999-01-01', 'mid'),
+    (TIMESTAMP '1999-01-01', TIMESTAMP '2002-01-01', 'late')
+  ) AS t(lo, hi, era)
+)
+SELECT era, count(*) AS n_items, {dsum_sql('l_extendedprice')} AS total_price
+FROM lineitem JOIN buckets
+  ON l_shipdate >= lo AND l_shipdate < hi
+GROUP BY era
+""".strip(),
+    tags=("join", "theta"),
+)
+def join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-equi range join against a tiny bucket table.  The small side
+    is broadcast → BroadcastNestedLoopJoin, which is the right physical
+    plan when one side is O(buckets): cost = scan × small constant.  (A
+    big-big range join would instead be bucketized into an equi-join on
+    overlapping bucket ids — see operators/rangejoin.py.)"""
+    l = table(spark, sf_dir, "lineitem")
+    buckets = spark.createDataFrame(
+        [
+            ("1995-01-01", "1997-01-01", "early"),
+            ("1997-01-01", "1999-01-01", "mid"),
+            ("1999-01-01", "2002-01-01", "late"),
+        ],
+        "lo_s string, hi_s string, era string",
+    ).select(
+        F.col("lo_s").cast("timestamp").alias("lo"),
+        F.col("hi_s").cast("timestamp").alias("hi"),
+        "era",
+    )
+    cond = (F.col("l_shipdate") >= F.col("lo")) & (F.col("l_shipdate") < F.col("hi"))
+    return (
+        l.join(F.broadcast(buckets), cond)
+        .groupBy("era")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            dsum(F.col("l_extendedprice")).alias("total_price"),
+        )
+    )

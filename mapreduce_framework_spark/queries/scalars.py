@@ -1,0 +1,227 @@
+"""Scalar function battery (SURVEY.md §2b, generalizing O6's string
+pipeline — the reference's only scalar ops are lower/translate/split in
+w7/src/python/map.py:9-18; here they are JVM built-ins inside
+whole-stage codegen, plus the date/math/array/map/json/hash families its
+typed successor needs).
+
+Determinism: cross-engine hash functions differ (Spark Murmur3/xxhash64
+are engine-specific), so the oracle-checked hash query uses standard
+digests (md5/sha2) and identity-modulo bucketing; the engine-native
+fast-hash path lives in operators/hash_partition.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mapreduce_framework_spark.io import table
+from mapreduce_framework_spark.registry import register
+
+
+@register(
+    "scalar_string",
+    oracle="""
+SELECT
+  p_partkey,
+  lower(p_name) AS name_lower,
+  upper(p_brand) AS brand_upper,
+  trim('  ' || p_name || ' ') AS name_trimmed,
+  substring(p_name, 1, 5) AS name_prefix,
+  concat_ws('|', p_brand, p_type) AS brand_type,
+  translate(p_name, 'aeiou', 'AEIOU') AS name_vowels,
+  regexp_extract(p_name, '([a-z]+)$', 1) AS last_word,
+  length(p_name) AS name_len,
+  replace(p_name, ' ', '_') AS name_snake,
+  left(p_type, 3) AS type3,
+  lpad(CAST(p_size AS VARCHAR), 4, '0') AS size_padded
+FROM part
+""".strip(),
+    tags=("scalar", "string"),
+)
+def scalar_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String function battery on part.p_name — the vectorized versions
+    of the reference mapper's per-line ops."""
+    p = table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.lower("p_name").alias("name_lower"),
+        F.upper("p_brand").alias("brand_upper"),
+        F.trim(F.concat(F.lit("  "), F.col("p_name"), F.lit(" "))).alias("name_trimmed"),
+        F.substring("p_name", 1, 5).alias("name_prefix"),
+        F.concat_ws("|", "p_brand", "p_type").alias("brand_type"),
+        F.translate("p_name", "aeiou", "AEIOU").alias("name_vowels"),
+        F.regexp_extract("p_name", r"([a-z]+)$", 1).alias("last_word"),
+        F.length("p_name").alias("name_len"),
+        F.replace(F.col("p_name"), F.lit(" "), F.lit("_")).alias("name_snake"),
+        F.left(F.col("p_type"), F.lit(3)).alias("type3"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_padded"),
+    )
+
+
+@register(
+    "scalar_date",
+    oracle="""
+SELECT
+  o_orderkey,
+  CAST(year(o_orderdate) AS INTEGER) AS o_year,
+  CAST(month(o_orderdate) AS INTEGER) AS o_month,
+  CAST(dayofmonth(o_orderdate) AS INTEGER) AS o_day,
+  CAST(quarter(o_orderdate) AS INTEGER) AS o_quarter,
+  CAST(o_orderdate AS DATE) + 30 AS due_date,
+  date_diff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') AS days_to_epoch_end,
+  CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+  last_day(CAST(o_orderdate AS DATE)) AS month_end
+FROM orders
+WHERE o_orderkey % 10 = 0
+""".strip(),
+    tags=("scalar", "date"),
+)
+def scalar_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time function battery on orders.o_orderdate."""
+    o = table(spark, sf_dir, "orders").where(F.col("o_orderkey") % 10 == 0)
+    d = F.col("o_orderdate").cast("date")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("int").alias("o_year"),
+        F.month("o_orderdate").cast("int").alias("o_month"),
+        F.dayofmonth("o_orderdate").cast("int").alias("o_day"),
+        F.quarter("o_orderdate").cast("int").alias("o_quarter"),
+        F.date_add(d, 30).alias("due_date"),
+        F.datediff(F.lit("2002-01-01").cast("date"), d).cast("long").alias(
+            "days_to_epoch_end"
+        ),
+        F.date_trunc("month", "o_orderdate").cast("date").alias("month_start"),
+        F.last_day(d).alias("month_end"),
+    )
+
+
+@register(
+    "scalar_math",
+    oracle="""
+SELECT
+  l_orderkey,
+  l_linenumber,
+  round(l_extendedprice) AS price_rounded,
+  abs(l_extendedprice - 1000) AS dist_1000,
+  ceil(l_quantity / 7) AS qty_ceil,
+  floor(l_quantity / 7) AS qty_floor,
+  pow(l_discount, 2) AS disc_sq,
+  sqrt(l_extendedprice) AS price_sqrt,
+  l_orderkey % 32 AS bucket,
+  greatest(l_quantity, 25.0) AS qty_hi,
+  least(l_quantity, 25.0) AS qty_lo,
+  sign(l_extendedprice - 5000) AS above_5k
+FROM lineitem
+WHERE l_orderkey % 7 = 0
+""".strip(),
+    tags=("scalar", "math"),
+)
+def scalar_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math battery.  sqrt/pow(x,2) are correctly-rounded IEEE ops, so
+    exact cross-engine; transcendental libm calls (log/exp) are excluded
+    from the hash-checked surface (last-ulp variance across libms)."""
+    l = table(spark, sf_dir, "lineitem").where(F.col("l_orderkey") % 7 == 0)
+    return l.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.col("l_extendedprice")).alias("price_rounded"),
+        F.abs(F.col("l_extendedprice") - 1000).alias("dist_1000"),
+        F.ceil(F.col("l_quantity") / 7).cast("double").alias("qty_ceil"),
+        F.floor(F.col("l_quantity") / 7).cast("double").alias("qty_floor"),
+        F.pow(F.col("l_discount"), 2).alias("disc_sq"),
+        F.sqrt(F.col("l_extendedprice")).alias("price_sqrt"),
+        (F.col("l_orderkey") % 32).alias("bucket"),
+        F.greatest(F.col("l_quantity"), F.lit(25.0)).alias("qty_hi"),
+        F.least(F.col("l_quantity"), F.lit(25.0)).alias("qty_lo"),
+        F.signum(F.col("l_extendedprice") - 5000).alias("above_5k"),
+    )
+
+
+@register(
+    "scalar_array_map",
+    oracle="""
+SELECT
+  p_partkey,
+  string_split(p_name, ' ') AS words,
+  len(string_split(p_name, ' ')) AS n_words,
+  list_contains(string_split(p_name, ' '), 'red') AS has_red,
+  list_sort(string_split(p_name, ' ')) AS words_sorted,
+  string_split(p_name, ' ')[1] AS first_word,
+  string_split(p_name, ' ')[-1] AS last_word,
+  list_aggregate(string_split(p_name, ' '), 'string_agg', '-') AS rejoined
+FROM part
+""".strip(),
+    tags=("scalar", "array"),
+)
+def scalar_array_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ArrayType surface: split/size/contains/sort/element_at/join.
+    (Map-typed values stay internal — cross-engine map wire formats
+    differ — so the check compares arrays and scalars.)"""
+    p = table(spark, sf_dir, "part")
+    words = F.split(F.col("p_name"), " ")
+    return p.select(
+        "p_partkey",
+        words.alias("words"),
+        F.size(words).alias("n_words"),
+        F.array_contains(words, "red").alias("has_red"),
+        F.sort_array(words).alias("words_sorted"),
+        F.element_at(words, 1).alias("first_word"),
+        F.element_at(words, -1).alias("last_word"),
+        F.array_join(words, "-").alias("rejoined"),
+    )
+
+
+@register(
+    "scalar_json",
+    oracle="""
+SELECT
+  event_id,
+  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_value,
+  json_extract_string(props, '$.missing') AS missing_field,
+  CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_bucket
+FROM events
+""".strip(),
+    tags=("scalar", "json"),
+)
+def scalar_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON extraction over events.props (semi-structured column — the
+    typed escape hatch the reference's string-only model lacked)."""
+    e = table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return e.select(
+        "event_id",
+        k.alias("k_value"),
+        F.get_json_object("props", "$.missing").alias("missing_field"),
+        (k % 10).alias("k_bucket"),
+    )
+
+
+@register(
+    "scalar_hash",
+    oracle="""
+SELECT
+  o_orderkey,
+  md5(CAST(o_orderkey AS VARCHAR) || ':' || o_orderstatus) AS row_md5,
+  sha256(o_orderpriority) AS prio_sha,
+  o_orderkey % 16 AS shard
+FROM orders
+WHERE o_orderkey % 5 = 0
+""".strip(),
+    tags=("scalar", "hash"),
+)
+def scalar_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Standard digests + modulo sharding — the observable generalization
+    of the reference's ``std::hash(key) % R`` shuffle routing
+    (workerimpl.cc:254).  Engine-native fast hashes (xxhash64/Murmur3)
+    are used internally (operators/hash_partition.py) but are not
+    cross-engine comparable."""
+    o = table(spark, sf_dir, "orders").where(F.col("o_orderkey") % 5 == 0)
+    return o.select(
+        "o_orderkey",
+        F.md5(
+            F.concat(F.col("o_orderkey").cast("string"), F.lit(":"), F.col("o_orderstatus"))
+        ).alias("row_md5"),
+        F.sha2(F.col("o_orderpriority"), 256).alias("prio_sha"),
+        (F.col("o_orderkey") % 16).alias("shard"),
+    )
