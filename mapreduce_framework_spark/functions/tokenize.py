@@ -58,6 +58,20 @@ def make_reference_tokenizer():
     return py_tokens
 
 
+def word_ngrams(tokens: Column, n: int) -> Column:
+    """Contiguous word n-gram array (empty when the doc is shorter than
+    n).  Pure JVM expressions; the guard matters because ``sequence``
+    with start > stop generates a DESCENDING range."""
+
+    def gram_at(i: Column) -> Column:
+        return F.concat_ws(" ", *[F.element_at(tokens, i + k) for k in range(n)])
+
+    return F.when(
+        F.size(tokens) >= n,
+        F.transform(F.sequence(F.lit(1), F.size(tokens) - (n - 1)), gram_at),
+    ).otherwise(F.array().cast("array<string>"))
+
+
 def tokenize_sql_duckdb(col: str) -> str:
     """The same tokenizer as a DuckDB expression producing a list, for
     oracle SQL strings."""

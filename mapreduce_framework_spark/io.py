@@ -54,12 +54,11 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         if dict(df.dtypes).get("ts") == "bigint":
             from pyspark.sql import functions as F
 
-            df = df.withColumn(
-                "ts",
-                F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("long")).cast(
-                    "timestamp_ntz"
-                ),
-            )
+            # TIMESTAMP (not NTZ): watermarks require it, and with the
+            # session timezone pinned to UTC the values are identical.
+            # Integer division: double division of int64 nanos loses
+            # precision above 2^53 and shifts timestamps by ±1 µs.
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         return df
     return spark.read.parquet(path)
 

@@ -1,0 +1,92 @@
+"""Approximate nearest-neighbor search over an embedding column.
+
+Two tiers:
+
+- ``brute_force_topk``: exact cosine against every vector — the
+  correctness baseline.  One scan, no shuffle (query broadcast), then
+  TakeOrderedAndProject for the top-k.  At 100 TB this is the fallback,
+  not the default.
+
+- ``ivf_topk``: IVF-style cell probing.  Vectors are assigned once to
+  their nearest "centroid" cell (here: deterministic seed vectors —
+  production would plug k-means means in the same shape); a query
+  probes only the ``n_probe`` nearest cells, pruning the scan to
+  n_probe/n_cells of the corpus.  The assignment is a broadcast join +
+  argmax (no shuffle of the embedding table), and at scale the cell id
+  becomes a partition key so probing prunes entire files.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from mapreduce_framework_spark.functions.vector import cosine
+
+
+def brute_force_topk(
+    vectors: DataFrame,
+    query: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+) -> DataFrame:
+    """Exact top-k by cosine.  ``query`` is a 1-row DataFrame with a
+    ``qv`` array<double> column; kept in-plan (broadcast) so the whole
+    thing stays declarative."""
+    cos = F.round(cosine(F.col(vec_col), F.col("qv")), 6)
+    return (
+        vectors.crossJoin(F.broadcast(query))
+        .select(F.col(id_col), cos.alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def assign_cells(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+) -> DataFrame:
+    """Assign each vector to its max-cosine centroid (broadcast join +
+    max_by).  ``centroids``: (cell_id, cv array<double>)."""
+    scored = vectors.crossJoin(F.broadcast(centroids)).select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.col("cell_id"),
+        cosine(F.col(vec_col), F.col("cv")).alias("_cs"),
+    )
+    # max_by with (score, cell_id) pair → deterministic on score ties.
+    return scored.groupBy(id_col).agg(
+        F.max_by(F.struct("cell_id", vec_col), F.struct(F.col("_cs"), (-F.col("cell_id")).alias("tb"))).alias("best")
+    ).select(id_col, F.col("best.cell_id").alias("cell_id"), F.col(f"best.{vec_col}").alias(vec_col))
+
+
+def ivf_topk(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    query: DataFrame,
+    k: int = 10,
+    n_probe: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+) -> DataFrame:
+    """Probe the ``n_probe`` centroids nearest the query, exact-search
+    only their cells."""
+    assigned = assign_cells(vectors, centroids, id_col, vec_col)
+    probe_cells = (
+        centroids.crossJoin(F.broadcast(query))
+        .select("cell_id", cosine(F.col("cv"), F.col("qv")).alias("_cs"))
+        .orderBy(F.desc("_cs"), F.asc("cell_id"))
+        .limit(n_probe)
+        .select("cell_id")
+    )
+    pruned = assigned.join(F.broadcast(probe_cells), "cell_id")
+    cos = F.round(cosine(F.col(vec_col), F.col("qv")), 6)
+    return (
+        pruned.crossJoin(F.broadcast(query))
+        .select(F.col(id_col), cos.alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), F.asc(id_col))
+        .limit(k)
+    )

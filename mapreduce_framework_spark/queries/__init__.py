@@ -2,12 +2,17 @@
 
 from mapreduce_framework_spark.queries import (  # noqa: F401
     aggregations,
+    dedup,
     filters,
     joins,
+    multimodal,
+    similarity,
+    textstats,
     scalars,
     scans,
     setops,
     sorts,
+    streaming,
     udfs,
     windows,
     wordcount,

@@ -1,0 +1,182 @@
+"""Deduplication suite over `documents` — the training-data-pipeline
+core (BASELINE north star; candidate-join patterns after ClusterJoin
+VLDB'14 / V-SMART-Join VLDB'12, see PAPERS.md).
+
+Five tiers, cheapest first — at 100 TB you run them in this order and
+each tier prunes the next one's input:
+
+1. exact       — hash groupBy, one shuffle of (hash, id).
+2. ngram/jaccard — blocked exact similarity (quadratic within block
+   only; blocks = (lang, source) here, at scale add a length band).
+3. minhash LSH — sub-quadratic candidates for unblockable corpora.
+4. simhash    — constant-size fingerprint, Hamming-distance candidates
+   via pigeonhole chunks.
+5. embedding  — semantic near-dups, cluster-blocked cosine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mapreduce_framework_spark.functions.vector import cosine
+from mapreduce_framework_spark.io import table
+from mapreduce_framework_spark.operators.minhash import candidate_pairs, jaccard
+from mapreduce_framework_spark.operators.simhash import near_pairs, simhash64
+from mapreduce_framework_spark.registry import register
+
+
+@register(
+    "dedup_exact",
+    oracle="""
+SELECT sha256(lower(trim(text))) AS text_hash,
+       min(doc_id) AS canonical_doc_id,
+       count(*) AS n_copies
+FROM documents
+GROUP BY sha256(lower(trim(text)))
+""".strip(),
+    tags=("dedup",),
+    bench=True,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by normalized-text digest: keep the smallest doc_id
+    per hash group.  One shuffle of (hash, id) pairs — the digest is
+    computed scan-side, so the fact bytes never move."""
+    d = table(spark, sf_dir, "documents")
+    return (
+        d.select(F.sha2(F.lower(F.trim(F.col("text"))), 256).alias("text_hash"), "doc_id")
+        .groupBy("text_hash")
+        .agg(F.min("doc_id").alias("canonical_doc_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle="""
+WITH d AS (
+  SELECT doc_id, lang, source,
+         list_distinct(string_split(text, ' ')) AS toks
+  FROM documents
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+         / len(list_distinct(a.toks || b.toks)) AS jaccard
+FROM d a JOIN d b
+  ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+        / len(list_distinct(a.toks || b.toks)) >= 0.8
+""".strip(),
+    tags=("dedup",),
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked exact Jaccard: quadratic only within (lang, source)
+    blocks.  Exact int cardinalities + one double division → hash-exact
+    against the oracle.  At scale, add a token-count band to the block
+    key (near-dups can't differ much in length) to bound block size."""
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", F.array_distinct(F.split("text", " ")).alias("toks")
+    )
+    a = d.select(
+        F.col("doc_id").alias("doc_a"), "lang", "source", F.col("toks").alias("toks_a")
+    )
+    b = d.select(
+        F.col("doc_id").alias("doc_b"), "lang", "source", F.col("toks").alias("toks_b")
+    )
+    j = jaccard(F.col("toks_a"), F.col("toks_b"))
+    return (
+        a.join(b, ["lang", "source"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", j.alias("jaccard"))
+        .where(F.col("jaccard") >= 0.8)
+    )
+
+
+@register(
+    "dedup_minhash",
+    oracle=None,  # xxhash64 seeds are engine-native → rows-only; the
+    # exact-Jaccard verify step is what the check observes via
+    # tests (candidates ⊇ true pairs at the S-curve threshold).
+    tags=("dedup", "lsh"),
+    bench=True,
+)
+def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup pairs over 3-word shingles, verified by
+    exact shingle-Jaccard ≥ 0.7.
+
+    Shingles (not unigram token sets) are the published standard for
+    training-corpus dedup (GPT-3/Gopher-style): word order matters, so
+    permuted bags of the same vocabulary don't collide — on a small-
+    vocabulary corpus the unigram variant degenerates to ~quadratic
+    true-pair density (the blocked unigram tier is dedup_ngram_jaccard).
+
+    Pipeline: shingle-set → 64 minhashes → 16×4 banding → bucket join →
+    exact verify.  Candidate generation is O(n·bands) shuffle rows, not
+    O(n²) — see operators/minhash.py for the scale analysis."""
+    from mapreduce_framework_spark.functions.tokenize import word_ngrams
+
+    toks = F.split("text", " ")
+    d = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", F.array_distinct(word_ngrams(toks, 3)).alias("sh"))
+        .where(F.size("sh") > 0)
+    )
+    cands = candidate_pairs(d, "doc_id", "sh")
+    ta = d.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
+    tb = d.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
+    verified = (
+        cands.join(ta, "id_a")
+        .join(tb, "id_b")
+        .select("id_a", "id_b", jaccard(F.col("sh_a"), F.col("sh_b")).alias("jaccard"))
+        .where(F.col("jaccard") >= 0.7)
+    )
+    return verified.select(
+        F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"), "jaccard"
+    )
+
+
+@register(
+    "dedup_simhash",
+    oracle=None,  # engine-native xxhash64 → rows-only
+    tags=("dedup", "simhash"),
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash fingerprints + Hamming ≤ 3 pairs via 16-bit pigeonhole
+    chunks (any pair at distance ≤ 3 shares a chunk — one equi-join)."""
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("toks")
+    )
+    fps = d.select("doc_id", simhash64(F.col("toks")).alias("fp"))
+    return near_pairs(fps, "doc_id", "fp", max_distance=3)
+
+
+@register(
+    "dedup_embedding",
+    oracle="""
+WITH e AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+  FROM embeddings
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_cosine_similarity(a.v, b.v), 6) AS cos_sim
+FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.4
+""".strip(),
+    tags=("dedup", "embedding"),
+)
+def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dups, blocked by cluster label (at scale the
+    label comes from coarse quantization / k-means — same plan shape).
+    Cosine folds sequentially in double → deterministic; round(6) guards
+    the cross-engine last-ulp."""
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    a = e.select(F.col("vec_id").alias("id_a"), "label", F.col("v").alias("va"))
+    b = e.select(F.col("vec_id").alias("id_b"), "label", F.col("v").alias("vb"))
+    cos = F.round(cosine(F.col("va"), F.col("vb")), 6)
+    return (
+        a.join(b, "label")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", cos.alias("cos_sim"))
+        .where(F.col("cos_sim") >= 0.4)
+    )

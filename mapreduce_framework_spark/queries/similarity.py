@@ -1,0 +1,70 @@
+"""Similarity search over `embeddings` (SURVEY.md §2b extensions)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mapreduce_framework_spark.io import table
+from mapreduce_framework_spark.operators.annsearch import brute_force_topk, ivf_topk
+from mapreduce_framework_spark.registry import register
+
+
+def _vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+
+
+def _query_vec(vectors: DataFrame) -> DataFrame:
+    """The query = embedding of vec_id 0, kept in-plan (broadcast) —
+    no driver-side collect."""
+    return vectors.where(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
+
+
+@register(
+    "sim_search_topk",
+    oracle="""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
+SELECT vec_id, round(list_cosine_similarity(v, qv), 6) AS cos_sim
+FROM e, q
+WHERE vec_id <> 0
+ORDER BY cos_sim DESC, vec_id ASC
+LIMIT 10
+""".strip(),
+    tags=("similarity",),
+    bench=True,
+)
+def sim_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-10 cosine neighbors of vector 0 (brute-force baseline;
+    TakeOrderedAndProject keeps only k rows per partition)."""
+    vectors = _vectors(spark, sf_dir).where(F.col("vec_id") != 0)
+    return brute_force_topk(vectors, _query_vec(_vectors(spark, sf_dir)), k=10)
+
+
+@register(
+    "sim_search_ivf",
+    oracle=None,  # approximate by construction → rows-only; recall vs
+    # the exact baseline is asserted in tests/test_operators.py
+    tags=("similarity", "ann"),
+)
+def sim_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-probed top-10: assign vectors to 16 seed cells, probe the 4
+    nearest to the query — the scan-pruning scale path (cell id becomes
+    a partition key at 100 TB)."""
+    vectors = _vectors(spark, sf_dir)
+    # Deterministic seed centroids: the 16 lowest vec_ids.  Production
+    # swaps in k-means means; the plan shape is identical.
+    centroids = (
+        vectors.orderBy("vec_id")
+        .limit(16)
+        .select(F.col("vec_id").cast("int").alias("cell_id"), F.col("v").alias("cv"))
+    )
+    return ivf_topk(
+        vectors.where(F.col("vec_id") != 0),
+        centroids,
+        _query_vec(vectors),
+        k=10,
+        n_probe=4,
+    )

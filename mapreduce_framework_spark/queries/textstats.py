@@ -1,0 +1,231 @@
+"""Text analysis for training-data pipelines: statistics, token
+counting, language-ID heuristic, quality scoring, fingerprinting.
+
+All pure JVM expressions over the `documents` table — at 100 TB these
+run scan-side with zero shuffle (per-document outputs) and hash-match
+their DuckDB oracles exactly (int arithmetic + single double divisions).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mapreduce_framework_spark.io import table
+from mapreduce_framework_spark.registry import register
+
+
+def _toks() -> Column:
+    return F.split(F.col("text"), " ")
+
+
+@register(
+    "text_stats",
+    oracle="""
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+SELECT doc_id,
+       len(t) AS n_tokens,
+       len(list_distinct(t)) AS n_distinct,
+       CAST(list_aggregate(list_transform(t, x -> len(x)), 'sum') AS DOUBLE)
+         / len(t) AS avg_token_len,
+       CAST(len(list_distinct(t)) AS DOUBLE) / len(t) AS type_token_ratio
+FROM d
+""".strip(),
+    tags=("text",),
+    bench=True,
+)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc token count, vocabulary size, mean token length,
+    type-token ratio."""
+    t = _toks()
+    return table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(t).alias("n_tokens"),
+        F.size(F.array_distinct(t)).alias("n_distinct"),
+        (
+            F.aggregate(F.transform(t, F.length), F.lit(0), lambda a, x: a + x).cast("double")
+            / F.size(t)
+        ).alias("avg_token_len"),
+        (F.size(F.array_distinct(t)).cast("double") / F.size(t)).alias("type_token_ratio"),
+    )
+
+
+@register(
+    "token_count",
+    oracle=r"""
+SELECT doc_id,
+       len(string_split(text, ' ')) AS ws_tokens,
+       len(regexp_extract_all(text, '[a-z0-9]+|[^a-z0-9 ]')) AS bpe_ish_tokens,
+       n_chars
+FROM documents
+""".strip(),
+    tags=("text",),
+)
+def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace tokens vs a BPE-ish regex segmentation (alnum runs +
+    individual symbols) — the cheap pre-tokenizer length estimate used
+    for budget accounting in data pipelines."""
+    d = table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.split("text", " ")).alias("ws_tokens"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(r"[a-z0-9]+|[^a-z0-9 ]"), F.lit(0))).alias(
+            "bpe_ish_tokens"
+        ),
+        "n_chars",
+    )
+
+
+# Marker-word profiles for the n-gram language heuristic.  Deliberately
+# tiny and literal so the identical table embeds in the oracle SQL.
+_LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "fast", "data"),
+    "de": ("der", "die", "und", "batch"),
+    "es": ("el", "la", "que", "stream"),
+    "fr": ("le", "la", "et", "query"),
+    "zh": ("de", "shi", "le", "spark"),
+}
+
+
+def _marker_rows():
+    return [(lang, w) for lang, ws in _LANG_MARKERS.items() for w in ws]
+
+
+@register(
+    "lang_id",
+    oracle=f"""
+WITH markers(m_lang, m_word) AS (
+  SELECT * FROM (VALUES {', '.join(f"('{lang}', '{w}')" for lang, w in _marker_rows())})
+),
+tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+),
+scores AS (
+  SELECT doc_id, m_lang, count(*) AS hits
+  FROM tok JOIN markers ON word = m_word
+  GROUP BY doc_id, m_lang
+),
+best AS (
+  SELECT doc_id, m_lang, hits,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY hits DESC, m_lang DESC) AS rn
+  FROM scores
+)
+SELECT d.doc_id,
+       coalesce(b.m_lang, 'und') AS lang_pred,
+       coalesce(b.hits, 0) AS marker_hits
+FROM documents d LEFT JOIN best b ON d.doc_id = b.doc_id AND b.rn = 1
+""".strip(),
+    tags=("text", "langid"),
+)
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word language heuristic: count per-language marker hits,
+    argmax with lexicographic tie-break, 'und' when nothing matches.
+    The marker table is broadcast; the aggregation is per (doc, lang) —
+    no full-corpus shuffle of token lists."""
+    d = table(spark, sf_dir, "documents")
+    markers = spark.createDataFrame(_marker_rows(), "m_lang string, m_word string")
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+    scores = (
+        tok.join(F.broadcast(markers), tok.word == markers.m_word)
+        .groupBy("doc_id", "m_lang")
+        .agg(F.count(F.lit(1)).alias("hits"))
+    )
+    best = scores.groupBy("doc_id").agg(
+        F.max_by("m_lang", F.struct("hits", "m_lang")).alias("lang_pred"),
+        F.max("hits").alias("marker_hits"),
+    )
+    return (
+        d.select("doc_id")
+        .join(best, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("lang_pred", F.lit("und")).alias("lang_pred"),
+            F.coalesce("marker_hits", F.lit(0)).alias("marker_hits"),
+        )
+    )
+
+
+@register(
+    "quality_score",
+    oracle="""
+WITH d AS (
+  SELECT doc_id, n_chars, string_split(text, ' ') AS t,
+         len(string_split(text, ' ')) AS n_tok,
+         len(list_filter(string_split(text, ' '),
+                         w -> w IN ('the', 'a', 'data', 'value'))) AS stop_hits
+  FROM documents
+)
+SELECT doc_id,
+       n_tok AS n_tokens,
+       CAST(stop_hits AS DOUBLE) / n_tok AS stopword_ratio,
+       CAST(n_chars AS DOUBLE) / n_tok AS chars_per_token,
+       CASE WHEN n_tok BETWEEN 20 AND 80 THEN 1.0 ELSE 0.5 END
+         * (0.5 + CAST(stop_hits AS DOUBLE) / n_tok) AS quality
+FROM d
+""".strip(),
+    tags=("text", "quality"),
+)
+def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic document quality: length band × stopword-density prior
+    (the shape of C4/Gopher-style quality filters, deterministic)."""
+    d = table(spark, sf_dir, "documents")
+    t = F.split(F.col("text"), " ")
+    n_tok = F.size(t)
+    stop_hits = F.size(F.filter(t, lambda w: w.isin("the", "a", "data", "value")))
+    stop_ratio = stop_hits.cast("double") / n_tok
+    return d.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        stop_ratio.alias("stopword_ratio"),
+        (F.col("n_chars").cast("double") / n_tok).alias("chars_per_token"),
+        (
+            F.when(n_tok.between(20, 80), F.lit(1.0)).otherwise(F.lit(0.5))
+            * (F.lit(0.5) + stop_ratio)
+        ).alias("quality"),
+    )
+
+
+@register(
+    "doc_fingerprint",
+    oracle="""
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+g AS (
+  SELECT doc_id,
+         CASE WHEN len(t) >= 4
+              THEN list_transform(range(1, len(t) - 2),
+                     i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])
+              ELSE [] END AS grams
+  FROM d
+)
+SELECT doc_id,
+       list_aggregate(list_transform(grams, x -> md5(x)), 'min') AS fingerprint,
+       len(list_distinct(grams)) AS n_distinct_grams
+FROM g
+""".strip(),
+    tags=("text", "fingerprint"),
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling word-4-gram fingerprint: the minimum gram digest is a
+    1-permutation MinHash — stable under content reordering/truncation,
+    the cheap near-dup prefilter."""
+    d = table(spark, sf_dir, "documents")
+    t = F.split(F.col("text"), " ")
+    grams = F.when(
+        F.size(t) >= 4,
+        F.transform(
+            F.sequence(F.lit(1), F.size(t) - 3),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(t, i),
+                F.element_at(t, i + 1),
+                F.element_at(t, i + 2),
+                F.element_at(t, i + 3),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return d.select(
+        "doc_id",
+        F.array_min(F.transform(grams, F.md5)).alias("fingerprint"),
+        F.size(F.array_distinct(grams)).alias("n_distinct_grams"),
+    )

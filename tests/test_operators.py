@@ -1,0 +1,123 @@
+"""Operator-level behavior: LSH recall, ANN recall, simhash, hash
+partitioning parity, bucketized range join."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR
+
+
+def test_minhash_candidates_recall(spark):
+    """LSH candidates must contain (essentially all) true high-Jaccard
+    shingle pairs: at j >= 0.9 the 16x4 banding S-curve gives
+    P(miss) < 1e-8.  True near-dups are synthesized by truncating each
+    doc by one trailing token (shingle-Jaccard ≈ (k-1)/k ≈ 0.97)."""
+    from mapreduce_framework_spark.functions.tokenize import word_ngrams
+    from mapreduce_framework_spark.io import table
+    from mapreduce_framework_spark.operators.minhash import candidate_pairs, jaccard
+
+    toks = F.split("text", " ")
+    base = (
+        table(spark, SF_DIR, "documents")
+        .select("doc_id", toks.alias("toks"))
+        .where(F.size(toks) >= 30)
+        .limit(100)
+    )
+    clone = base.select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.slice("toks", 1, F.size("toks") - 1).alias("toks"),
+    )
+    d = (
+        base.union(clone)
+        .select("doc_id", F.array_distinct(word_ngrams(F.col("toks"), 3)).alias("sh"))
+        .where(F.size("sh") > 0)
+    )
+    a = d.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sa"))
+    b = d.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sb"))
+    true_pairs = {
+        (r.id_a, r.id_b)
+        for r in a.crossJoin(b)
+        .where(F.col("id_a") < F.col("id_b"))
+        .where(jaccard(F.col("sa"), F.col("sb")) >= 0.9)
+        .collect()
+    }
+    cands = {(r.id_a, r.id_b) for r in candidate_pairs(d, "doc_id", "sh").collect()}
+    assert len(true_pairs) >= 100, "clones should create >=0.9-Jaccard pairs"
+    missed = true_pairs - cands
+    assert not missed, f"LSH missed high-similarity pairs: {sorted(missed)[:5]}"
+
+
+def test_simhash_finds_near_identical_docs(spark):
+    """A shuffled copy of a document (same token multiset) has the same
+    SimHash → distance 0 pair must be reported."""
+    from mapreduce_framework_spark.io import table
+    from mapreduce_framework_spark.operators.simhash import near_pairs, simhash64
+
+    d = (
+        table(spark, SF_DIR, "documents")
+        .select("doc_id", F.split("text", " ").alias("toks"))
+        .limit(50)
+    )
+    clone = d.select((F.col("doc_id") + 1_000_000).alias("doc_id"), F.reverse("toks").alias("toks"))
+    fps = d.union(clone).select("doc_id", simhash64(F.col("toks")).alias("fp"))
+    pairs = near_pairs(fps, "doc_id", "fp", max_distance=0)
+    found = {(r.id_a, r.id_b) for r in pairs.collect()}
+    expected = {(r.doc_id, r.doc_id + 1_000_000) for r in d.select("doc_id").collect()}
+    assert expected <= found
+
+
+def test_ivf_recall_against_brute_force(spark):
+    """Probing 4/16 cells must still recover most of the exact top-10
+    (clustered fixture → high recall)."""
+    from mapreduce_framework_spark.registry import get_query
+
+    exact = [r.vec_id for r in get_query("sim_search_topk").fn(spark, SF_DIR).collect()]
+    approx = [r.vec_id for r in get_query("sim_search_ivf").fn(spark, SF_DIR).collect()]
+    assert len(approx) == 10
+    recall = len(set(exact) & set(approx)) / 10
+    assert recall >= 0.5, f"IVF recall too low: {recall} (exact={exact}, ivf={approx})"
+
+
+def test_hash_partition_matches_spark_routing(spark):
+    """The observable _pid must equal the partition Spark actually
+    routes each row to (spark_partition_id after repartition)."""
+    from mapreduce_framework_spark.io import table
+    from mapreduce_framework_spark.operators.hash_partition import hash_partition
+
+    df = hash_partition(table(spark, SF_DIR, "orders"), "o_custkey", 8)
+    mismatch = df.withColumn("actual", F.spark_partition_id()).where(
+        F.col("_pid") != F.col("actual")
+    )
+    assert mismatch.count() == 0
+
+
+def test_point_interval_join_equals_nested_loop(spark):
+    """Bucketized range join must return exactly the BNL join's rows."""
+    from mapreduce_framework_spark.io import table
+    from mapreduce_framework_spark.operators.rangejoin import point_interval_join
+
+    events = table(spark, SF_DIR, "events").select("event_id", "ts")
+    intervals = spark.createDataFrame(
+        [
+            ("2024-01-02 00:00:00", "2024-01-05 12:30:00", "w1"),
+            ("2024-01-05 12:30:00", "2024-01-11 07:00:00", "w2"),
+            ("2024-01-20 03:15:00", "2024-01-28 00:00:00", "w3"),
+        ],
+        "lo_s string, hi_s string, tag string",
+    ).select(
+        F.col("lo_s").cast("timestamp").alias("lo"),
+        F.col("hi_s").cast("timestamp").alias("hi"),
+        "tag",
+    )
+    bucketized = {
+        (r.event_id, r.tag)
+        for r in point_interval_join(events, intervals, "ts", "lo", "hi").collect()
+    }
+    bnl = {
+        (r.event_id, r.tag)
+        for r in events.join(
+            intervals, (F.col("ts") >= F.col("lo")) & (F.col("ts") < F.col("hi"))
+        ).collect()
+    }
+    assert bucketized == bnl and len(bnl) > 0

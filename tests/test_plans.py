@@ -1,0 +1,96 @@
+"""Physical-plan regression tests: pushdown, pruning, broadcast,
+shuffle counts, partial aggregation.  Correctness tests can't see a
+100× cost regression — these pin the plan shape itself."""
+
+from __future__ import annotations
+
+from tests.conftest import SF_DIR
+
+
+def _q(spark, name):
+    from mapreduce_framework_spark.registry import get_query
+
+    return get_query(name).fn(spark, SF_DIR)
+
+
+def test_scan_project_prunes_columns(spark):
+    from mapreduce_framework_spark.plans import read_schema_columns
+
+    schemas = read_schema_columns(_q(spark, "scan_project"))
+    assert schemas, "no parquet scan found"
+    assert sorted(schemas[0]) == [
+        "l_extendedprice",
+        "l_orderkey",
+        "l_partkey",
+        "l_quantity",
+    ]
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    from mapreduce_framework_spark.plans import pushed_filters
+
+    filters = " ".join(pushed_filters(_q(spark, "scan_filter_pushdown")))
+    assert "o_orderstatus" in filters
+    assert "o_orderdate" in filters
+
+
+def test_wordcount_has_partial_aggregation(spark):
+    """The map-side combine (reference map.py:16-22) must appear as a
+    partial aggregate below the exchange."""
+    from mapreduce_framework_spark.plans import formatted_plan
+
+    plan = formatted_plan(_q(spark, "wordcount"))
+    assert "partial_count" in plan
+    assert plan.index("partial_count") > plan.index("Scan parquet")
+
+
+def test_broadcast_join_is_broadcast(spark):
+    from mapreduce_framework_spark.plans import count_exchanges, has_operator
+
+    df = _q(spark, "join_broadcast")
+    assert has_operator(df, "BroadcastHashJoin")
+    # lineitem is aggregated after the broadcast join: exactly one
+    # shuffle (for the final groupBy), never one for the join.
+    assert count_exchanges(df) == 1
+
+
+def test_join_agg_reuses_partitioning(spark):
+    """orders ⋈ customer on custkey then groupBy custkey must never need
+    a third exchange: either the small side broadcasts (1 shuffle, for
+    the groupBy) or both sides shuffle once and the aggregate reuses
+    that partitioning (2 shuffles). 3 = regression."""
+    from mapreduce_framework_spark.plans import count_exchanges
+
+    assert count_exchanges(_q(spark, "join_inner_equi")) <= 2
+
+
+def test_topk_uses_take_ordered(spark):
+    from mapreduce_framework_spark.plans import has_operator
+
+    assert has_operator(_q(spark, "topk_limit"), "TakeOrderedAndProject")
+
+
+def test_semi_anti_plans(spark):
+    from mapreduce_framework_spark.plans import formatted_plan
+
+    assert "LeftSemi" in formatted_plan(_q(spark, "join_semi"))
+    assert "LeftAnti" in formatted_plan(_q(spark, "join_anti"))
+
+
+def test_multiway_broadcasts_nation(spark):
+    from mapreduce_framework_spark.plans import formatted_plan
+
+    plan = formatted_plan(_q(spark, "join_multiway"))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_scalar_battery_is_whole_stage_codegen(spark):
+    """The scalar pipelines must stay inside whole-stage codegen (no
+    Python evaluation nodes)."""
+    from mapreduce_framework_spark.plans import formatted_plan
+
+    for name in ("scalar_string", "scalar_math", "proj_expressions"):
+        plan = formatted_plan(_q(spark, name))
+        # Formatted explain marks codegen stages with a '* ' prefix.
+        assert "* Project" in plan or "* HashAggregate" in plan, name
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name

@@ -1,0 +1,81 @@
+"""Streaming behavior: batch ≡ incremental replay, watermark drops,
+exactly-once dedup."""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.conftest import SF_DIR, rows_normalized
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    from mapreduce_framework_spark.io import table
+
+    return table(spark, SF_DIR, "events")
+
+
+def _as_sets(df):
+    cols, rows = rows_normalized(df.columns, [tuple(r) for r in df.collect()])
+    return cols, rows
+
+
+def test_tumbling_stream_equals_batch(spark, events):
+    """The same transform, replayed in 4 micro-batches with no watermark
+    (complete mode), must produce exactly the batch aggregate."""
+    from mapreduce_framework_spark.streaming import run_file_stream, tumbling_counts
+
+    batch = tumbling_counts(events)
+    stream = run_file_stream(spark, events, tumbling_counts, output_mode="complete")
+    assert _as_sets(batch) == _as_sets(stream)
+
+
+def test_sliding_stream_equals_batch(spark, events):
+    from mapreduce_framework_spark.streaming import run_file_stream, sliding_counts
+
+    batch = sliding_counts(events)
+    stream = run_file_stream(spark, events, sliding_counts, output_mode="complete")
+    assert _as_sets(batch) == _as_sets(stream)
+
+
+def test_watermark_drops_or_holds_back_rows(spark, events):
+    """Append mode + 10-min watermark: emitted windows are a subset of
+    the batch result, and counts never exceed the batch count (late rows
+    dropped, trailing windows retained in state)."""
+    from mapreduce_framework_spark.registry import get_query
+
+    out = get_query("stream_watermark_late").fn(spark, SF_DIR)
+    from mapreduce_framework_spark.streaming import tumbling_counts
+
+    batch = {
+        (r["wstart"], r["event_type"]): r["cnt"] for r in tumbling_counts(events).collect()
+    }
+    emitted = out.collect()
+    assert 0 < len(emitted) <= len(batch)
+    for r in emitted:
+        assert (r["wstart"], r["event_type"]) in batch
+        assert r["cnt"] <= batch[(r["wstart"], r["event_type"])]
+
+
+def test_streaming_dedup_exactly_once(spark, events):
+    """withWatermark + dropDuplicates on event_id yields at most one row
+    per id even when the source replays duplicates across batches."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_framework_spark.streaming import run_file_stream
+
+    # Inject duplicates: union the first 50 events again.
+    dup_src = events.union(events.orderBy("ts").limit(50))
+
+    def dedup(df):
+        return df.withWatermark("ts", "1 hour").dropDuplicates(["event_id"]).select(
+            "event_id", "ts"
+        )
+
+    out = run_file_stream(
+        spark, dup_src, dedup, output_mode="append", n_batches=4
+    )
+    n_ids = events.select("event_id").distinct().count()
+    got = out.groupBy("event_id").count().where(F.col("count") > 1).count()
+    assert got == 0, "duplicate event_ids emitted"
+    assert out.count() <= n_ids + 50  # sanity: bounded by distinct ids
