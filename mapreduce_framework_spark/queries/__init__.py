@@ -5,6 +5,7 @@ from mapreduce_framework_spark.queries import (  # noqa: F401
     dedup,
     filters,
     joins,
+    mapreduce_job,
     multimodal,
     similarity,
     textstats,
