@@ -13,6 +13,7 @@ from mapreduce_framework_spark.queries import (  # noqa: F401
     scans,
     setops,
     sorts,
+    source_formats,
     streaming,
     udfs,
     windows,

@@ -1,0 +1,133 @@
+"""Hash-checked roundtrips through the non-parquet source formats.
+
+Each query writes a projection of a parquet table to the format under
+test, reads it back with an EXPLICIT schema, and aggregates.  The
+oracle computes the same aggregate directly on the parquet source —
+so a hash match proves the format roundtrip is lossless (values,
+timestamps, doubles) as well as the aggregate correct.  Generalizes
+the reference's single text-container input model (dbconn.h:107-113)
+to the formats a Spark user expects.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from mapreduce_framework_spark import sources
+from mapreduce_framework_spark.io import table
+from mapreduce_framework_spark.registry import register
+
+
+def _tmp(sf_dir: str, tag: str) -> str:
+    return os.path.join(
+        tempfile.gettempdir(), f"mfs_src_{tag}_{os.path.basename(sf_dir)}"
+    )
+
+
+_CSV_ORACLE = """
+SELECT year(o_orderdate) AS order_year,
+       count(*) AS cnt,
+       round(sum(o_totalprice), 2) AS total
+FROM orders
+GROUP BY order_year
+""".strip()
+
+
+@register("source_csv_roundtrip", oracle=_CSV_ORACLE, tags=("source",))
+def source_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orders → CSV (header) → explicit-schema read → per-year totals.
+    Timestamps survive via Spark's default ISO-8601 CSV format; the
+    schema declares types so no inference pass runs."""
+    path = _tmp(sf_dir, "csv")
+    src = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate"
+    )
+    sources.write_csv(src, path)
+    schema = StructType(
+        [
+            StructField("o_orderkey", LongType()),
+            StructField("o_orderstatus", StringType()),
+            StructField("o_totalprice", DoubleType()),
+            StructField("o_orderdate", TimestampType()),
+        ]
+    )
+    back = sources.read_csv(spark, path, schema)
+    return back.groupBy(F.year("o_orderdate").alias("order_year")).agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )
+
+
+_JSON_ORACLE = """
+SELECT p_brand,
+       count(*) AS cnt,
+       round(sum(p_retailprice), 2) AS revenue,
+       min(p_name) AS first_name
+FROM part
+GROUP BY p_brand
+""".strip()
+
+
+@register("source_json_roundtrip", oracle=_JSON_ORACLE, tags=("source",))
+def source_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """part → JSON lines → explicit-schema read → per-brand stats."""
+    path = _tmp(sf_dir, "json")
+    src = table(spark, sf_dir, "part").select(
+        "p_partkey", "p_name", "p_brand", "p_retailprice"
+    )
+    sources.write_json_lines(src, path)
+    schema = StructType(
+        [
+            StructField("p_partkey", LongType()),
+            StructField("p_name", StringType()),
+            StructField("p_brand", StringType()),
+            StructField("p_retailprice", DoubleType()),
+        ]
+    )
+    back = sources.read_json_lines(spark, path, schema)
+    return back.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.round(F.sum("p_retailprice"), 2).alias("revenue"),
+        F.min("p_name").alias("first_name"),
+    )
+
+
+_PART_ORACLE = """
+SELECT l_linestatus,
+       count(*) AS cnt,
+       round(sum(l_quantity), 2) AS qty
+FROM lineitem
+WHERE l_returnflag = 'R'
+GROUP BY l_linestatus
+""".strip()
+
+
+@register("source_partition_pruning", oracle=_PART_ORACLE, tags=("source",))
+def source_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lineitem → hive-partitioned parquet by l_returnflag → filtered
+    read.  The filter on the partition column becomes PartitionFilters:
+    non-matching directories are never opened — at 100 TB this is the
+    difference between scanning one partition and scanning the table
+    (tests/test_plans.py pins the plan shape)."""
+    path = _tmp(sf_dir, "hive")
+    src = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_linestatus", "l_returnflag"
+    )
+    sources.write_partitioned(src, path, ["l_returnflag"])
+    back = spark.read.parquet(path).where(F.col("l_returnflag") == "R")
+    return back.groupBy("l_linestatus").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.round(F.sum("l_quantity"), 2).alias("qty"),
+    )

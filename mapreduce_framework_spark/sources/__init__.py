@@ -1,0 +1,59 @@
+"""Source/sink format support beyond parquet.
+
+The reference ingests exactly one format — UTF-8 text block blobs in a
+container (w7/src/master/dbconn.h:107-113; w7/client.sh:163 pins
+``--content-encoding UTF-8``) — and its client uploads a local folder
+as that container (client.sh:147-181).  The Spark-native generalization
+is "directory of files in any supported format"; these helpers pin the
+engine's conventions for the non-parquet formats:
+
+- **Explicit schemas only.**  Schema inference triggers an extra full
+  pass over the data at scan time — at 100 TB that is a second read of
+  the dataset before the query starts.  Every reader here takes a
+  ``StructType``.
+- **Line-oriented formats split safely.**  text/CSV/JSON sources get
+  record-boundary-safe splits from Spark natively — the behavior the
+  reference hand-rolls with its +16-byte boundary fix
+  (w7/src/worker/worker.h:21,196-232).
+- **Partitioned layout is the catalog.**  ``write_partitioned`` +
+  hive-style directories give partition PRUNING (directories never
+  listed) on the read side, the scale analogue of the reference's
+  per-job full-container listing (dbconn.h:45).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+
+def read_csv(
+    spark: SparkSession, path: str, schema: StructType, header: bool = True
+) -> DataFrame:
+    """CSV scan with a declared schema (no inference pass).  Pushdown:
+    Spark's CSV source supports filter pushdown at the parser level —
+    skipped rows are never materialized."""
+    return spark.read.schema(schema).option("header", header).csv(path)
+
+
+def write_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    df.write.mode(mode).option("header", True).csv(path)
+
+
+def read_json_lines(spark: SparkSession, path: str, schema: StructType) -> DataFrame:
+    """JSON-lines scan with declared schema.  With a schema the parser
+    projects only referenced fields (Jackson-level pruning)."""
+    return spark.read.schema(schema).json(path)
+
+
+def write_json_lines(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    df.write.mode(mode).json(path)
+
+
+def write_partitioned(
+    df: DataFrame, path: str, partition_cols: list[str], mode: str = "overwrite"
+) -> None:
+    """Hive-layout parquet: one directory per partition-column value.
+    Reads filtered on partition columns list only matching directories
+    (PartitionFilters in the scan — zero I/O for pruned partitions)."""
+    df.write.mode(mode).partitionBy(*partition_cols).parquet(path)

@@ -94,3 +94,13 @@ def test_scalar_battery_is_whole_stage_codegen(spark):
         # Formatted explain marks codegen stages with a '* ' prefix.
         assert "* Project" in plan or "* HashAggregate" in plan, name
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
+
+
+def test_partition_pruning_reaches_scan(spark):
+    """Filter on a hive partition column must become PartitionFilters
+    (pruned directories are never opened), not a post-scan Filter."""
+    from mapreduce_framework_spark.plans import formatted_plan
+
+    plan = formatted_plan(_q(spark, "source_partition_pruning"))
+    m = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert m and "l_returnflag" in m[0]
