@@ -3,19 +3,29 @@
 Algorithm (standard MinHash/LSH, cf. Broder '97; ClusterJoin VLDB'14 for
 the partitioned-candidate-join framing in PAPERS.md):
 
-1. signature: for each of ``n_hashes`` seeded hash functions, the min of
-   ``xxhash64(token, seed)`` over the document's token set.  Pure JVM
-   expressions (`transform` + `array_min`) — no Python, no shuffle.
-2. banding: split the signature into ``n_bands`` bands of ``r`` rows;
-   hash each band.  Documents sharing ANY band hash become candidates —
-   one `groupBy(band_id, band_hash)` shuffle where each bucket is tiny.
-3. verify: exact Jaccard over token sets for candidate pairs only.
+1. token hashes: explode the shingle arrays and ``xxhash64`` each
+   shingle string ONCE; the n_hashes family is n seeded re-hashes of
+   that 8-byte value, not n string scans.
+2. signature: ``groupBy(doc).agg(min(rehash_i) …)`` — 64 min columns
+   inside ONE whole-stage-codegen HashAggregate.  Map-side partial
+   aggregation makes the shuffle one row per doc (64 longs), so the
+   explode never travels.  (The array-HOF formulation —
+   `array_min(transform(...))` per seed — is interpreted per element
+   with boxing and measured ~3× slower end-to-end; HOFs also
+   RE-EVALUATE unnamed input expressions at every use site, which is
+   why this module stages every intermediate as a real column.)
+3. banding: band hash = ``xxhash64`` of r adjacent min columns.
+   Documents sharing ANY band hash become candidates.
+4. pair generation happens INSIDE the bucket: one `groupBy(band_id,
+   band_hash)` shuffle collects bucket members, pairs come from an
+   array-level cross inside each (bounded-size) bucket.  No second
+   scan of the corpus, no candidate self-join.
 
 Scale posture: the all-pairs O(n²) never materializes — the shuffle is
 O(n · n_bands) rows, candidate buckets are bounded by collision rate,
-and the final verify join touches only candidates.  Skewed buckets
-(e.g. empty-doc signatures) are AQE-splittable; a cap on bucket size
-(`max_bucket`) guards pathological collisions.
+and the verify join touches only candidates.  Skewed buckets
+(e.g. boilerplate shingles) are AQE-splittable; the `max_bucket` cap
+guards pathological collisions.
 
 Probability: with n_hashes=64, bands=16×4, P(candidate) ≈
 1-(1-j⁴)¹⁶ — ~50% at j≈0.55, >99% at j≥0.8 — the classic S-curve for a
@@ -27,37 +37,6 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-
-def _seeded_min(tokens: Column, seed: int) -> Column:
-    # Closure (not a default-arg lambda): PySpark counts lambda params
-    # to pick the HOF form, so `lambda t, i=i` would silently become the
-    # (element, index) two-arg variant.
-    def h(t: Column) -> Column:
-        return F.xxhash64(t, F.lit(seed))
-
-    return F.array_min(F.transform(tokens, h))
-
-
-def minhash_signature(tokens: Column, n_hashes: int = 64) -> Column:
-    """array<bigint> MinHash signature of a token-array column."""
-    return F.array(*[_seeded_min(tokens, i) for i in range(n_hashes)])
-
-
-def band_hashes(sig: Column, n_bands: int = 16, rows_per_band: int = 4) -> Column:
-    """array<struct<band_id:int, band_hash:bigint>> from a signature."""
-    return F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band_id"),
-                F.xxhash64(
-                    *[F.element_at(sig, b * rows_per_band + r + 1) for r in range(rows_per_band)]
-                ).alias("band_hash"),
-            )
-            for b in range(n_bands)
-        ]
-    )
-
-
 def candidate_pairs(
     df: DataFrame,
     id_col: str,
@@ -68,33 +47,75 @@ def candidate_pairs(
 ) -> DataFrame:
     """Distinct candidate id pairs (id_a < id_b) from LSH banding.
 
-    ``max_bucket`` drops degenerate buckets (a bucket of k docs yields
-    k² pairs; a pathological collision would otherwise dominate the
-    stage).  NOTE it must stay well above the largest *legitimate*
-    duplicate-cluster size — a cluster of k near-identical docs shares
-    most band buckets, and pruning those buckets silently loses true
-    pairs (recall, not just cost).  Default bounds bucket blowup at
-    ~1e10 comparisons while tolerating 1e5-doc dup clusters; tune per
-    corpus with the bucket-size histogram."""
+    One corpus scan → one shuffle of (doc, band) rows → pairs generated
+    array-side within each bucket.  ``max_bucket`` drops degenerate
+    buckets (a bucket of k docs yields k² pairs; a pathological
+    collision would otherwise dominate the stage).  NOTE it must stay
+    well above the largest *legitimate* duplicate-cluster size — a
+    cluster of k near-identical docs shares most band buckets, and
+    pruning those buckets silently loses true pairs (recall, not just
+    cost).  Default bounds bucket blowup at ~1e10 comparisons while
+    tolerating 1e5-doc dup clusters; tune per corpus with the
+    bucket-size histogram."""
     rows_per_band = n_hashes // n_bands
-    sig = minhash_signature(F.col(tokens_col), n_hashes)
-    banded = (
-        df.select(F.col(id_col).alias("_id"), sig.alias("_sig"))
-        .select("_id", F.explode(band_hashes(F.col("_sig"), n_bands, rows_per_band)).alias("b"))
-        .select("_id", F.col("b.band_id").alias("band_id"), F.col("b.band_hash").alias("band_hash"))
+    # Signature via EXPLODE + codegen'd HashAggregate, not array HOFs:
+    # `transform`/`array_min` are interpreted per element with boxing —
+    # 64 passes over every token array was the whole query's bottleneck
+    # (measured ~3× end-to-end).  Exploded, the 64 `min(rehash)` columns
+    # run inside whole-stage codegen; map-side partial aggregation means
+    # the shuffle still carries one row per doc (64 longs), identical to
+    # the array formulation.
+    # explode_outer, NOT explode: plain explode makes Catalyst infer a
+    # `size(arr) > 0` filter and push it below the projection with the
+    # whole array expression inlined — the shingle pipeline then runs
+    # twice per row, once in re-inlined (split-per-element_at) form.
+    # Measured 6.2s → 0.2s on this stage at sf0.1.
+    ex = (
+        df.select(F.col(id_col).alias("_id"), F.explode_outer(F.col(tokens_col)).alias("_t"))
+        .where(F.col("_t").isNotNull())
+        .select("_id", F.xxhash64("_t").alias("_h"))
     )
-    bucket_sizes = banded.groupBy("band_id", "band_hash").agg(
-        F.count(F.lit(1)).alias("_n")
+    mins = ex.groupBy("_id").agg(
+        *[
+            F.min(F.xxhash64(F.col("_h"), F.lit(i))).alias(f"_m{i}")
+            for i in range(n_hashes)
+        ]
     )
-    pruned = banded.join(
-        bucket_sizes.where(F.col("_n") <= max_bucket), ["band_id", "band_hash"]
+    band_arr = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.xxhash64(
+                    *[F.col(f"_m{b * rows_per_band + r}") for r in range(rows_per_band)]
+                ).alias("band_hash"),
+            )
+            for b in range(n_bands)
+        ]
     )
-    a = pruned.select("band_id", "band_hash", F.col("_id").alias("id_a"))
-    b = pruned.select("band_id", "band_hash", F.col("_id").alias("id_b"))
+    banded = mins.select("_id", F.explode(band_arr).alias("b")).select(
+        "_id", F.col("b.band_id").alias("band_id"), F.col("b.band_hash").alias("band_hash")
+    )
+    buckets = (
+        banded.groupBy("band_id", "band_hash")
+        .agg(F.collect_list("_id").alias("ids"))
+        .where((F.size("ids") >= 2) & (F.size("ids") <= max_bucket))
+    )
+
+    def pairs_of(ids: Column) -> Column:
+        def with_gt(x: Column) -> Column:
+            def gt(y: Column) -> Column:
+                return y > x
+
+            def pair(y: Column) -> Column:
+                return F.struct(x.alias("id_a"), y.alias("id_b"))
+
+            return F.transform(F.filter(ids, gt), pair)
+
+        return F.flatten(F.transform(ids, with_gt))
+
     return (
-        a.join(b, ["band_id", "band_hash"])
-        .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
+        buckets.select(F.explode(pairs_of(F.col("ids"))).alias("p"))
+        .select(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
         .distinct()
     )
 

@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 from mapreduce_framework_spark.functions.vector import cosine
 from mapreduce_framework_spark.io import table
 from mapreduce_framework_spark.operators.minhash import candidate_pairs, jaccard
-from mapreduce_framework_spark.operators.simhash import near_pairs, simhash64
+from mapreduce_framework_spark.operators.simhash import fingerprints, near_pairs
 from mapreduce_framework_spark.registry import register
 
 
@@ -111,14 +111,26 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Pipeline: shingle-set → 64 minhashes → 16×4 banding → bucket join →
     exact verify.  Candidate generation is O(n·bands) shuffle rows, not
-    O(n²) — see operators/minhash.py for the scale analysis."""
+    O(n²) — see operators/minhash.py for the scale analysis.
+
+    Tokens and shingles are staged as NAMED columns before any
+    higher-order function touches them — an unnamed expression inside a
+    HOF lambda is re-evaluated per use site (measured 10× on this
+    query).  The shingle arrays are NOT array_distinct'ed: MinHash is
+    duplicate-invariant and the verify Jaccard's array_intersect/union
+    are set-semantic already, while array_distinct is an O(n²)
+    interpreted string-compare per doc (measured ~40% of the whole
+    query)."""
     from mapreduce_framework_spark.functions.tokenize import word_ngrams
 
-    toks = F.split("text", " ")
+    # Filter on size(toks), not size(sh): a filter on the ngram array
+    # gets pushdown-reordered below the projection and re-computes every
+    # shingle array just to test emptiness (measured ~3s of ~4s here).
     d = (
         table(spark, sf_dir, "documents")
-        .select("doc_id", F.array_distinct(word_ngrams(toks, 3)).alias("sh"))
-        .where(F.size("sh") > 0)
+        .select("doc_id", F.split("text", " ").alias("toks"))
+        .where(F.size("toks") >= 3)
+        .select("doc_id", word_ngrams(F.col("toks"), 3).alias("sh"))
     )
     cands = candidate_pairs(d, "doc_id", "sh")
     ta = d.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
@@ -141,11 +153,13 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash fingerprints + Hamming ≤ 3 pairs via 16-bit pigeonhole
-    chunks (any pair at distance ≤ 3 shares a chunk — one equi-join)."""
+    chunks (any pair at distance ≤ 3 shares a chunk — one equi-join).
+    Fingerprints come from one explode + codegen HashAggregate (see
+    operators/simhash.py)."""
     d = table(spark, sf_dir, "documents").select(
         "doc_id", F.split("text", " ").alias("toks")
     )
-    fps = d.select("doc_id", simhash64(F.col("toks")).alias("fp"))
+    fps = fingerprints(d, "doc_id", "toks")
     return near_pairs(fps, "doc_id", "fp", max_distance=3)
 
 

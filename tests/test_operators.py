@@ -52,7 +52,7 @@ def test_simhash_finds_near_identical_docs(spark):
     """A shuffled copy of a document (same token multiset) has the same
     SimHash → distance 0 pair must be reported."""
     from mapreduce_framework_spark.io import table
-    from mapreduce_framework_spark.operators.simhash import near_pairs, simhash64
+    from mapreduce_framework_spark.operators.simhash import fingerprints, near_pairs
 
     d = (
         table(spark, SF_DIR, "documents")
@@ -60,7 +60,7 @@ def test_simhash_finds_near_identical_docs(spark):
         .limit(50)
     )
     clone = d.select((F.col("doc_id") + 1_000_000).alias("doc_id"), F.reverse("toks").alias("toks"))
-    fps = d.union(clone).select("doc_id", simhash64(F.col("toks")).alias("fp"))
+    fps = fingerprints(d.union(clone), "doc_id", "toks")
     pairs = near_pairs(fps, "doc_id", "fp", max_distance=0)
     found = {(r.id_a, r.id_b) for r in pairs.collect()}
     expected = {(r.doc_id, r.doc_id + 1_000_000) for r in d.select("doc_id").collect()}
