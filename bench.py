@@ -32,9 +32,11 @@ def main() -> None:
     spark = get_spark("mfs-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # Warm up the JVM / codegen / file-listing paths once so per-query
-    # numbers measure steady-state execution.
+    # Warm up the JVM / codegen / Hadoop-FS / parquet-reader paths once
+    # so per-query numbers measure steady-state execution rather than
+    # charging first-touch initialization to whichever query runs first.
     spark.range(1_000_000).selectExpr("sum(id)").collect()
+    spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
 
     timings: dict[str, float] = {}
     for name, spec in sorted(bench_queries().items()):
