@@ -152,3 +152,40 @@ def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where((F.col("n_orders") >= 5) & (F.col("total_spent") > 150000))
     )
+
+
+@register(
+    "agg_salted_skew",
+    oracle="""
+SELECT event_type,
+       count(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value,
+       min(user_id) AS min_user,
+       max(user_id) AS max_user
+FROM events
+GROUP BY event_type
+""".strip(),
+    tags=("agg", "skew"),
+)
+def agg_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe two-stage aggregation on a low-cardinality key (5 event
+    types — the degenerate skew case: every key is hot).  Same answer
+    as a direct groupBy, but the hot key's final combine sees S
+    pre-aggregated rows instead of the raw stream — see
+    operators/salting.py.  Decimal sum keeps the result order-exact so
+    the plain-SQL oracle hash-matches."""
+    from mapreduce_framework_spark.operators.salting import salted_agg
+
+    ev = table(spark, sf_dir, "events")
+    return salted_agg(
+        ev,
+        keys=["event_type"],
+        aggs={
+            "n_events": ("count", F.lit(1)),
+            "total_value": ("sum", F.col("value").cast("decimal(18,4)")),
+            "min_user": ("min", F.col("user_id")),
+            "max_user": ("max", F.col("user_id")),
+        },
+        salt_source=F.col("event_id"),
+        n_salts=16,
+    ).withColumn("total_value", F.col("total_value").cast("double"))

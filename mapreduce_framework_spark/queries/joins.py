@@ -222,3 +222,45 @@ def join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum(F.col("l_extendedprice")).alias("total_price"),
         )
     )
+
+
+@register(
+    "join_asof",
+    oracle="""
+WITH clicks AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+),
+purchases AS (
+  SELECT user_id, ts, max(value) AS pval
+  FROM events WHERE event_type = 'purchase'
+  GROUP BY user_id, ts
+)
+SELECT c.event_id, c.user_id, c.ts, p.pval AS last_purchase_value
+FROM clicks c
+ASOF LEFT JOIN purchases p
+  ON c.user_id = p.user_id AND c.ts >= p.ts
+""".strip(),
+    tags=("join", "asof"),
+)
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (time-series enrichment): each click gets the value of
+    the user's most recent purchase at or before the click.  Spark has
+    no ASOF operator; this is the union+window plan from
+    operators/asofjoin.py — one shuffle on user_id, no pair blowup.
+    The right side is pre-aggregated per (user, ts) so window ties are
+    deterministic; the oracle is DuckDB's native ASOF LEFT JOIN."""
+    from mapreduce_framework_spark.operators.asofjoin import asof_join
+
+    ev = table(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    purchases = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("pval"))
+    )
+    return asof_join(clicks, purchases, on="user_id", ts="ts").select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("pval_asof").alias("last_purchase_value"),
+    )

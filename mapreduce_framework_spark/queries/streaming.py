@@ -128,3 +128,35 @@ def stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
         output_mode="append",
         n_batches=4,
     )
+
+
+@register(
+    "stream_stateful_running_total",
+    oracle="""
+SELECT user_id,
+       count(*) AS n_events,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_cents
+FROM events
+GROUP BY user_id
+""".strip(),
+    tags=("streaming", "stateful"),
+)
+def stream_stateful_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom per-key stateful operator (applyInPandasWithState) run on
+    the REAL streaming path: events replayed in time-ordered
+    micro-batches, per-user (count, cents) state updated incrementally.
+    The final state per user is batching-invariant — integer-cent
+    accumulation — so the full stream run is hash-checked against the
+    batch oracle, unlike typical stateful ops that settle for rows-only."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_framework_spark.streaming.stateful import running_totals
+
+    ev = table(spark, sf_dir, "events")
+    updates = run_file_stream(spark, ev, running_totals, output_mode="update")
+    final = (
+        updates.groupBy("user_id")
+        .agg(F.max(F.struct("n_events", "total_cents")).alias("s"))
+        .select("user_id", F.col("s.n_events").alias("n_events"), F.col("s.total_cents").alias("total_cents"))
+    )
+    return final

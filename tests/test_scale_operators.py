@@ -1,0 +1,95 @@
+"""As-of join, salted aggregation, stateful streaming operator."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR
+
+
+def test_asof_join_semantics(spark):
+    """Inclusive match, latest-prior wins, NULL when no prior row."""
+    from mapreduce_framework_spark.operators.asofjoin import asof_join
+
+    left = spark.createDataFrame(
+        [("u1", 10, "l1"), ("u1", 20, "l2"), ("u1", 5, "l0"), ("u2", 7, "l3")],
+        "k string, ts long, lbl string",
+    )
+    right = spark.createDataFrame(
+        [("u1", 10, 100.0), ("u1", 15, 150.0), ("u3", 1, 999.0)],
+        "k string, ts long, v double",
+    )
+    got = {
+        (r.lbl, r.v_asof)
+        for r in asof_join(left, right, on="k", ts="ts").collect()
+    }
+    assert got == {
+        ("l0", None),      # before any right row
+        ("l1", 100.0),     # equal ts matches (inclusive)
+        ("l2", 150.0),     # latest prior, not first
+        ("l3", None),      # key with no right rows at all
+    }
+
+
+def test_salted_agg_equals_plain_groupby(spark):
+    from mapreduce_framework_spark.io import table
+    from mapreduce_framework_spark.operators.salting import salted_agg
+
+    o = table(spark, SF_DIR, "orders")
+    salted = salted_agg(
+        o,
+        keys=["o_orderstatus"],
+        aggs={
+            "cnt": ("count", F.lit(1)),
+            "total": ("sum", F.col("o_totalprice").cast("decimal(18,2)")),
+            "first_key": ("min", F.col("o_orderkey")),
+        },
+        salt_source=F.col("o_orderkey"),
+        n_salts=8,
+    )
+    plain = o.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("total"),
+        F.min("o_orderkey").alias("first_key"),
+    )
+    assert sorted(map(tuple, salted.collect())) == sorted(map(tuple, plain.collect()))
+
+
+def test_salted_agg_rejects_non_decomposable(spark):
+    import pytest
+
+    from mapreduce_framework_spark.io import table
+    from mapreduce_framework_spark.operators.salting import salted_agg
+
+    with pytest.raises(ValueError, match="non-decomposable"):
+        salted_agg(
+            table(spark, SF_DIR, "orders"),
+            keys=["o_orderstatus"],
+            aggs={"m": ("median", F.col("o_totalprice"))},
+            salt_source=F.col("o_orderkey"),
+        )
+
+
+def test_stateful_final_state_is_batching_invariant(spark):
+    """The per-user final state must not depend on micro-batch slicing."""
+    from mapreduce_framework_spark.io import table
+    from mapreduce_framework_spark.streaming.runner import run_file_stream
+    from mapreduce_framework_spark.streaming.stateful import running_totals
+
+    ev = table(spark, SF_DIR, "events")
+
+    def final(n_batches):
+        updates = run_file_stream(
+            spark, ev, running_totals, output_mode="update", n_batches=n_batches
+        )
+        return sorted(
+            map(
+                tuple,
+                updates.groupBy("user_id")
+                .agg(F.max(F.struct("n_events", "total_cents")).alias("s"))
+                .select("user_id", "s.n_events", "s.total_cents")
+                .collect(),
+            )
+        )
+
+    assert final(2) == final(5)
