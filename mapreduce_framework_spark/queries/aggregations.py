@@ -189,3 +189,60 @@ def agg_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         salt_source=F.col("event_id"),
         n_salts=16,
     ).withColumn("total_value", F.col("total_value").cast("double"))
+
+
+@register(
+    "agg_percentile",
+    oracle="""
+SELECT l_returnflag,
+       round(quantile_cont(l_quantity, 0.5), 6) AS median_qty,
+       round(quantile_cont(l_quantity, 0.9), 6) AS p90_qty,
+       round(quantile_cont(l_extendedprice, 0.95), 6) AS p95_price
+FROM lineitem
+GROUP BY l_returnflag
+""".strip(),
+    tags=("agg", "percentile"),
+)
+def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (both engines use the
+    same linear-interpolation definition; round(6) guards last-ulp).
+    Exact percentile is a full-sort-per-group operation — at 100 TB the
+    scale path is approx_percentile (t-digest, mergeable partials, see
+    agg_approx_distinct for the analogous trade)."""
+    l = table(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_quantity", F.lit(0.5)), 6).alias("median_qty"),
+        F.round(F.percentile("l_quantity", F.lit(0.9)), 6).alias("p90_qty"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.95)), 6).alias("p95_price"),
+    )
+
+
+@register(
+    "agg_pivot",
+    oracle="""
+SELECT o_orderpriority,
+       count(*) FILTER (WHERE o_orderstatus = 'F') AS status_f,
+       count(*) FILTER (WHERE o_orderstatus = 'O') AS status_o,
+       count(*) FILTER (WHERE o_orderstatus = 'P') AS status_p
+FROM orders
+GROUP BY o_orderpriority
+""".strip(),
+    tags=("agg", "pivot"),
+)
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long→wide) with an EXPLICIT value list — without one,
+    Spark runs a distinct-values job first (an extra full pass at
+    scale) and the output schema becomes data-dependent, which breaks
+    column-stable contracts."""
+    o = table(spark, sf_dir, "orders")
+    p = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .count()
+    )
+    return p.select(
+        "o_orderpriority",
+        F.coalesce(F.col("F"), F.lit(0)).alias("status_f"),
+        F.coalesce(F.col("O"), F.lit(0)).alias("status_o"),
+        F.coalesce(F.col("P"), F.lit(0)).alias("status_p"),
+    )

@@ -264,3 +264,49 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ts",
         F.col("pval_asof").alias("last_purchase_value"),
     )
+
+
+@register(
+    "join_bucketed",
+    oracle="""
+SELECT o_orderpriority,
+       count(*) AS n_items,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+""".strip(),
+    tags=("join", "bucketed"),
+)
+def join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-free co-located join via bucketing — THE mechanism for
+    repeated large-large joins at 100 TB: both tables are written
+    bucketed (and sorted) by the join key into the same bucket count,
+    so the sort-merge join reads matching buckets directly and the
+    exchange disappears (tests/test_plans.py pins exactly one exchange
+    in the whole plan — the final groupBy).  The merge hint keeps the
+    sf-sized fixture from broadcasting, which would hide the property
+    being demonstrated."""
+    import os
+    import tempfile
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    base = os.path.join(tempfile.gettempdir(), f"mfs_bucketed_{tag}")
+    li_t, ord_t = f"li_bucketed_{tag.replace('.', '_')}", f"ord_bucketed_{tag.replace('.', '_')}"
+    for name, src, key in (
+        (li_t, table(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice"), "l_orderkey"),
+        (ord_t, table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority"), "o_orderkey"),
+    ):
+        (
+            src.write.mode("overwrite")
+            .option("path", os.path.join(base, name))
+            .bucketBy(8, key)
+            .sortBy(key)
+            .saveAsTable(name)
+        )
+    joined = spark.table(li_t).hint("merge").join(
+        spark.table(ord_t), F.col("l_orderkey") == F.col("o_orderkey")
+    )
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        dsum(F.col("l_extendedprice")).alias("revenue"),
+    )

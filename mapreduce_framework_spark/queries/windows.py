@@ -117,3 +117,42 @@ def window_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lag("revenue").over(w).alias("prev_revenue"),
         (F.col("revenue") - F.lag("revenue").over(w)).alias("day_delta"),
     )
+
+
+@register(
+    "window_time_range",
+    oracle="""
+SELECT l_orderkey, l_linenumber, l_suppkey, l_shipdate,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) OVER (
+         PARTITION BY l_suppkey ORDER BY l_shipdate
+         RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW
+       ) AS DOUBLE) AS trailing_7d_revenue
+FROM lineitem
+""".strip(),
+    tags=("window", "range-frame"),
+)
+def window_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-day revenue per supplier — a RANGE frame over event
+    time, not a ROWS frame: the frame holds every row within 6 days
+    regardless of row count.  Spark range frames need a numeric ORDER
+    BY, so the timestamp is ordered as epoch seconds with the interval
+    expressed in seconds — semantically identical to the oracle's
+    INTERVAL frame at the fixture's date granularity."""
+    from pyspark.sql import Window
+
+    day = 86400
+    # NTZ → timestamp → epoch seconds (exact with the session pinned to
+    # UTC; NTZ cannot cast to a numeric directly).
+    epoch = F.col("l_shipdate").cast("timestamp").cast("long")
+    w = Window.partitionBy("l_suppkey").orderBy(epoch).rangeBetween(-6 * day, 0)
+    l = table(spark, sf_dir, "lineitem")
+    return l.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_suppkey",
+        "l_shipdate",
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+        .over(w)
+        .cast("double")
+        .alias("trailing_7d_revenue"),
+    )

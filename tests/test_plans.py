@@ -104,3 +104,15 @@ def test_partition_pruning_reaches_scan(spark):
     plan = formatted_plan(_q(spark, "source_partition_pruning"))
     m = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
     assert m and "l_returnflag" in m[0]
+
+
+def test_bucketed_join_has_no_join_exchange(spark):
+    """Both sides bucketed+sorted by the join key into the same bucket
+    count: the sort-merge join must read buckets directly — the only
+    exchange in the plan is the final groupBy."""
+    from mapreduce_framework_spark.plans import count_exchanges, formatted_plan
+
+    df = _q(spark, "join_bucketed")
+    plan = formatted_plan(df)
+    assert "SortMergeJoin" in plan
+    assert count_exchanges(df) == 1
