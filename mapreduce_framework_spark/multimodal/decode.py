@@ -57,3 +57,80 @@ def decode_images(payloads: DataFrame) -> DataFrame:
     """payloads(doc_id long, payload binary) → typed image metadata via
     Arrow-batched mapInPandas."""
     return payloads.mapInPandas(make_fake_decoder(), schema=IMAGE_META_SCHEMA)
+
+
+FRAME_SCHEMA = "doc_id long, frame_idx int, ts_ms long, frame_bytes long"
+
+
+def make_fake_frame_sampler(fps_ms: int = 40, max_frames: int = 5):
+    """Deterministic fake video frame-sampler: emits ROWS-PER-INPUT
+    (1 + n_bytes // 1000, capped) 'frames' per payload — the expand
+    shape of real frame sampling, where one mapInPandas input row
+    yields many output rows.  Closure → pickles by value."""
+
+    def sample_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        out_doc, out_idx, out_ts, out_len = [], [], [], []
+        for pdf in batches:
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                n = len(payload)
+                frames = min(n // 1000 + 1, max_frames)
+                for i in range(frames):
+                    out_doc.append(doc_id)
+                    out_idx.append(i)
+                    out_ts.append(i * fps_ms)
+                    out_len.append(n)
+        yield pd.DataFrame(
+            {
+                "doc_id": pd.array(out_doc, dtype="int64"),
+                "frame_idx": pd.array(out_idx, dtype="int32"),
+                "ts_ms": pd.array(out_ts, dtype="int64"),
+                "frame_bytes": pd.array(out_len, dtype="int64"),
+            }
+        )
+
+    return sample_batches
+
+
+def sample_frames(payloads: DataFrame) -> DataFrame:
+    """payloads(doc_id, payload binary) → one row per sampled frame.
+    Real implementation plugs ffmpeg/pyav into the same seam; the
+    1→N row expansion, Arrow batching and schema are the real thing."""
+    return payloads.mapInPandas(make_fake_frame_sampler(), schema=FRAME_SCHEMA)
+
+
+AUDIO_FEATURE_SCHEMA = "doc_id long, duration_ms long, features array<float>"
+
+
+def make_fake_audio_featurizer(n_features: int = 8):
+    """Deterministic fake audio featurizer: fixed-size float vector per
+    payload (byte-histogram moments stand in for MFCCs).  The
+    array<float> output column is the exact shape an embedding /
+    downstream ANN stage consumes."""
+
+    def feature_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        docs, durs, feats = [], [], []
+        for pdf in batches:
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                n = len(payload)
+                docs.append(doc_id)
+                durs.append(n * 8)  # fake: 8 ms per byte
+                feats.append(
+                    [float((n >> k) & 0xFF) / 255.0 for k in range(n_features)]
+                )
+        yield pd.DataFrame(
+            {
+                "doc_id": pd.array(docs, dtype="int64"),
+                "duration_ms": pd.array(durs, dtype="int64"),
+                "features": feats,
+            }
+        )
+
+    return feature_batches
+
+
+def extract_audio_features(payloads: DataFrame) -> DataFrame:
+    """payloads(doc_id, payload binary) → fixed-width feature vector.
+    Swap the closure for librosa/torchaudio in production."""
+    return payloads.mapInPandas(
+        make_fake_audio_featurizer(), schema=AUDIO_FEATURE_SCHEMA
+    )

@@ -32,3 +32,42 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
     )
     return decode_images(payloads)
+
+
+@register(
+    "multimodal_frame_sample",
+    oracle="""
+SELECT doc_id,
+       CAST(unnest(range(least(octet_length(encode(text)) // 1000 + 1, 5))) AS INTEGER) AS frame_idx,
+       unnest(range(least(octet_length(encode(text)) // 1000 + 1, 5))) * 40 AS ts_ms,
+       octet_length(encode(text)) AS frame_bytes
+FROM documents
+""".strip(),
+    tags=("multimodal",),
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video-style 1→N frame sampling through mapInPandas: one binary
+    payload row expands to one row per sampled frame."""
+    from mapreduce_framework_spark.multimodal.decode import sample_frames
+
+    payloads = table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
+    )
+    return sample_frames(payloads)
+
+
+@register(
+    "multimodal_audio_features",
+    oracle=None,  # array<float> output; checked rows-only by the driver,
+    # exactly by tests/test_multimodal.py (deterministic fake)
+    tags=("multimodal",),
+)
+def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-style feature extraction: binary payload → fixed-width
+    float vector, the input shape for the ANN/similarity stage."""
+    from mapreduce_framework_spark.multimodal.decode import extract_audio_features
+
+    payloads = table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
+    )
+    return extract_audio_features(payloads)
