@@ -166,6 +166,7 @@ FROM events
 GROUP BY event_type
 """.strip(),
     tags=("agg", "skew"),
+    bench=True,
 )
 def agg_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-safe two-stage aggregation on a low-cardinality key (5 event
@@ -202,6 +203,7 @@ FROM lineitem
 GROUP BY l_returnflag
 """.strip(),
     tags=("agg", "percentile"),
+    bench=True,
 )
 def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated percentiles per group (both engines use the

@@ -150,6 +150,7 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_simhash",
     oracle=None,  # engine-native xxhash64 → rows-only
     tags=("dedup", "simhash"),
+    bench=True,
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash fingerprints + Hamming ≤ 3 pairs via 16-bit pigeonhole

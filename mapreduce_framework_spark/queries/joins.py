@@ -241,6 +241,7 @@ ASOF LEFT JOIN purchases p
   ON c.user_id = p.user_id AND c.ts >= p.ts
 """.strip(),
     tags=("join", "asof"),
+    bench=True,
 )
 def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join (time-series enrichment): each click gets the value of
@@ -276,6 +277,7 @@ FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 GROUP BY o_orderpriority
 """.strip(),
     tags=("join", "bucketed"),
+    bench=True,
 )
 def join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shuffle-free co-located join via bucketing — THE mechanism for

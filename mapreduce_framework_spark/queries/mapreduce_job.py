@@ -31,7 +31,7 @@ GROUP BY word
 """.strip()
 
 
-@register("mapreduce_job_wordcount", oracle=_ORACLE, tags=("compat", "udf"))
+@register("mapreduce_job_wordcount", oracle=_ORACLE, tags=("compat", "udf"), bench=True)
 def mapreduce_job_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reference job contract end-to-end: documents.text spilled to a
     text corpus (one doc per line — the reference's file-of-lines input

@@ -44,6 +44,7 @@ SELECT doc_id,
 FROM documents
 """.strip(),
     tags=("multimodal",),
+    bench=True,
 )
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video-style 1→N frame sampling through mapInPandas: one binary

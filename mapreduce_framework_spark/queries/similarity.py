@@ -48,6 +48,7 @@ def sim_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=None,  # approximate by construction → rows-only; recall vs
     # the exact baseline is asserted in tests/test_operators.py
     tags=("similarity", "ann"),
+    bench=True,
 )
 def sim_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-probed top-10: assign vectors to 16 seed cells, probe the 4

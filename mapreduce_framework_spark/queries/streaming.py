@@ -140,6 +140,7 @@ FROM events
 GROUP BY user_id
 """.strip(),
     tags=("streaming", "stateful"),
+    bench=True,
 )
 def stream_stateful_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom per-key stateful operator (applyInPandasWithState) run on

@@ -130,6 +130,7 @@ SELECT l_orderkey, l_linenumber, l_suppkey, l_shipdate,
 FROM lineitem
 """.strip(),
     tags=("window", "range-frame"),
+    bench=True,
 )
 def window_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trailing 7-day revenue per supplier — a RANGE frame over event

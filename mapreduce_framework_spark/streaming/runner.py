@@ -14,6 +14,8 @@ source with a checkpoint dir; nothing in the transforms changes.
 
 from __future__ import annotations
 
+import glob
+import os
 import tempfile
 import uuid
 
@@ -29,14 +31,38 @@ def run_file_stream(
     output_mode: str = "complete",
     n_batches: int = 4,
     order_col: str = "ts",
+    state_partitions: int = 8,
 ) -> DataFrame:
     """Replay ``source_df`` as ``n_batches`` time-ordered micro-batches
-    through ``transform``; return the memory-sink contents."""
+    through ``transform``; return the memory-sink contents.
+
+    ``state_partitions`` bounds the stateful-operator parallelism for
+    the run: every micro-batch commits one state-store delta PER
+    shuffle partition, so a 32-partition default spends most of a small
+    replay fsyncing near-empty state files (measured ~2× the whole
+    query).  On a cluster this maps to sizing
+    ``spark.sql.shuffle.partitions`` to the stateful stage's key
+    cardinality, not the scan width.  The session value is restored
+    after the run — streams capture the conf at start().
+    """
     src_dir = tempfile.mkdtemp(prefix="mfs_stream_src_")
     ckpt_dir = tempfile.mkdtemp(prefix="mfs_stream_ckpt_")
-    source_df.repartitionByRange(n_batches, order_col).write.mode("overwrite").parquet(
-        src_dir
-    )
+    # Tie-break the range partitioning with every remaining column:
+    # on order_col alone, equal-timestamp rows land in batch files
+    # nondeterministically (scan task order), which shifts watermark
+    # cutoffs between runs — the replay must be bit-reproducible.
+    tiebreak = [c for c in source_df.columns if c != order_col]
+    source_df.repartitionByRange(
+        n_batches, order_col, *tiebreak
+    ).sortWithinPartitions(order_col, *tiebreak).write.mode("overwrite").parquet(src_dir)
+    # FileStreamSource replays files in MODIFICATION-TIME order, and the
+    # parallel writer tasks finish in racy order — pin mtimes to file-name
+    # order so batch sequence (hence watermark progression) is identical
+    # across runs.
+    part_files = sorted(glob.glob(os.path.join(src_dir, "part-*")))
+    base = 1_600_000_000
+    for i, f in enumerate(part_files):
+        os.utime(f, (base + i * 60, base + i * 60))
 
     stream = (
         spark.readStream.schema(source_df.schema)
@@ -48,13 +74,18 @@ def run_file_stream(
 
     out = transform(stream)
     sink_name = f"mfs_sink_{uuid.uuid4().hex[:12]}"
-    query = (
-        out.writeStream.format("memory")
-        .queryName(sink_name)
-        .outputMode(output_mode)
-        .option("checkpointLocation", ckpt_dir)
-        .trigger(availableNow=True)
-        .start()
-    )
-    query.awaitTermination()
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        query = (
+            out.writeStream.format("memory")
+            .queryName(sink_name)
+            .outputMode(output_mode)
+            .option("checkpointLocation", ckpt_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return spark.table(sink_name)
