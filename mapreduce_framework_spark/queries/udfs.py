@@ -163,3 +163,38 @@ def udf_map_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents").select("text")
     partials = docs.mapInPandas(count_partition, schema="word string, partial long")
     return partials.groupBy("word").agg(F.sum("partial").alias("cnt"))
+
+
+@register(
+    "udf_grouped_agg",
+    oracle="""
+SELECT l_returnflag,
+       count(*) AS n,
+       sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS price_cents
+FROM lineitem
+GROUP BY l_returnflag
+""".strip(),
+    tags=("udf", "pandas"),
+)
+def udf_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-AGGREGATE pandas UDF (the 4th quadrant of the UDF matrix:
+    scalar-python, scalar-pandas, grouped-map, grouped-agg): one Arrow
+    batch per group in, one scalar out, usable inside a regular .agg().
+    Accumulates integer cents so the result is row-order-invariant —
+    a float sum inside the UDF would depend on shuffle arrival order."""
+
+    @F.pandas_udf("bigint")
+    def sum_cents(x: pd.Series) -> int:
+        return int(x.mul(100).round().sum())
+
+    @F.pandas_udf("bigint")
+    def n_rows(x: pd.Series) -> int:
+        # Also a pandas UDF: Spark disallows mixing grouped-agg pandas
+        # UDFs with JVM aggregates in one .agg() (INVALID_PANDAS_UDF_PLACEMENT).
+        return len(x)
+
+    l = table(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        n_rows("l_extendedprice").alias("n"),
+        sum_cents("l_extendedprice").alias("price_cents"),
+    )

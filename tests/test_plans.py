@@ -116,3 +116,21 @@ def test_bucketed_join_has_no_join_exchange(spark):
     plan = formatted_plan(df)
     assert "SortMergeJoin" in plan
     assert count_exchanges(df) == 1
+
+
+def test_asof_join_is_single_shuffle(spark):
+    """The union+window as-of plan must cost one exchange (the window's
+    hash partitioning on the key) — a theta-join formulation would show
+    a nested loop instead."""
+    from mapreduce_framework_spark.plans import count_exchanges, formatted_plan
+
+    df = _q(spark, "join_asof")
+    assert "NestedLoop" not in formatted_plan(df)
+    assert count_exchanges(df) <= 2  # union inputs may each repartition
+
+
+def test_salted_agg_is_two_stage(spark):
+    """Salted aggregation = exactly two exchanges: (key, salt) then key."""
+    from mapreduce_framework_spark.plans import count_exchanges
+
+    assert count_exchanges(_q(spark, "agg_salted_skew")) == 2
