@@ -14,6 +14,7 @@ from mapreduce_framework_spark.queries import (  # noqa: F401
     setops,
     sorts,
     source_formats,
+    sql_surface,
     streaming,
     udfs,
     windows,

@@ -1,0 +1,74 @@
+"""SQL entry point: the same ANSI SQL string runs on Spark AND DuckDB.
+
+The reference's only job-submission surface is an HTTP query string
+naming a container and task counts (requesthandler.h:160-202); the
+Spark-native generalization of "submit a query by text" is
+``spark.sql`` over registered views.  These queries prove the SQL
+surface end-to-end with the strongest possible oracle: the ORACLE IS
+THE QUERY — one dialect-shared string executed verbatim by both
+engines, so any engine-side semantic drift (types, null ordering,
+decimal widening) fails the hash.
+
+Catalyst treats a ``spark.sql`` plan identically to the DataFrame API —
+same optimization, same physical strategies — so everything in SCALE.md
+applies unchanged.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from mapreduce_framework_spark.io import table
+from mapreduce_framework_spark.registry import register
+
+
+def _views(spark: SparkSession, sf_dir: str, names: tuple[str, ...]) -> None:
+    for n in names:
+        table(spark, sf_dir, n).createOrReplaceTempView(n)
+
+
+# TPC-H Q3 shape (segment-filtered revenue per order).
+_Q3 = """
+SELECT o_orderkey, o_orderdate,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE)
+         AS revenue
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+  AND l_shipdate  > TIMESTAMP '1996-06-30 00:00:00'
+GROUP BY o_orderkey, o_orderdate
+""".strip()
+
+
+@register("sql_q3_shape", oracle=_Q3, tags=("sql", "join"))
+def sql_q3_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape submitted as SQL text — the oracle runs the very
+    same string."""
+    _views(spark, sf_dir, ("customer", "orders", "lineitem"))
+    return spark.sql(_Q3)
+
+
+# TPC-H Q5 shape (revenue by nation through a 5-way join).
+_Q5 = """
+SELECT n_name,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE)
+         AS revenue
+FROM customer
+JOIN orders   ON c_custkey   = o_custkey
+JOIN lineitem ON l_orderkey  = o_orderkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+GROUP BY n_name
+""".strip()
+
+
+@register("sql_q5_shape", oracle=_Q5, tags=("sql", "join"))
+def sql_q5_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: customer–orders–lineitem–nation–region chain by
+    SQL text; Catalyst broadcast-joins the bounded dims exactly as the
+    DataFrame variant (join_multiway) does."""
+    _views(spark, sf_dir, ("customer", "orders", "lineitem", "nation", "region"))
+    return spark.sql(_Q5)
