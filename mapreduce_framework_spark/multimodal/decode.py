@@ -134,3 +134,53 @@ def extract_audio_features(payloads: DataFrame) -> DataFrame:
     return payloads.mapInPandas(
         make_fake_audio_featurizer(), schema=AUDIO_FEATURE_SCHEMA
     )
+
+
+RESIZE_SCHEMA = (
+    "doc_id long, width int, height int, out_width int, out_height int, thumb binary"
+)
+
+
+def make_fake_resizer(max_side: int = 64):
+    """Deterministic fake image resize: aspect-preserving target dims
+    from the fake decoder's (width, height), 'thumbnail' = payload
+    truncated to out_width*out_height bytes.  Real path: PIL
+    Image.thumbnail in the same closure — the binary-in/binary-out
+    column shape and Arrow batching are what production swaps onto."""
+
+    def resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        docs, ws, hs, ows, ohs, thumbs = [], [], [], [], [], []
+        for pdf in batches:
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                n = len(payload)
+                w, h = int(n % 256), int(n // 256 + 1)
+                # Integer arithmetic only: float scale factors round
+                # differently across engines (Python int() truncates,
+                # SQL CAST rounds) and would break oracle parity.
+                m = max(w, h)
+                if m > max_side:
+                    ow = max((w * max_side) // m, 1)
+                    oh = max((h * max_side) // m, 1)
+                else:
+                    ow, oh = max(w, 1), max(h, 1)
+                docs.append(doc_id)
+                ws.append(w); hs.append(h); ows.append(ow); ohs.append(oh)
+                thumbs.append(bytes(payload[: ow * oh]))
+        yield pd.DataFrame(
+            {
+                "doc_id": pd.array(docs, dtype="int64"),
+                "width": pd.array(ws, dtype="int32"),
+                "height": pd.array(hs, dtype="int32"),
+                "out_width": pd.array(ows, dtype="int32"),
+                "out_height": pd.array(ohs, dtype="int32"),
+                "thumb": thumbs,
+            }
+        )
+
+    return resize_batches
+
+
+def resize_images(payloads: DataFrame, max_side: int = 64) -> DataFrame:
+    """payloads(doc_id, payload binary) → resized-thumbnail rows
+    (binary out column — sinks back to parquet losslessly)."""
+    return payloads.mapInPandas(make_fake_resizer(max_side), schema=RESIZE_SCHEMA)

@@ -72,3 +72,47 @@ def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
     )
     return extract_audio_features(payloads)
+
+
+@register(
+    "multimodal_resize",
+    oracle="""
+WITH p AS (
+  SELECT doc_id,
+         octet_length(encode(text)) AS n,
+         CAST(octet_length(encode(text)) % 256 AS INTEGER) AS width,
+         CAST(octet_length(encode(text)) // 256 + 1 AS INTEGER) AS height
+  FROM documents
+),
+r AS (
+  SELECT doc_id, n, width, height,
+         CAST(greatest((width * 64) // greatest(width, height), 1) AS INTEGER) AS out_width,
+         CAST(greatest((height * 64) // greatest(width, height), 1) AS INTEGER) AS out_height
+  FROM p
+  WHERE greatest(width, height) > 64
+)
+SELECT doc_id, width, height, out_width, out_height,
+       CAST(least(out_width * out_height, n) AS INTEGER) AS thumb_bytes
+FROM r
+""".strip(),
+    tags=("multimodal",),
+)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image resize plumbing (binary in → binary thumbnail out).  The
+    hash-checked projection covers the computed dimensions; the binary
+    thumb column itself is exercised by tests (oracle SQL cannot express
+    the byte slice portably)."""
+    from mapreduce_framework_spark.multimodal.decode import resize_images
+
+    payloads = table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
+    )
+    resized = resize_images(payloads)
+    return resized.where(F.greatest("width", "height") > 64).select(
+        "doc_id",
+        "width",
+        "height",
+        "out_width",
+        "out_height",
+        F.length("thumb").cast("int").alias("thumb_bytes"),
+    )

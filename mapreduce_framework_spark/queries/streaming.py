@@ -161,3 +161,32 @@ def stream_stateful_running_total(spark: SparkSession, sf_dir: str) -> DataFrame
         .select("user_id", F.col("s.n_events").alias("n_events"), F.col("s.total_cents").alias("total_cents"))
     )
     return final
+
+
+@register(
+    "stream_interval_join",
+    oracle="""
+SELECT c.event_id AS click_id,
+       p.event_id AS purchase_id,
+       c.user_id,
+       c.ts AS click_ts,
+       p.ts AS purchase_ts
+FROM events c
+JOIN events p
+  ON c.user_id = p.user_id
+ AND c.event_type = 'click'
+ AND p.event_type = 'purchase'
+ AND p.ts >= c.ts
+ AND p.ts < c.ts + INTERVAL 10 MINUTE
+""".strip(),
+    tags=("streaming", "join"),
+)
+def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Click→purchase attribution within 10 minutes (batch-equivalence
+    mode; tests replay the identical transform as a true stream-stream
+    join with watermark-bounded state)."""
+    from mapreduce_framework_spark.streaming.transforms import (
+        click_purchase_interval_join,
+    )
+
+    return click_purchase_interval_join(table(spark, sf_dir, "events"))

@@ -71,3 +71,38 @@ def dedup_events(df: DataFrame) -> DataFrame:
         F.min("ts").alias("first_ts"),
         F.count(F.lit(1)).alias("n_copies"),
     )
+
+
+def click_purchase_interval_join(df: DataFrame) -> DataFrame:
+    """Stream-stream (self-)join: each click paired with the same
+    user's purchases in the following 10 minutes.  In streaming mode
+    both branches inherit the source watermark, which bounds join
+    state: a buffered click can be dropped once the watermark passes
+    click_ts + 10 min (inner joins emit matches immediately, so the
+    batch replay is exactly equal).  At 100 TB the join state is the
+    watermark-horizon slice of both streams, not their history."""
+    clicks = df.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("click_user"),
+        F.col("ts").alias("click_ts"),
+    )
+    purchases = df.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("purchase_user"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    return (
+        clicks.join(
+            purchases,
+            (F.col("click_user") == F.col("purchase_user"))
+            & (F.col("purchase_ts") >= F.col("click_ts"))
+            & (F.col("purchase_ts") < F.col("click_ts") + F.expr("INTERVAL 10 MINUTES")),
+        )
+        .select(
+            "click_id",
+            "purchase_id",
+            F.col("click_user").alias("user_id"),
+            "click_ts",
+            "purchase_ts",
+        )
+    )

@@ -79,3 +79,23 @@ def test_streaming_dedup_exactly_once(spark, events):
     got = out.groupBy("event_id").count().where(F.col("count") > 1).count()
     assert got == 0, "duplicate event_ids emitted"
     assert out.count() <= n_ids + 50  # sanity: bounded by distinct ids
+
+
+def test_interval_join_stream_equals_batch(spark, events):
+    """True stream-stream join (watermarked, micro-batched) must emit
+    exactly the batch join's rows — inner interval joins emit on match,
+    watermark only bounds state."""
+    from mapreduce_framework_spark.streaming.runner import run_file_stream
+    from mapreduce_framework_spark.streaming.transforms import (
+        click_purchase_interval_join,
+    )
+
+    batch = click_purchase_interval_join(events)
+    stream = run_file_stream(
+        spark,
+        events,
+        click_purchase_interval_join,
+        watermark=("ts", "10 minutes"),
+        output_mode="append",
+    )
+    assert _as_sets(batch) == _as_sets(stream)
