@@ -248,3 +248,42 @@ def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("O"), F.lit(0)).alias("status_o"),
         F.coalesce(F.col("P"), F.lit(0)).alias("status_p"),
     )
+
+
+@register(
+    "agg_time_rollup",
+    oracle="""
+SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day_bucket,
+       date_trunc('hour', ts)   AS hour_bucket,
+       time_bucket(INTERVAL '5 minutes', ts) AS m5_bucket,
+       GROUPING(date_trunc('day', ts), date_trunc('hour', ts),
+                time_bucket(INTERVAL '5 minutes', ts)) AS lvl,
+       count(*) AS n_events,
+       sum(CAST(round(value * 100) AS BIGINT)) AS total_cents
+FROM events
+GROUP BY ROLLUP(date_trunc('day', ts), date_trunc('hour', ts),
+                time_bucket(INTERVAL '5 minutes', ts))
+""".strip(),
+    tags=("agg", "rollup", "timeseries"),
+)
+def agg_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous-aggregate hierarchy: one ROLLUP pass
+    produces day / hour / 5-minute materializations plus the grand
+    total (grouping_id distinguishes levels).  At 100 TB this is ONE
+    shuffle instead of three separate aggregations, and the partial
+    aggregates for the finest bucket feed the coarser ones."""
+    ev = table(spark, sf_dir, "events")
+    day = F.date_trunc("day", F.col("ts")).alias("day_bucket")
+    hour = F.date_trunc("hour", F.col("ts")).alias("hour_bucket")
+    m5 = F.timestamp_seconds(
+        (F.unix_timestamp("ts") / 300).cast("long") * 300
+    ).alias("m5_bucket")
+    return (
+        ev.select(day, hour, m5, "value")
+        .rollup("day_bucket", "hour_bucket", "m5_bucket")
+        .agg(
+            F.grouping_id().alias("lvl"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("total_cents"),
+        )
+    )
