@@ -134,3 +134,47 @@ def test_salted_agg_is_two_stage(spark):
     from mapreduce_framework_spark.plans import count_exchanges
 
     assert count_exchanges(_q(spark, "agg_salted_skew")) == 2
+
+
+def test_no_python_eval_outside_udf_surface(spark):
+    """Python evaluation nodes (row-at-a-time or Arrow) may appear ONLY
+    in queries whose point is the Python surface (udf/pandas/compat/
+    multimodal/stateful).  Everything else must stay JVM-side — a
+    BatchEvalPython sneaking into a relational query is a 10-100×
+    regression invisible to correctness tests."""
+    from mapreduce_framework_spark.plans import formatted_plan
+    from mapreduce_framework_spark.registry import all_queries
+
+    python_ok = {"udf", "pandas", "compat", "multimodal", "stateful"}
+    # Queries that execute streams/writes eagerly can't be explained
+    # cheaply here; they are covered by their own tests.
+    skip = {"sink_roundtrip", "join_bucketed", "source_csv_roundtrip",
+            "source_json_roundtrip", "source_partition_pruning",
+            "mapreduce_job_wordcount", "stream_stateful_running_total",
+            "stream_watermark_late"}
+    for name, spec in sorted(all_queries().items()):
+        if name in skip or python_ok & set(spec.tags):
+            continue
+        plan = formatted_plan(spec.fn(spark, SF_DIR))
+        assert "BatchEvalPython" not in plan, f"{name}: row-Python in plan"
+        assert "ArrowEvalPython" not in plan, f"{name}: pandas UDF in plan"
+        assert "FlatMapGroupsInPandas" not in plan, f"{name}: grouped-map in plan"
+
+
+def test_no_unintended_cartesian_products(spark):
+    """CartesianProduct/BroadcastNestedLoop may appear only where a
+    non-equi join is the declared semantics (theta/range joins, the
+    broadcast query-vector cross in similarity)."""
+    from mapreduce_framework_spark.plans import formatted_plan
+    from mapreduce_framework_spark.registry import all_queries
+
+    nonequi_ok = {"theta", "similarity", "ann", "embedding"}
+    skip = {"sink_roundtrip", "join_bucketed", "source_csv_roundtrip",
+            "source_json_roundtrip", "source_partition_pruning",
+            "mapreduce_job_wordcount", "stream_stateful_running_total",
+            "stream_watermark_late"}
+    for name, spec in sorted(all_queries().items()):
+        if name in skip or nonequi_ok & set(spec.tags):
+            continue
+        plan = formatted_plan(spec.fn(spark, SF_DIR))
+        assert "CartesianProduct" not in plan, f"{name}: cartesian product"
