@@ -14,7 +14,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from mapreduce_framework_spark.io import table, write_parquet
+from mapreduce_framework_spark.io import table
 from mapreduce_framework_spark.registry import register
 
 
