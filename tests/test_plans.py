@@ -178,3 +178,13 @@ def test_no_unintended_cartesian_products(spark):
             continue
         plan = formatted_plan(spec.fn(spark, SF_DIR))
         assert "CartesianProduct" not in plan, f"{name}: cartesian product"
+
+
+def test_global_sort_is_range_partitioned(spark):
+    """A global ORDER BY must range-partition (sampled boundaries), not
+    funnel through one reducer."""
+    from mapreduce_framework_spark.plans import formatted_plan
+
+    plan = formatted_plan(_q(spark, "sort_multi_key"))
+    assert "rangepartitioning" in plan or "Sort" in plan
+    assert "SinglePartition" not in plan

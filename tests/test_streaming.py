@@ -99,3 +99,57 @@ def test_interval_join_stream_equals_batch(spark, events):
         output_mode="append",
     )
     assert _as_sets(batch) == _as_sets(stream)
+
+
+def test_checkpoint_resume_is_exactly_once(spark, events):
+    """Reference O18 parity (checkpoint replication → resume missing
+    work): process half the input, STOP, add the rest, restart from the
+    SAME checkpoint — the union of outputs must equal the batch result
+    exactly: no lost windows, no duplicates."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from mapreduce_framework_spark.streaming.transforms import tumbling_counts
+
+    src = tempfile.mkdtemp(prefix="ckpt_src_")
+    ckpt = tempfile.mkdtemp(prefix="ckpt_dir_")
+    stage = tempfile.mkdtemp(prefix="ckpt_stage_")
+    # Four deterministic time-ordered files, staged then revealed 2+2.
+    events.repartitionByRange(4, "ts", "event_id").sortWithinPartitions(
+        "ts", "event_id"
+    ).write.mode("overwrite").parquet(stage)
+    files = sorted(glob.glob(os.path.join(stage, "part-*")))
+    assert len(files) == 4
+
+    def run_until_done(sink):
+        stream = (
+            spark.readStream.schema(events.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = (
+            tumbling_counts(stream)
+            .writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return spark.table(sink)
+
+    for f in files[:2]:
+        shutil.copy(f, os.path.join(src, os.path.basename(f)))
+    run_until_done("ckpt_first")
+
+    for f in files[2:]:
+        shutil.copy(f, os.path.join(src, os.path.basename(f)))
+    resumed = run_until_done("ckpt_second")  # same checkpoint → resumes offsets
+
+    batch = tumbling_counts(events)
+    assert _as_sets(batch) == _as_sets(resumed)
