@@ -188,3 +188,26 @@ def test_global_sort_is_range_partitioned(spark):
     plan = formatted_plan(_q(spark, "sort_multi_key"))
     assert "rangepartitioning" in plan or "Sort" in plan
     assert "SinglePartition" not in plan
+
+
+def test_observe_metrics_single_pass(spark):
+    """observe() audit counts must match reality without a second scan
+    (reference polls progress out-of-band; we get it in-plan)."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_framework_spark.io import table
+    from mapreduce_framework_spark.plans.metrics import observed
+
+    src = table(spark, SF_DIR, "orders")
+    df, obs = observed(
+        src.where(F.col("o_totalprice") > 100),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("audit_total"),
+    )
+    out = df.groupBy("o_orderstatus").count()
+    rows = out.collect()
+    got = obs.get
+    expect = src.where(F.col("o_totalprice") > 100).count()
+    assert got["n_rows"] == expect
+    assert sum(r["count"] for r in rows) == expect
+    assert got["audit_total"] is not None
