@@ -66,3 +66,34 @@ def salted_agg(
         *[_MERGE[a](F.col(out)).alias(out) for out, (a, _) in aggs.items()]
     )
     return stage2
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: str,
+    salt_source: Column,
+    n_salts: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-safe equi-join: salt the BIG side's hot keys across S
+    partitions and replicate the small side S× so every salted row
+    still finds its match.
+
+    AQE's skew-join split handles most cases at runtime; this is the
+    explicit fallback for joins AQE cannot split (e.g. a skewed stream
+    side, or when one hot key exceeds a single executor even after
+    splitting).  Cost: the small side shuffles S× its size — use only
+    when small really is small and the hot key really is hot.
+
+    The salt is hash-derived from ``salt_source`` (a deterministic
+    high-cardinality column of ``big``), never rand(): task retries
+    must re-salt identically.
+    """
+    big_salted = big.withColumn(
+        "_salt", F.pmod(F.xxhash64(salt_source), F.lit(n_salts))
+    )
+    small_replicated = small.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
+    )
+    return big_salted.join(small_replicated, [on, "_salt"], how).drop("_salt")

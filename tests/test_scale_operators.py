@@ -93,3 +93,16 @@ def test_stateful_final_state_is_batching_invariant(spark):
         )
 
     assert final(2) == final(5)
+
+
+def test_salted_join_equals_plain_join(spark):
+    from mapreduce_framework_spark.io import table
+    from mapreduce_framework_spark.operators.salting import salted_join
+
+    o = table(spark, SF_DIR, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+    c = table(spark, SF_DIR, "customer").select("c_custkey", "c_mktsegment").withColumnRenamed(
+        "c_custkey", "o_custkey"
+    )
+    salted = salted_join(o, c, on="o_custkey", salt_source=F.col("o_orderkey"), n_salts=8)
+    plain = o.join(c, "o_custkey")
+    assert sorted(map(tuple, salted.collect())) == sorted(map(tuple, plain.collect()))
