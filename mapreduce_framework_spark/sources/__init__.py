@@ -57,3 +57,21 @@ def write_partitioned(
     Reads filtered on partition columns list only matching directories
     (PartitionFilters in the scan — zero I/O for pruned partitions)."""
     df.write.mode(mode).partitionBy(*partition_cols).parquet(path)
+
+
+def overwrite_partitions_dynamic(
+    df: DataFrame, path: str, partition_cols: list[str]
+) -> None:
+    """Dynamic partition overwrite: replace ONLY the partitions present
+    in ``df``, leave every other partition untouched — the incremental
+    pattern for daily/hourly re-runs over a 100 TB table (static
+    overwrite mode would truncate the whole dataset first).  The conf is
+    scoped to this write and restored after."""
+    spark = df.sparkSession
+    key = "spark.sql.sources.partitionOverwriteMode"
+    prev = spark.conf.get(key, "static")
+    spark.conf.set(key, "dynamic")
+    try:
+        df.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)
+    finally:
+        spark.conf.set(key, prev)

@@ -117,3 +117,38 @@ def test_session_scale_knobs_pinned(spark):
     assert spark.conf.get("spark.sql.parquet.filterPushdown") == "true"
     assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
     assert int(spark.conf.get("spark.sql.files.maxPartitionBytes").rstrip("b")) == 128 * 1024 * 1024
+
+
+def test_dynamic_partition_overwrite_preserves_others(spark):
+    """Overwriting a one-partition slice must not truncate the rest of
+    the table (incremental daily re-run semantics)."""
+    import tempfile
+
+    from mapreduce_framework_spark.io import table
+    from mapreduce_framework_spark.sources import (
+        overwrite_partitions_dynamic,
+        write_partitioned,
+    )
+
+    with tempfile.TemporaryDirectory() as tmp:
+        path = f"{tmp}/li"
+        src = table(spark, SF_DIR, "lineitem").select(
+            "l_orderkey", "l_quantity", "l_returnflag"
+        )
+        write_partitioned(src, path, ["l_returnflag"])
+        before = spark.read.parquet(path).groupBy("l_returnflag").count()
+        before_map = {r.l_returnflag: r["count"] for r in before.collect()}
+
+        # Re-run just the 'R' slice with halved rows.
+        slice_r = (
+            src.where(F.col("l_returnflag") == "R")
+            .where(F.col("l_orderkey") % 2 == 0)
+        )
+        overwrite_partitions_dynamic(slice_r, path, ["l_returnflag"])
+
+        after = {r.l_returnflag: r["count"] for r in
+                 spark.read.parquet(path).groupBy("l_returnflag").count().collect()}
+        assert after["A"] == before_map["A"]          # untouched partitions intact
+        assert after["N"] == before_map["N"]
+        assert after["R"] == slice_r.count()          # only R replaced
+        assert after["R"] < before_map["R"]
