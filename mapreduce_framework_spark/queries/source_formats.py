@@ -131,3 +131,42 @@ def source_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("cnt"),
         F.round(F.sum("l_quantity"), 2).alias("qty"),
     )
+
+
+_DPP_ORACLE = """
+SELECT l_linestatus, 'returned' AS category,
+       count(*) AS cnt,
+       round(sum(l_quantity), 2) AS qty
+FROM lineitem
+WHERE l_returnflag = 'R'
+GROUP BY l_linestatus
+""".strip()
+
+
+@register("scan_dynamic_pruning", oracle=_DPP_ORACLE, tags=("source", "dpp"))
+def scan_dynamic_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DYNAMIC partition pruning: the pruning predicate is not a literal
+    but the result of filtering a dimension at RUNTIME — Catalyst
+    injects a dynamicpruning subquery into the fact scan's
+    PartitionFilters, so only the dimension-selected partitions are
+    read.  At 100 TB this is what makes star-schema joins against a
+    date/category dim scan 1/Nth of the fact table with no literal
+    filter in the query text (plan pinned in tests/test_plans.py)."""
+    path = _tmp(sf_dir, "hive")  # reuse the partitioned copy
+    src = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_linestatus", "l_returnflag"
+    )
+    sources.write_partitioned(src, path, ["l_returnflag"])
+    fact = spark.read.parquet(path)
+    dim = spark.createDataFrame(
+        [("R", "returned"), ("A", "accepted"), ("N", "none")],
+        "flag string, category string",
+    ).where(F.col("category") == "returned")
+    return (
+        fact.join(dim, fact["l_returnflag"] == dim["flag"])
+        .groupBy("l_linestatus", "category")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.sum("l_quantity"), 2).alias("qty"),
+        )
+    )

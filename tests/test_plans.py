@@ -211,3 +211,12 @@ def test_observe_metrics_single_pass(spark):
     assert got["n_rows"] == expect
     assert sum(r["count"] for r in rows) == expect
     assert got["audit_total"] is not None
+
+
+def test_dynamic_partition_pruning_in_scan(spark):
+    """The fact scan's partition filter must be a runtime dynamicpruning
+    subquery fed by the dimension filter, not a literal."""
+    from mapreduce_framework_spark.plans import formatted_plan
+
+    plan = formatted_plan(_q(spark, "scan_dynamic_pruning"))
+    assert "dynamicpruning" in plan.lower(), plan[:1500]
