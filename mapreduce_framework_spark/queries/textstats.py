@@ -226,3 +226,46 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_min(F.transform(F.col("grams"), F.md5)).alias("fingerprint"),
         F.size(F.array_distinct(F.col("grams"))).alias("n_distinct_grams"),
     )
+
+
+_EMAIL_RE = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+
+_SCRUB_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0
+              THEN text || ' contact bob.smith+x@example-mail.com now'
+              ELSE text END AS t
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(t, '{_EMAIL_RE}')) AS INTEGER) AS n_redactions,
+       regexp_replace(t, '{_EMAIL_RE}', '<EMAIL>', 'g') AS clean_text
+FROM d
+""".strip()
+
+
+@register("text_scrub_pii", oracle=_SCRUB_ORACLE, tags=("text", "scrub"))
+def text_scrub_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing (email redaction), the standard pre-training
+    cleaning pass.  The corpus is synthetic and clean, so a
+    deterministic email is injected into every 7th doc IN BOTH ENGINES
+    and then scrubbed — redaction counts and cleaned text hash-check
+    exactly.  The regex is the portable subset (char classes +
+    bounded quantifiers) that Java and RE2 dialects share; scrubbing
+    stays in whole-stage codegen (regexp_replace/regexp_count are JVM
+    expressions, no Python)."""
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(F.col("text"), F.lit(" contact bob.smith+x@example-mail.com now")),
+        )
+        .otherwise(F.col("text"))
+        .alias("t"),
+    )
+    return d.select(
+        "doc_id",
+        F.regexp_count("t", F.lit(_EMAIL_RE)).cast("int").alias("n_redactions"),
+        F.regexp_replace("t", _EMAIL_RE, "<EMAIL>").alias("clean_text"),
+    )
