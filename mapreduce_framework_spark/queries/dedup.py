@@ -195,3 +195,57 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id_a", "id_b", cos.alias("cos_sim"))
         .where(F.col("cos_sim") >= 0.4)
     )
+
+
+@register(
+    "dedup_clusters",
+    oracle="""
+WITH RECURSIVE
+d AS (
+  SELECT doc_id, lang, source, list_distinct(string_split(text, ' ')) AS toks
+  FROM documents
+),
+p AS (
+  SELECT a.doc_id AS u, b.doc_id AS v
+  FROM d a JOIN d b
+    ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+  WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+          / len(list_distinct(a.toks || b.toks)) >= 0.8
+),
+edges AS (SELECT u, v FROM p UNION SELECT v, u FROM p),
+reach(u, v) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u WHERE e.v <> r.u
+)
+SELECT u AS node, least(u, min(v)) AS component
+FROM reach
+GROUP BY u
+""".strip(),
+    tags=("dedup", "iterative"),
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate CLUSTERS: transitive closure of the blocked-Jaccard
+    near-dup pairs via iterative min-label propagation
+    (operators/components.py) — the pipeline deliverable is one
+    canonical doc per cluster, not pairs.  The oracle computes the same
+    components with a recursive CTE; rounds = cluster diameter (shallow
+    for near-dup graphs)."""
+    from mapreduce_framework_spark.operators.components import connected_components
+
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", F.array_distinct(F.split("text", " ")).alias("toks")
+    )
+    a = d.select(
+        F.col("doc_id").alias("doc_a"), "lang", "source", F.col("toks").alias("toks_a")
+    )
+    b = d.select(
+        F.col("doc_id").alias("doc_b"), "lang", "source", F.col("toks").alias("toks_b")
+    )
+    pairs = (
+        a.join(b, ["lang", "source"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .where(jaccard(F.col("toks_a"), F.col("toks_b")) >= 0.8)
+        .select("doc_a", "doc_b")
+    )
+    return connected_components(pairs, "doc_a", "doc_b")

@@ -152,3 +152,16 @@ def test_dynamic_partition_overwrite_preserves_others(spark):
         assert after["N"] == before_map["N"]
         assert after["R"] == slice_r.count()          # only R replaced
         assert after["R"] < before_map["R"]
+
+
+def test_connected_components_path_and_islands(spark):
+    """Path graph collapses to one component; disjoint pair stays its
+    own; labels are the min node id."""
+    from mapreduce_framework_spark.operators.components import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22)],
+        "a long, b long",
+    )
+    got = {r.node: r.component for r in connected_components(edges, "a", "b").collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
