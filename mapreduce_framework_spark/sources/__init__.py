@@ -75,3 +75,21 @@ def overwrite_partitions_dynamic(
         df.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)
     finally:
         spark.conf.set(key, prev)
+
+
+def write_compacted(
+    df: DataFrame,
+    path: str,
+    target_file_bytes: int = 256 * 1024 * 1024,
+    mode: str = "overwrite",
+) -> None:
+    """Write parquet with a bounded file count sized to a target file
+    size — the small-files defense.  A shuffle-heavy plan otherwise
+    writes one file per task (thousands of KB-sized files at 100 TB,
+    which poisons every later scan's listing and footer-read cost).
+    File count is estimated from the plan's size statistics; AQE
+    coalescing handles the intra-write partitioning."""
+    plan = df._jdf.queryExecution().optimizedPlan()
+    est_bytes = int(str(plan.stats().sizeInBytes()))
+    n_files = max(1, min(10_000, est_bytes // target_file_bytes))
+    df.repartition(int(n_files)).write.mode(mode).parquet(path)

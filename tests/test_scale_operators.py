@@ -165,3 +165,21 @@ def test_connected_components_path_and_islands(spark):
     )
     got = {r.node: r.component for r in connected_components(edges, "a", "b").collect()}
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+
+
+def test_write_compacted_bounds_file_count(spark):
+    import glob
+    import tempfile
+
+    from mapreduce_framework_spark.io import table
+    from mapreduce_framework_spark.sources import write_compacted
+
+    with tempfile.TemporaryDirectory() as tmp:
+        path = f"{tmp}/compact"
+        # Shuffle output would normally write one file per partition (32);
+        # compaction must collapse small outputs to few files.
+        agg = table(spark, SF_DIR, "lineitem").groupBy("l_orderkey").count()
+        write_compacted(agg, path)
+        files = glob.glob(f"{path}/part-*")
+        assert 1 <= len(files) <= 4
+        assert spark.read.parquet(path).count() == agg.count()
