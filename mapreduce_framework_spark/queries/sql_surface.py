@@ -72,3 +72,27 @@ def sql_q5_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
     DataFrame variant (join_multiway) does."""
     _views(spark, sf_dir, ("customer", "orders", "lineitem", "nation", "region"))
     return spark.sql(_Q5)
+
+
+# Correlated EXISTS + uncorrelated IN subqueries — Catalyst rewrites
+# these to semi-joins; the same text runs on both engines.
+_SUBQ = """
+SELECT c_custkey, c_mktsegment
+FROM customer
+WHERE EXISTS (
+        SELECT 1 FROM orders
+        WHERE o_custkey = c_custkey AND o_totalprice > 200000
+      )
+  AND c_nationkey IN (
+        SELECT n_nationkey FROM nation WHERE n_regionkey = 2
+      )
+""".strip()
+
+
+@register("sql_exists_subquery", oracle=_SUBQ, tags=("sql", "subquery"))
+def sql_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS and IN subqueries by SQL text.  Catalyst
+    decorrelates both into left-semi joins (no per-row subquery
+    execution) — the declarative twin of join_semi."""
+    _views(spark, sf_dir, ("customer", "orders", "nation"))
+    return spark.sql(_SUBQ)

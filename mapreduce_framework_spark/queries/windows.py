@@ -157,3 +157,32 @@ def window_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("trailing_7d_revenue"),
     )
+
+
+@register(
+    "window_distribution",
+    oracle="""
+SELECT o_custkey, o_orderkey,
+       ntile(4) OVER w AS price_quartile,
+       round(percent_rank() OVER w, 6) AS pct_rank,
+       round(cume_dist() OVER w, 6) AS cume
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice ASC, o_orderkey ASC)
+""".strip(),
+    tags=("window", "distribution"),
+)
+def window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions (ntile/percent_rank/cume_dist) per
+    customer — the quantile-bucketing shape used for per-group score
+    normalization.  Unique tie-break keeps ranks deterministic;
+    round(6) guards the double division's last ulp."""
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.asc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.ntile(4).over(w).alias("price_quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
