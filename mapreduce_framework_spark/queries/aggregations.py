@@ -287,3 +287,29 @@ def agg_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("total_cents"),
         )
     )
+
+
+@register(
+    "reshape_unpivot",
+    oracle="""
+SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric, l_quantity AS value FROM lineitem
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice FROM lineitem
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem
+""".strip(),
+    tags=("reshape",),
+)
+def reshape_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (wide→long melt), the inverse of agg_pivot: four measure
+    columns become (metric, value) rows.  DataFrame.unpivot is a
+    zero-shuffle narrow op — each input row expands locally."""
+    l = table(spark, sf_dir, "lineitem")
+    return l.unpivot(
+        ids=["l_orderkey", "l_linenumber"],
+        values=["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        variableColumnName="metric",
+        valueColumnName="value",
+    )
