@@ -223,6 +223,7 @@ FROM reach
 GROUP BY u
 """.strip(),
     tags=("dedup", "iterative"),
+    bench=True,
 )
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate CLUSTERS: transitive closure of the blocked-Jaccard

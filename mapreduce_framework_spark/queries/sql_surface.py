@@ -65,7 +65,7 @@ GROUP BY n_name
 """.strip()
 
 
-@register("sql_q5_shape", oracle=_Q5, tags=("sql", "join"))
+@register("sql_q5_shape", oracle=_Q5, tags=("sql", "join"), bench=True)
 def sql_q5_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5 shape: customer–orders–lineitem–nation–region chain by
     SQL text; Catalyst broadcast-joins the bounded dims exactly as the

@@ -245,7 +245,7 @@ FROM d
 """.strip()
 
 
-@register("text_scrub_pii", oracle=_SCRUB_ORACLE, tags=("text", "scrub"))
+@register("text_scrub_pii", oracle=_SCRUB_ORACLE, tags=("text", "scrub"), bench=True)
 def text_scrub_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scrubbing (email redaction), the standard pre-training
     cleaning pass.  The corpus is synthetic and clean, so a
