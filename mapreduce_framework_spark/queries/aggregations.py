@@ -313,3 +313,28 @@ def reshape_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         variableColumnName="metric",
         valueColumnName="value",
     )
+
+
+@register(
+    "agg_array_collect",
+    oracle="""
+SELECT l_orderkey,
+       list(l_linenumber ORDER BY l_linenumber) AS line_numbers,
+       list_sort(list_distinct(list(l_returnflag))) AS flags
+FROM lineitem
+GROUP BY l_orderkey
+""".strip(),
+    tags=("agg", "array"),
+)
+def agg_array_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array aggregation (collect_list/collect_set) with DETERMINISTIC
+    ordering — collect_list's arrival order depends on task scheduling,
+    so every collected array is sorted before it leaves the query.  At
+    scale this is an ObjectHashAggregate whose state grows with group
+    size: only safe on bounded groups (≤7 lines per order here); for
+    unbounded groups prefer windowed top-k."""
+    l = table(spark, sf_dir, "lineitem")
+    return l.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_list("l_linenumber")).alias("line_numbers"),
+        F.sort_array(F.collect_set("l_returnflag")).alias("flags"),
+    )
