@@ -153,3 +153,44 @@ def test_checkpoint_resume_is_exactly_once(spark, events):
 
     batch = tumbling_counts(events)
     assert _as_sets(batch) == _as_sets(resumed)
+
+
+def test_foreach_batch_sink_is_idempotent(spark, events):
+    """Exactly-once sink: replaying the stream writes everything once;
+    re-running a batch function with the same batch id (a simulated
+    post-crash retry) must not duplicate rows."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from mapreduce_framework_spark.streaming.sinks import idempotent_parquet_writer
+
+    with tempfile.TemporaryDirectory() as tmp:
+        sink_path = f"{tmp}/sink"
+        src_dir = f"{tmp}/src"
+        ckpt = f"{tmp}/ckpt"
+        events.repartitionByRange(3, "ts", "event_id").write.parquet(src_dir)
+
+        write_batch = idempotent_parquet_writer(sink_path)
+        q = (
+            spark.readStream.schema(events.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src_dir)
+            .writeStream.foreachBatch(write_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+        sunk = spark.read.parquet(sink_path)
+        assert sunk.count() == events.count()
+
+        # Simulated retry: re-run batch 0's write with the same id.
+        batch0 = sunk.where(F.col("_batch_id") == 0).drop("_batch_id")
+        n0 = batch0.count()
+        assert n0 > 0
+        write_batch(batch0, 0)
+        after = spark.read.parquet(sink_path)
+        assert after.count() == events.count()  # no duplication
+        assert after.where(F.col("_batch_id") == 0).count() == n0
