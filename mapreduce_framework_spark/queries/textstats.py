@@ -36,17 +36,27 @@ FROM d
 )
 def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc token count, vocabulary size, mean token length,
-    type-token ratio."""
-    t = _toks()
-    return table(spark, sf_dir, "documents").select(
-        "doc_id",
-        F.size(t).alias("n_tokens"),
-        F.size(F.array_distinct(t)).alias("n_distinct"),
-        (
-            F.aggregate(F.transform(t, F.length), F.lit(0), lambda a, x: a + x).cast("double")
-            / F.size(t)
-        ).alias("avg_token_len"),
-        (F.size(F.array_distinct(t)).cast("double") / F.size(t)).alias("type_token_ratio"),
+    type-token ratio.  Tokens staged as a named column — the raw split
+    expression would be re-evaluated at each of its five use sites
+    (see operators/minhash.py for the rule)."""
+    t = F.col("t")
+    return (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", _toks().alias("t"))
+        .select(
+            "doc_id",
+            F.size(t).alias("n_tokens"),
+            F.size(F.array_distinct(t)).alias("n_distinct"),
+            (
+                F.aggregate(F.transform(t, F.length), F.lit(0), lambda a, x: a + x).cast(
+                    "double"
+                )
+                / F.size(t)
+            ).alias("avg_token_len"),
+            (F.size(F.array_distinct(t)).cast("double") / F.size(t)).alias(
+                "type_token_ratio"
+            ),
+        )
     )
 
 
@@ -168,9 +178,12 @@ FROM d
 )
 def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic document quality: length band × stopword-density prior
-    (the shape of C4/Gopher-style quality filters, deterministic)."""
-    d = table(spark, sf_dir, "documents")
-    t = F.split(F.col("text"), " ")
+    (the shape of C4/Gopher-style quality filters, deterministic).
+    Tokens staged as a named column (multiple use sites)."""
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", "n_chars", F.split(F.col("text"), " ").alias("t")
+    )
+    t = F.col("t")
     n_tok = F.size(t)
     stop_hits = F.size(F.filter(t, lambda w: w.isin("the", "a", "data", "value")))
     stop_ratio = stop_hits.cast("double") / n_tok
