@@ -153,7 +153,14 @@ def stream_stateful_running_total(spark: SparkSession, sf_dir: str) -> DataFrame
 
     from mapreduce_framework_spark.streaming.stateful import running_totals
 
-    ev = table(spark, sf_dir, "events")
+    # Stage only the columns the stateful operator reads: the replay
+    # writes + rescans the source once per micro-batch, so the wide
+    # `props` string would be range-sorted and re-read 4× for nothing
+    # (measured 2× the whole query at sf0.1).  Safe here because the
+    # integer-cent state is batching-invariant; transforms whose output
+    # depends on batch assignment (watermark drops) must keep the full
+    # row so the tie-break ordering is unchanged.
+    ev = table(spark, sf_dir, "events").select("ts", "user_id", "value")
     updates = run_file_stream(spark, ev, running_totals, output_mode="update")
     final = (
         updates.groupBy("user_id")
