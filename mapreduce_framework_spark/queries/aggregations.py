@@ -155,6 +155,42 @@ def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "agg_filter_clause",
+    oracle=f"""
+SELECT o_orderpriority,
+       count(*) AS n_orders,
+       count(*) FILTER (WHERE o_orderstatus = 'F') AS n_finished,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+            FILTER (WHERE year(o_orderdate) = 1995) AS DOUBLE) AS total_1995,
+       count(DISTINCT o_custkey) FILTER (WHERE o_totalprice > 200000)
+         AS big_spenders
+FROM orders
+GROUP BY o_orderpriority
+""".strip(),
+    tags=("agg",),
+)
+def agg_filter_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-aggregate FILTER clauses: several differently-filtered
+    aggregates in ONE pass over the table.  The naive alternative — one
+    scan per condition joined back together — reads the fact table N
+    times and shuffles N times; conditional aggregation is the single
+    most common rewrite that collapses a 100 TB star-schema report to
+    one scan.  Compiles to the same partial+final HashAggregate with
+    the predicates evaluated per-row before accumulation."""
+    o = table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.count(F.when(F.col("o_orderstatus") == "F", 1)).alias("n_finished"),
+        dsum(
+            F.when(F.year("o_orderdate") == 1995, F.col("o_totalprice"))
+        ).alias("total_1995"),
+        F.countDistinct(
+            F.when(F.col("o_totalprice") > 200000, F.col("o_custkey"))
+        ).alias("big_spenders"),
+    )
+
+
+@register(
     "agg_salted_skew",
     oracle="""
 SELECT event_type,

@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     DoubleType,
+    IntegerType,
     LongType,
     StringType,
     StructField,
@@ -101,6 +102,42 @@ def source_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("cnt"),
         F.round(F.sum("p_retailprice"), 2).alias("revenue"),
         F.min("p_name").alias("first_name"),
+    )
+
+
+_ORC_ORACLE = """
+SELECT s_nationkey,
+       count(*) AS cnt,
+       round(sum(s_acctbal), 2) AS balance,
+       min(s_name) AS first_name
+FROM supplier
+GROUP BY s_nationkey
+""".strip()
+
+
+@register("source_orc_roundtrip", oracle=_ORC_ORACLE, tags=("source",))
+def source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """supplier → ORC → explicit-schema read → per-nation stats.  ORC is
+    the other vectorized columnar format Spark ships natively; the hash
+    match proves longs/ints/doubles/strings survive the roundtrip."""
+    path = _tmp(sf_dir, "orc")
+    src = table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey", "s_acctbal"
+    )
+    sources.write_orc(src, path)
+    schema = StructType(
+        [
+            StructField("s_suppkey", LongType()),
+            StructField("s_name", StringType()),
+            StructField("s_nationkey", IntegerType()),
+            StructField("s_acctbal", DoubleType()),
+        ]
+    )
+    back = sources.read_orc(spark, path, schema)
+    return back.groupBy("s_nationkey").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.round(F.sum("s_acctbal"), 2).alias("balance"),
+        F.min("s_name").alias("first_name"),
     )
 
 

@@ -50,6 +50,17 @@ def write_json_lines(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     df.write.mode(mode).json(path)
 
 
+def read_orc(spark: SparkSession, path: str, schema: StructType) -> DataFrame:
+    """ORC scan with declared schema.  Spark's vectorized ORC reader
+    gives the same columnar pruning + predicate pushdown as parquet
+    (PushedFilters reach the stripe/row-group indexes)."""
+    return spark.read.schema(schema).orc(path)
+
+
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    df.write.mode(mode).orc(path)
+
+
 def write_partitioned(
     df: DataFrame, path: str, partition_cols: list[str], mode: str = "overwrite"
 ) -> None:
