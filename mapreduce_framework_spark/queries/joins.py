@@ -178,6 +178,41 @@ def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "join_full_outer",
+    oracle="""
+SELECT coalesce(c.d, p.d) AS day,
+       coalesce(c.n_clicks, 0) AS n_clicks,
+       coalesce(p.n_purchases, 0) AS n_purchases
+FROM (SELECT CAST(ts AS DATE) AS d, count(*) AS n_clicks
+      FROM events WHERE event_type = 'click' GROUP BY 1) c
+FULL JOIN
+     (SELECT CAST(ts AS DATE) AS d, count(*) AS n_purchases
+      FROM events WHERE event_type = 'purchase' GROUP BY 1) p
+  ON c.d = p.d
+""".strip(),
+    tags=("join", "outer"),
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily clicks vs purchases with FULL OUTER null-extension on both
+    sides — days with only one activity type survive with a zero.  Full
+    outer forces a shuffle join (no broadcast strategy exists for it),
+    so both sides pre-aggregate to one row per day BEFORE the join:
+    at 100 TB the join inputs are days, not events."""
+    ev = table(spark, sf_dir, "events")
+    daily = lambda etype, out: (
+        ev.where(F.col("event_type") == etype)
+        .groupBy(F.col("ts").cast("date").alias("d"))
+        .agg(F.count(F.lit(1)).alias(out))
+    )
+    c, p = daily("click", "n_clicks"), daily("purchase", "n_purchases")
+    return c.join(p, "d", "full").select(
+        F.col("d").alias("day"),
+        F.coalesce("n_clicks", F.lit(0)).alias("n_clicks"),
+        F.coalesce("n_purchases", F.lit(0)).alias("n_purchases"),
+    )
+
+
+@register(
     "join_theta_range",
     oracle=f"""
 WITH buckets AS (

@@ -96,3 +96,32 @@ def sql_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     execution) — the declarative twin of join_semi."""
     _views(spark, sf_dir, ("customer", "orders", "nation"))
     return spark.sql(_SUBQ)
+
+
+# Scalar subqueries: correlated aggregates in SELECT + an uncorrelated
+# one in WHERE.  The avg threshold goes through DECIMAL so both engines
+# compute the identical cutoff (double summation is fold-order-
+# dependent; see functions/numeric.py).
+_SCALAR_SUBQ = """
+SELECT c_custkey,
+       c_acctbal,
+       (SELECT count(*) FROM orders WHERE o_custkey = c_custkey) AS n_orders,
+       (SELECT max(o_totalprice) FROM orders WHERE o_custkey = c_custkey)
+         AS max_price
+FROM customer
+WHERE c_acctbal >
+      (SELECT CAST(AVG(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+       FROM customer)
+""".strip()
+
+
+@register("sql_scalar_subquery", oracle=_SCALAR_SUBQ, tags=("sql", "subquery"))
+def sql_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar-aggregate subqueries in the SELECT list plus an
+    uncorrelated scalar threshold in WHERE.  Catalyst decorrelates the
+    SELECT-list subqueries into ONE aggregate per subquery joined back
+    (left outer on the correlation key) and evaluates the uncorrelated
+    threshold once as a reusable subquery result — no per-row execution
+    anywhere, so the plan scales like two joins, not like N queries."""
+    _views(spark, sf_dir, ("customer", "orders"))
+    return spark.sql(_SCALAR_SUBQ)
