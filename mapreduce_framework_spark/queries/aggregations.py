@@ -374,3 +374,68 @@ def agg_array_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sort_array(F.collect_list("l_linenumber")).alias("line_numbers"),
         F.sort_array(F.collect_set("l_returnflag")).alias("flags"),
     )
+
+
+@register(
+    "agg_moments",
+    oracle="""
+WITH s AS (
+  SELECT l_suppkey,
+         count(*) AS n,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(28,4))) AS DOUBLE) AS sq,
+         CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(28,4))) AS DOUBLE) AS sq2,
+         CAST(SUM(CAST(l_discount AS DECIMAL(28,4))) AS DOUBLE) AS sd,
+         CAST(SUM(CAST(l_discount * l_discount AS DECIMAL(28,4))) AS DOUBLE) AS sd2,
+         CAST(SUM(CAST(l_quantity * l_discount AS DECIMAL(28,4))) AS DOUBLE) AS sqd
+  FROM lineitem
+  GROUP BY l_suppkey
+)
+SELECT l_suppkey, n,
+       round(sq / n, 6) AS mean_qty,
+       round(sqrt((n * sq2 - sq * sq) / (n * (n - 1.0))), 6) AS stddev_qty,
+       round((n * sqd - sq * sd)
+             / (sqrt(n * sq2 - sq * sq) * sqrt(n * sd2 - sd * sd)), 6)
+         AS corr_qty_disc
+FROM s
+WHERE n >= 2
+""".strip(),
+    tags=("agg", "stats"),
+)
+def agg_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-supplier mean/stddev/correlation computed from DECIMAL power
+    sums with the closed-form combine done in double at the end.  The
+    built-in stddev/corr aggregates are fold-order-dependent doubles —
+    their last bits differ run-to-run and engine-to-engine — while
+    power sums are exact and associative, so this is both reproducible
+    AND one ordinary partial+final hash aggregate (no second pass for
+    the mean, no order sensitivity).  The same trick is how map-side
+    combine stays available for variance at 100 TB."""
+    l = table(spark, sf_dir, "lineitem")
+    dec = lambda c: c.cast("decimal(28,4)")
+    q, d = F.col("l_quantity"), F.col("l_discount")
+    s = l.groupBy("l_suppkey").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec(q)).cast("double").alias("sq"),
+        F.sum(dec(q * q)).cast("double").alias("sq2"),
+        F.sum(dec(d)).cast("double").alias("sd"),
+        F.sum(dec(d * d)).cast("double").alias("sd2"),
+        F.sum(dec(q * d)).cast("double").alias("sqd"),
+    )
+    n, sq, sq2 = F.col("n"), F.col("sq"), F.col("sq2")
+    sd, sd2, sqd = F.col("sd"), F.col("sd2"), F.col("sqd")
+    return (
+        s.where(n >= 2)
+        .select(
+            "l_suppkey",
+            "n",
+            F.round(sq / n, 6).alias("mean_qty"),
+            F.round(F.sqrt((n * sq2 - sq * sq) / (n * (n - F.lit(1.0)))), 6).alias(
+                "stddev_qty"
+            ),
+            F.round(
+                (n * sqd - sq * sd)
+                / (F.sqrt(n * sq2 - sq * sq) * F.sqrt(n * sd2 - sd * sd)),
+                6,
+            ).alias("corr_qty_disc"),
+        )
+    )

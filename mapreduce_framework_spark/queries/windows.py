@@ -186,3 +186,36 @@ def window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
         F.round(F.cume_dist().over(w), 6).alias("cume"),
     )
+
+
+@register(
+    "window_first_last",
+    oracle="""
+SELECT o_custkey, o_orderkey,
+       first_value(o_orderkey) OVER w AS cheapest_key,
+       last_value(o_orderkey)  OVER w AS priciest_key,
+       nth_value(o_orderkey, 2) OVER w AS second_cheapest_key
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice ASC, o_orderkey ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+""".strip(),
+    tags=("window", "navigation"),
+)
+def window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Navigation window functions: per customer, the cheapest /
+    priciest / second-cheapest order key attached to every row.  The
+    frame is pinned to the WHOLE partition — last_value over the default
+    frame (… AND CURRENT ROW) is the classic silent wrong answer, in
+    both engines; unique tie-break keeps the navigation deterministic."""
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.asc("o_totalprice"), F.asc("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.first("o_orderkey").over(w).alias("cheapest_key"),
+        F.last("o_orderkey").over(w).alias("priciest_key"),
+        F.nth_value("o_orderkey", 2).over(w).alias("second_cheapest_key"),
+    )
