@@ -7,6 +7,7 @@ from mapreduce_framework_spark.queries import (  # noqa: F401
     joins,
     mapreduce_job,
     multimodal,
+    pipeline,
     similarity,
     textstats,
     scalars,
