@@ -250,3 +250,48 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b")
     )
     return connected_components(pairs, "doc_a", "doc_b")
+
+
+@register(
+    "dedup_edit_distance",
+    oracle="""
+WITH d AS (
+  SELECT doc_id, lang, source, substring(text, 1, 96) AS head
+  FROM documents
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       levenshtein(a.head, b.head) AS edit_dist
+FROM d a JOIN d b
+  ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+WHERE levenshtein(a.head, b.head) <= 24
+""".strip(),
+    tags=("dedup", "editdistance"),
+)
+def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance near-dups: pairs whose 96-char prefixes are within
+    levenshtein 24, blocked by (lang, source).  Complements the
+    set-semantic tiers (Jaccard/MinHash ignore word ORDER; edit
+    distance catches small in-place edits).  levenshtein is O(m·n) per
+    pair — the fixed-length prefix bounds each comparison and the block
+    join bounds the pair count, which is what keeps the quadratic
+    kernel affordable at corpus scale (same blocked-verify shape as
+    the exact tier of dedup_minhash)."""
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", F.substring("text", 1, 96).alias("head")
+    )
+    a = d.select(
+        F.col("doc_id").alias("doc_a"), "lang", "source", F.col("head").alias("head_a")
+    )
+    b = d.select(
+        F.col("doc_id").alias("doc_b"), "lang", "source", F.col("head").alias("head_b")
+    )
+    return (
+        a.join(b, ["lang", "source"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.levenshtein("head_a", "head_b").alias("edit_dist"),
+        )
+        .where(F.col("edit_dist") <= 24)
+    )

@@ -225,3 +225,39 @@ def scalar_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sha2(F.col("o_orderpriority"), 256).alias("prio_sha"),
         (F.col("o_orderkey") % 16).alias("shard"),
     )
+
+
+@register(
+    "scalar_conditional",
+    oracle="""
+SELECT p_partkey,
+       coalesce(nullif(p_brand, 'Brand#11'), 'OTHER') AS brand_or_other,
+       greatest(p_retailprice, 1000.0) AS floor_price,
+       least(p_size, 25) AS capped_size,
+       CASE WHEN p_size IS NULL THEN -1
+            WHEN p_size < 10 THEN 0
+            ELSE 1 END AS size_band,
+       nullif(p_size, 0) AS size_nz
+FROM part
+""".strip(),
+    tags=("scalar", "conditional"),
+)
+def scalar_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-plumbing battery: nullif/coalesce/greatest/least and a
+    null-aware CASE.  These are the expressions that make three-valued
+    logic explicit in a pipeline — all evaluate inside whole-stage
+    codegen, so null handling costs nothing over the raw column."""
+    p = table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.coalesce(F.nullif(F.col("p_brand"), F.lit("Brand#11")), F.lit("OTHER")).alias(
+            "brand_or_other"
+        ),
+        F.greatest(F.col("p_retailprice"), F.lit(1000.0)).alias("floor_price"),
+        F.least(F.col("p_size"), F.lit(25)).alias("capped_size"),
+        F.when(F.col("p_size").isNull(), -1)
+        .when(F.col("p_size") < 10, 0)
+        .otherwise(1)
+        .alias("size_band"),
+        F.nullif(F.col("p_size"), F.lit(0)).alias("size_nz"),
+    )

@@ -220,3 +220,14 @@ def test_dynamic_partition_pruning_in_scan(spark):
 
     plan = formatted_plan(_q(spark, "scan_dynamic_pruning"))
     assert "dynamicpruning" in plan.lower(), plan[:1500]
+
+
+def test_pack_sequences_avoids_global_sort(spark):
+    """The running-sum window is partitioned by source: a single-
+    partition exchange here would serialize the whole corpus through
+    one task at scale."""
+    from mapreduce_framework_spark.plans import formatted_plan
+
+    plan = formatted_plan(_q(spark, "pack_sequences"))
+    assert "SinglePartition" not in plan
+    assert "hashpartitioning(source" in plan
