@@ -82,3 +82,53 @@ def sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     src.write.mode("overwrite").partitionBy("l_returnflag").parquet(out)
     back = spark.read.parquet(out)
     return back.groupBy("l_returnflag").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+@register(
+    "sink_merge_upsert",
+    oracle="""
+WITH updates AS (
+  SELECT o_orderkey, o_custkey, 'X' AS o_orderstatus,
+         round(o_totalprice * 1.1, 2) AS o_totalprice
+  FROM orders WHERE o_orderkey % 10 = 0
+),
+merged AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+  FROM orders WHERE o_orderkey % 10 <> 0
+  UNION ALL
+  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM updates
+)
+SELECT o_orderstatus, count(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+FROM merged
+GROUP BY o_orderstatus
+""".strip(),
+    tags=("sink", "merge"),
+)
+def sink_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE/upsert on plain parquet: rows from the change batch replace
+    snapshot rows by key (left_anti keeps unmatched snapshot rows, the
+    batch is unioned in), written back and re-read.  This is the
+    incremental-maintenance primitive for a snapshot table without a
+    table format: at scale the anti-join broadcasts the (small) change
+    batch, so the rewrite cost is one snapshot scan — and pairing it
+    with partitioned layout (overwrite_partitions_dynamic in sources/)
+    bounds the rewrite to touched partitions."""
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    updates = (
+        o.where(F.col("o_orderkey") % 10 == 0)
+        .withColumn("o_orderstatus", F.lit("X"))
+        .withColumn("o_totalprice", F.round(F.col("o_totalprice") * 1.1, 2))
+    )
+    merged = o.join(
+        F.broadcast(updates.select("o_orderkey")), "o_orderkey", "left_anti"
+    ).unionByName(updates)
+    out = tempfile.mkdtemp(prefix="mfs_merge_")
+    merged.write.mode("overwrite").parquet(out)
+    back = spark.read.parquet(out)
+    return back.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total"),
+    )
