@@ -198,3 +198,50 @@ def udf_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_rows("l_extendedprice").alias("n"),
         sum_cents("l_extendedprice").alias("price_cents"),
     )
+
+
+@register(
+    "udf_table_function",
+    oracle="""
+WITH d AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+),
+i AS (
+  SELECT doc_id, toks,
+         unnest(range(0, CAST(ceil(len(toks) / 5.0) AS BIGINT))) AS chunk_idx
+  FROM d
+)
+SELECT doc_id,
+       CAST(chunk_idx AS INTEGER) AS chunk_idx,
+       array_to_string(toks[chunk_idx * 5 + 1 : chunk_idx * 5 + 5], ' ') AS chunk
+FROM i
+""".strip(),
+    tags=("udf", "udtf"),
+)
+def udf_table_function(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (user-defined TABLE function): each document expands
+    to one row per 5-token chunk — the 1→N row shape (chunking for
+    embedding/training windows) that scalar UDFs cannot express.  The
+    UDTF runs per-row in the Python worker with its yields flattened by
+    the engine; the oracle recomputes the chunking declaratively, so
+    the hash proves the imperative and declarative forms agree.  Scale:
+    a UDTF pipelines inside the stage like mapInPandas — no shuffle,
+    parallelism = input partitions."""
+    from pyspark.sql.functions import lit, udtf
+
+    class Chunker:
+        def eval(self, doc_id, text):
+            toks = (text or "").split(" ")
+            for i, start in enumerate(range(0, max(len(toks), 1), 5)):
+                yield doc_id, i, " ".join(toks[start : start + 5])
+
+    chunker = udtf(Chunker, returnType="doc_id bigint, chunk_idx int, chunk string")
+    spark.udtf.register("mfs_chunker", chunker)
+    table(spark, sf_dir, "documents").createOrReplaceTempView("mfs_docs_udtf")
+    return spark.sql(
+        """
+        SELECT c.doc_id, c.chunk_idx, c.chunk
+        FROM mfs_docs_udtf AS d,
+             LATERAL mfs_chunker(d.doc_id, d.text) AS c
+        """
+    )
