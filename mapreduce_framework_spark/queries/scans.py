@@ -89,7 +89,8 @@ def sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH updates AS (
   SELECT o_orderkey, o_custkey, 'X' AS o_orderstatus,
-         round(o_totalprice * 1.1, 2) AS o_totalprice
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * CAST('1.1' AS DECIMAL(3,2))
+              AS DOUBLE) AS o_totalprice
   FROM orders WHERE o_orderkey % 10 = 0
 ),
 merged AS (
@@ -99,7 +100,7 @@ merged AS (
   SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM updates
 )
 SELECT o_orderstatus, count(*) AS n_orders,
-       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
 FROM merged
 GROUP BY o_orderstatus
 """.strip(),
@@ -120,7 +121,17 @@ def sink_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     updates = (
         o.where(F.col("o_orderkey") % 10 == 0)
         .withColumn("o_orderstatus", F.lit("X"))
-        .withColumn("o_totalprice", F.round(F.col("o_totalprice") * 1.1, 2))
+        # Exact decimal markup, NOT round(double*1.1, 2): rounding a
+        # double product is the classic cross-engine boundary trap —
+        # the same decimal value rounds differently once the binary
+        # representation straddles .xx5 (bit at sf0.01).
+        .withColumn(
+            "o_totalprice",
+            (
+                F.col("o_totalprice").cast("decimal(18,2)")
+                * F.lit("1.1").cast("decimal(3,2)")
+            ).cast("double"),
+        )
     )
     merged = o.join(
         F.broadcast(updates.select("o_orderkey")), "o_orderkey", "left_anti"
@@ -130,5 +141,7 @@ def sink_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     back = spark.read.parquet(out)
     return back.groupBy("o_orderstatus").agg(
         F.count(F.lit(1)).alias("n_orders"),
-        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total"),
+        # Scale 4, not 2: the markup above has 4 decimal places, and
+        # re-rounding it to 2 at cast time is engine-dependent.
+        F.sum(F.col("o_totalprice").cast("decimal(18,4)")).cast("double").alias("total"),
     )
