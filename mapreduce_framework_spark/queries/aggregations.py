@@ -439,3 +439,54 @@ def agg_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("corr_qty_disc"),
         )
     )
+
+
+@register(
+    "agg_partial_merge",
+    oracle="""
+WITH daily AS (
+  SELECT date_trunc('day', o_orderdate) AS d,
+         count(*) AS n,
+         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS s,
+         min(o_totalprice) AS mn,
+         max(o_totalprice) AS mx
+  FROM orders
+  GROUP BY 1
+)
+SELECT date_trunc('month', d) AS month,
+       CAST(SUM(n) AS BIGINT) AS n_orders,
+       CAST(SUM(s) AS DOUBLE) AS total_price,
+       CAST(SUM(s) AS DOUBLE) / SUM(n) AS avg_price,
+       min(mn) AS min_price,
+       max(mx) AS max_price
+FROM daily
+GROUP BY 1
+""".strip(),
+    tags=("agg", "incremental"),
+)
+def agg_partial_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Algebraic partial-aggregate merge: daily partials (count / exact
+    decimal sum / min / max) re-aggregated to monthly, with avg derived
+    from merged sum÷count.  This is the incremental-maintenance shape
+    for a 100 TB pipeline — the daily rollup is maintained as data
+    lands, and coarser rollups merge partials without rescanning raw
+    rows (same algebra that lets the reference's mapper pre-aggregate
+    per shard before the shuffle, map.py:16-22).  The partial sums stay
+    DECIMAL until the final cast so the merge is order-insensitive."""
+    o = table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.date_trunc("day", F.col("o_orderdate")).alias("d")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("s"),
+        F.min("o_totalprice").alias("mn"),
+        F.max("o_totalprice").alias("mx"),
+    )
+    # DuckDB's date_trunc('month') yields DATE (Spark: TIMESTAMP) — pin DATE.
+    return daily.groupBy(
+        F.date_trunc("month", F.col("d")).cast("date").alias("month")
+    ).agg(
+        F.sum("n").alias("n_orders"),
+        F.sum("s").cast("double").alias("total_price"),
+        (F.sum("s").cast("double") / F.sum("n")).alias("avg_price"),
+        F.min("mn").alias("min_price"),
+        F.max("mx").alias("max_price"),
+    )

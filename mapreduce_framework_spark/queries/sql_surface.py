@@ -125,3 +125,32 @@ def sql_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     anywhere, so the plan scales like two joins, not like N queries."""
     _views(spark, sf_dir, ("customer", "orders"))
     return spark.sql(_SCALAR_SUBQ)
+
+
+# TPC-H Q18 shape (large-volume orders): grouped-HAVING subquery feeding
+# an IN filter over a 3-way join.
+_Q18 = """
+SELECT c_custkey, o_orderkey, o_orderdate,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+FROM customer
+JOIN orders   ON c_custkey  = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE o_orderkey IN (
+        SELECT l_orderkey FROM lineitem
+        GROUP BY l_orderkey
+        HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 150
+      )
+GROUP BY c_custkey, o_orderkey, o_orderdate
+""".strip()
+
+
+@register("sql_q18_shape", oracle=_Q18, tags=("sql", "join", "subquery"))
+def sql_q18_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape by SQL text: an aggregated-HAVING IN-subquery
+    (orders whose total quantity exceeds a threshold) filtering a
+    customer–orders–lineitem join.  Catalyst plans the subquery as an
+    aggregate + left-semi join — no per-row subquery execution — and
+    AQE picks broadcast for the (highly selective) semi side at runtime;
+    the quantity sums go through DECIMAL for order-insensitive totals."""
+    _views(spark, sf_dir, ("customer", "orders", "lineitem"))
+    return spark.sql(_Q18)

@@ -219,3 +219,63 @@ def window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last("o_orderkey").over(w).alias("priciest_key"),
         F.nth_value("o_orderkey", 2).over(w).alias("second_cheapest_key"),
     )
+
+
+@register(
+    "window_sessionize",
+    oracle="""
+WITH marked AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR date_diff('second', lag(ts) OVER w, ts) > 1800
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+numbered AS (
+  SELECT user_id, ts,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS session_no
+  FROM marked
+)
+SELECT user_id,
+       CAST(session_no AS BIGINT) AS session_no,
+       count(*) AS n_events,
+       min(ts) AS session_start,
+       CAST(date_diff('second', min(ts), max(ts)) AS BIGINT) AS duration_s
+FROM numbered
+GROUP BY user_id, session_no
+""".strip(),
+    tags=("window", "session"),
+)
+def window_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization: per-user sessions cut at 30-minute
+    inactivity gaps via lag + running sum of session starts — the
+    batch twin of the streaming ``session_window`` query, and the
+    classic two-window idiom every clickstream pipeline needs.
+
+    Scale: both windows partition by ``user_id``, so session assembly
+    parallelizes per user with ONE shuffle (the two windows and the
+    final groupBy all share the user_id hash partitioning — Catalyst
+    reuses the exchange).  Gap comparison and duration use
+    second-truncated arithmetic (``date_diff('second')`` ≡ Spark's
+    ``cast long``) because sub-second interval compares would disagree
+    between engines on ns-precision timestamps."""
+    e = table(spark, sf_dir, "events").select("user_id", "event_id", "ts")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    is_new = F.when(
+        prev.isNull() | (F.col("ts").cast("long") - prev.cast("long") > 1800),
+        1,
+    ).otherwise(0)
+    numbered = e.withColumn(
+        "session_no",
+        F.sum(is_new).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    return numbered.groupBy("user_id", "session_no").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("session_start"),
+        (F.max(F.col("ts").cast("long")) - F.min(F.col("ts").cast("long"))).alias(
+            "duration_s"
+        ),
+    )
