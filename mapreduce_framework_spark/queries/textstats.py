@@ -8,7 +8,7 @@ their DuckDB oracles exactly (int arithmetic + single double divisions).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from mapreduce_framework_spark.io import table
@@ -281,4 +281,205 @@ def text_scrub_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.regexp_count("t", F.lit(_EMAIL_RE)).cast("int").alias("n_redactions"),
         F.regexp_replace("t", _EMAIL_RE, "<EMAIL>").alias("clean_text"),
+    )
+
+
+@register(
+    "ngram_topk",
+    oracle="""
+WITH d AS (SELECT string_split(text, ' ') AS t FROM documents),
+g AS (
+  SELECT unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1]))
+           AS gram
+  FROM d WHERE len(t) >= 2
+)
+SELECT gram, count(*) AS cnt
+FROM g
+GROUP BY gram
+ORDER BY cnt DESC, gram ASC
+LIMIT 20
+""".strip(),
+    tags=("text", "ngram"),
+)
+def ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide top-20 bigrams — the vocabulary/ngram census step of
+    corpus analysis.  Map-side partial aggregation collapses each
+    partition's gram counts before the shuffle (one row per distinct
+    gram, not per occurrence), and the final top-k is
+    TakeOrderedAndProject — no global sort materializes at any scale.
+    Tie-break on the gram string keeps LIMIT deterministic.
+    explode_outer+filter, not explode: InferFiltersFromGenerate would
+    re-inline the whole gram pipeline into an inferred size()>0
+    predicate (see catalyst notes in operators/minhash.py)."""
+    from mapreduce_framework_spark.functions.tokenize import word_ngrams
+
+    d = (
+        table(spark, sf_dir, "documents")
+        .select(F.split("text", " ").alias("t"))
+        .where(F.size("t") >= 2)
+        .select(word_ngrams(F.col("t"), 2).alias("grams"))
+    )
+    g = d.select(F.explode_outer("grams").alias("gram")).where(
+        F.col("gram").isNotNull()
+    )
+    return (
+        g.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("gram"))
+        .limit(20)
+    )
+
+
+@register(
+    "tfidf_topk",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term
+),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+         CAST(tf.tf * n.n_docs AS DOUBLE) / df.df AS score
+  FROM tf JOIN df USING (term) CROSS JOIN n
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+                               ORDER BY score DESC, term ASC) AS rn
+  FROM scored
+)
+SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df, score
+FROM ranked WHERE rn <= 3
+""".strip(),
+    tags=("text", "tfidf"),
+)
+def tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 characteristic terms per document by tf×(N/df) — TF-IDF
+    with a LINEAR inverse document frequency.  Linear, not log, on
+    purpose: ln() is libm-dependent in its last ulp across engines,
+    while tf·N is exact int64 and one IEEE division is bit-identical
+    everywhere; the per-doc ranking this produces is the same shape.
+
+    Scale: tf and df are two cascaded hash aggregations (both map-side
+    combined); the doc count joins in as a broadcast scalar; the rank
+    window partitions per doc.  The only corpus-sized shuffle key is the
+    term — at 100 TB, hot terms ('the') are exactly the skew case
+    agg_salted_skew demonstrates the fix for."""
+    d = table(spark, sf_dir, "documents")
+    tok = (
+        d.select("doc_id", F.split("text", " ").alias("t"))
+        .select("doc_id", F.explode_outer("t").alias("term"))
+        .where(F.col("term").isNotNull())
+    )
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(df_, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "df",
+            ((F.col("tf") * F.col("n_docs")).cast("double") / F.col("df")).alias(
+                "score"
+            ),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .drop("rn")
+    )
+
+
+@register(
+    "contamination_ngram",
+    oracle="""
+WITH d AS (
+  SELECT doc_id,
+         CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'c'
+              THEN 'train' ELSE 'eval' END AS split,
+         string_split(text, ' ') AS t
+  FROM documents
+),
+g AS (
+  SELECT doc_id, split,
+         unnest(CASE WHEN len(t) >= 5
+                     THEN list_distinct(list_transform(range(1, len(t) - 3),
+                            i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                                 || ' ' || t[i+3] || ' ' || t[i+4]))
+                     ELSE [] END) AS gram
+  FROM d
+),
+tr AS (SELECT DISTINCT gram FROM g WHERE split = 'train'),
+ev AS (SELECT doc_id, gram FROM g WHERE split = 'eval'),
+hits AS (
+  SELECT ev.doc_id, count(*) AS n_contaminated
+  FROM ev JOIN tr ON ev.gram = tr.gram
+  GROUP BY ev.doc_id
+),
+base AS (SELECT doc_id, count(*) AS n_grams FROM ev GROUP BY doc_id)
+SELECT base.doc_id,
+       base.n_grams,
+       coalesce(hits.n_contaminated, 0) AS n_contaminated,
+       CAST(coalesce(hits.n_contaminated, 0) AS DOUBLE) / base.n_grams
+         AS contamination_ratio
+FROM base LEFT JOIN hits ON base.doc_id = hits.doc_id
+""".strip(),
+    tags=("text", "contamination", "pipeline"),
+)
+def contamination_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train→eval contamination check: the fraction of each eval doc's
+    distinct word-5-grams that also appear anywhere in the train split —
+    the decontamination audit every benchmark-respecting training
+    pipeline runs.  Splits follow the md5-hexdigit convention of
+    split_train_eval, so the audit composes with the split it audits.
+
+    Scale: per-doc gram sets are deduped BEFORE the join (array_distinct
+    inside the row — no cross-doc shuffle), and the train side collapses
+    to distinct grams.  At 100 TB you'd join on xxhash64(gram) (8-byte
+    keys instead of ~40-byte strings) and pre-filter eval grams with a
+    bloom filter built from the train side; the string join here keeps
+    the oracle exact."""
+    from mapreduce_framework_spark.functions.tokenize import word_ngrams
+
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(
+            F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 1)
+            < "c",
+            "train",
+        )
+        .otherwise("eval")
+        .alias("split"),
+        F.split("text", " ").alias("t"),
+    )
+    g = (
+        d.select(
+            "doc_id",
+            "split",
+            F.array_distinct(word_ngrams(F.col("t"), 5)).alias("grams"),
+        )
+        .select("doc_id", "split", F.explode_outer("grams").alias("gram"))
+        .where(F.col("gram").isNotNull())
+    )
+    train = g.where(F.col("split") == "train").select("gram").distinct()
+    ev = g.where(F.col("split") == "eval").select("doc_id", "gram")
+    hits = ev.join(train, "gram").groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_contaminated")
+    )
+    base = ev.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
+    return base.join(hits, "doc_id", "left").select(
+        "doc_id",
+        "n_grams",
+        F.coalesce("n_contaminated", F.lit(0)).alias("n_contaminated"),
+        (
+            F.coalesce("n_contaminated", F.lit(0)).cast("double") / F.col("n_grams")
+        ).alias("contamination_ratio"),
     )
