@@ -108,3 +108,60 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_tokens").cast("bigint").alias("shard_tokens"),
         )
     )
+
+
+@register(
+    "sample_stratified",
+    oracle="""
+WITH d AS (
+  SELECT source, n_chars,
+         substring(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 1)
+           < CASE WHEN CAST(substring(source, 4) AS INTEGER) < 10
+                  THEN '4' ELSE 'c' END AS keep
+  FROM documents
+)
+SELECT source,
+       count(*) AS n_total,
+       count(*) FILTER (WHERE keep) AS n_sampled,
+       CAST(SUM(CAST(n_chars AS DECIMAL(18,0))) FILTER (WHERE keep) AS BIGINT)
+         AS sampled_chars
+FROM d
+GROUP BY source
+""".strip(),
+    tags=("pipeline", "sample"),
+)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified corpus sampling with per-stratum rates (head sources
+    src0–src9 kept at 4/16, the rest at 12/16) decided by a salted
+    md5-hexdigit of the doc id — the downsample-the-overrepresented-
+    source step of corpus curation.  Hash-based, like split_train_eval:
+    no sampling state, no RNG, reproducible per row at any scale and
+    under any partitioning.  The salt ('sample:') decorrelates the
+    sampling decision from the train/eval split hash, so sampling does
+    not bias the split.  One scan, conditional aggregates — the keep
+    decision never materializes a second copy of the corpus."""
+    d = table(spark, sf_dir, "documents")
+    threshold = F.when(
+        F.substring("source", 4, 10).cast("int") < 10, F.lit("4")
+    ).otherwise(F.lit("c"))
+    keep = (
+        F.substring(
+            F.md5(F.concat(F.lit("sample:"), F.col("doc_id").cast("string")).cast("binary")),
+            1,
+            1,
+        )
+        < threshold
+    )
+    return (
+        d.select("source", "n_chars", keep.alias("keep"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.count(F.when(F.col("keep"), 1)).alias("n_sampled"),
+            F.sum(
+                F.when(F.col("keep"), F.col("n_chars").cast("decimal(18,0)"))
+            )
+            .cast("bigint")
+            .alias("sampled_chars"),
+        )
+    )

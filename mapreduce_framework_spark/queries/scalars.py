@@ -261,3 +261,38 @@ def scalar_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("size_band"),
         F.nullif(F.col("p_size"), F.lit(0)).alias("size_nz"),
     )
+
+
+@register(
+    "scalar_bitwise",
+    oracle="""
+SELECT o_orderkey,
+       o_orderkey << 3 AS shl3,
+       o_orderkey >> 2 AS shr2,
+       o_orderkey & 255 AS low_byte,
+       o_orderkey | 4096 AS with_flag,
+       xor(o_orderkey, 255) AS xored,
+       CAST(bit_count(o_orderkey) AS INTEGER) AS popcount,
+       ~o_orderkey AS inverted
+FROM orders
+""".strip(),
+    tags=("scalar", "bitwise"),
+)
+def scalar_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise battery on int64 keys: shifts, and/or/xor, population
+    count, complement — the primitives under bitmap indexes, bloom
+    filters, and the reference's own hash routing (std::hash(key) % R,
+    workerimpl.cc:254).  All whole-stage-codegen JVM expressions; both
+    engines use arithmetic (sign-propagating) right shift on signed
+    64-bit values, which the oracle equality proves."""
+    k = F.col("o_orderkey")
+    return table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.shiftleft(k, 3).alias("shl3"),
+        F.shiftright(k, 2).alias("shr2"),
+        k.bitwiseAND(F.lit(255)).alias("low_byte"),
+        k.bitwiseOR(F.lit(4096)).alias("with_flag"),
+        k.bitwiseXOR(F.lit(255)).alias("xored"),
+        F.bit_count(k).alias("popcount"),
+        F.bitwise_not(k).alias("inverted"),
+    )

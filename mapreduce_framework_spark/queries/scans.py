@@ -145,3 +145,84 @@ def sink_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         # re-rounding it to 2 at cast time is engine-dependent.
         F.sum(F.col("o_totalprice").cast("decimal(18,4)")).cast("double").alias("total"),
     )
+
+
+@register(
+    "sink_scd2",
+    oracle="""
+WITH snap AS (
+  SELECT c_custkey, c_mktsegment,
+         TIMESTAMP '1995-01-01 00:00:00' AS valid_from
+  FROM customer
+),
+changes AS (
+  SELECT c_custkey, 'REASSIGNED' AS c_mktsegment
+  FROM customer WHERE c_custkey % 20 = 0
+),
+closed AS (
+  SELECT s.c_custkey, s.c_mktsegment, s.valid_from,
+         CASE WHEN c.c_custkey IS NOT NULL
+              THEN TIMESTAMP '1997-06-01 00:00:00' END AS valid_to
+  FROM snap s LEFT JOIN changes c ON s.c_custkey = c.c_custkey
+),
+inserted AS (
+  SELECT c_custkey, c_mktsegment,
+         TIMESTAMP '1997-06-01 00:00:00' AS valid_from,
+         CAST(NULL AS TIMESTAMP) AS valid_to
+  FROM changes
+)
+SELECT c_custkey, c_mktsegment, valid_from, valid_to,
+       CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END AS is_current
+FROM (SELECT * FROM closed UNION ALL SELECT * FROM inserted)
+""".strip(),
+    tags=("sink", "scd2"),
+)
+def sink_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type-2 maintenance on plain parquet:
+    a change batch closes the matched current rows (valid_to stamped)
+    and appends new current rows, written back and re-read.  With
+    MERGE-less parquet this is the standard history-table recipe:
+    broadcast the (small) change batch into one snapshot scan — the
+    same single-scan rewrite bound as sink_merge_upsert, but producing
+    validity intervals instead of replacement.  At scale, partitioning
+    the history table by is_current (or valid_to IS NULL) keeps the
+    'current view' read to a partition subset."""
+    v_old = F.lit("1995-01-01 00:00:00").cast("timestamp")
+    v_new = F.lit("1997-06-01 00:00:00").cast("timestamp")
+    snap = (
+        table(spark, sf_dir, "customer")
+        .select("c_custkey", "c_mktsegment")
+        .withColumn("valid_from", v_old)
+    )
+    changes = (
+        snap.where(F.col("c_custkey") % 20 == 0)
+        .select("c_custkey")
+        .withColumn("c_mktsegment", F.lit("REASSIGNED"))
+    )
+    closed = snap.join(
+        F.broadcast(changes.select("c_custkey", F.lit(1).alias("chg"))),
+        "c_custkey",
+        "left",
+    ).select(
+        "c_custkey",
+        "c_mktsegment",
+        "valid_from",
+        F.when(F.col("chg").isNotNull(), v_new).alias("valid_to"),
+    )
+    inserted = changes.select(
+        "c_custkey",
+        "c_mktsegment",
+        v_new.alias("valid_from"),
+        F.lit(None).cast("timestamp").alias("valid_to"),
+    )
+    history = closed.unionByName(inserted)
+    out = tempfile.mkdtemp(prefix="mfs_scd2_")
+    history.write.mode("overwrite").parquet(out)
+    back = spark.read.parquet(out)
+    return back.select(
+        "c_custkey",
+        "c_mktsegment",
+        "valid_from",
+        "valid_to",
+        F.when(F.col("valid_to").isNull(), 1).otherwise(0).alias("is_current"),
+    )
