@@ -4,6 +4,7 @@ from mapreduce_framework_spark.queries import (  # noqa: F401
     aggregations,
     dedup,
     filters,
+    graphs,
     joins,
     mapreduce_job,
     multimodal,

@@ -7,7 +7,7 @@ reduce.py:12-15), minus the blob-storage round-trips.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from mapreduce_framework_spark.functions.numeric import davg, davg_sql, dsum, dsum_sql
@@ -489,4 +489,165 @@ def agg_partial_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum("s").cast("double") / F.sum("n")).alias("avg_price"),
         F.min("mn").alias("min_price"),
         F.max("mx").alias("max_price"),
+    )
+
+
+@register(
+    "agg_mode",
+    oracle="""
+WITH cnt AS (
+  SELECT c_mktsegment AS seg, o_orderpriority AS prio, count(*) AS cnt
+  FROM customer JOIN orders ON c_custkey = o_custkey
+  GROUP BY 1, 2
+),
+r AS (
+  SELECT seg, prio, cnt,
+         row_number() OVER (PARTITION BY seg
+                            ORDER BY cnt DESC, prio ASC) AS rn
+  FROM cnt
+)
+SELECT seg, prio AS modal_priority, cnt AS modal_cnt FROM r WHERE rn = 1
+""".strip(),
+    tags=("agg", "mode"),
+)
+def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-group mode: the most frequent order priority
+    per market segment, ties broken lexicographically.  Built-in
+    ``mode()`` is tie-nondeterministic in both engines, so the idiom is
+    count-then-argmax — here as a single struct-MIN over
+    (-cnt, priority), which Catalyst executes as one more hash
+    aggregate over the (few) group×value count rows: no window, no
+    second shuffle of base data, and lexicographic struct comparison
+    encodes exactly the ORDER BY cnt DESC, prio ASC tie-break."""
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    o = table(spark, sf_dir, "orders").select("o_custkey", "o_orderpriority")
+    cnt = (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .groupBy(
+            F.col("c_mktsegment").alias("seg"), F.col("o_orderpriority").alias("prio")
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    m = cnt.groupBy("seg").agg(
+        F.min(
+            F.struct((-F.col("cnt")).alias("neg_cnt"), F.col("prio").alias("p"))
+        ).alias("m")
+    )
+    return m.select(
+        "seg",
+        F.col("m.p").alias("modal_priority"),
+        (-F.col("m.neg_cnt")).alias("modal_cnt"),
+    )
+
+
+@register(
+    "agg_histogram",
+    oracle="""
+WITH h AS (
+  SELECT CAST(floor(o_totalprice / 20000) AS BIGINT) AS bucket,
+         count(*) AS n,
+         min(o_totalprice) AS lo,
+         max(o_totalprice) AS hi
+  FROM orders
+  GROUP BY 1
+)
+SELECT bucket, n, lo, hi,
+       CAST(SUM(n) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         AS cum_n
+FROM h
+""".strip(),
+    tags=("agg", "histogram"),
+)
+def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of order totals (20k buckets) with a
+    cumulative count — the distribution-profiling pass behind skew
+    detection and salting decisions (operators/salting.py).  The
+    binning aggregate is fully parallel (bucket id is a scan-side
+    expression, partial+final hash agg); only the BOUNDED bucket table
+    (~30 rows, price-range/20k — independent of row count) crosses the
+    single-partition CDF window, so the global window is safe at any
+    data scale."""
+    o = table(spark, sf_dir, "orders")
+    h = o.groupBy(
+        F.floor(F.col("o_totalprice") / 20000).cast("bigint").alias("bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("o_totalprice").alias("lo"),
+        F.max("o_totalprice").alias("hi"),
+    )
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return h.select(
+        "bucket", "n", "lo", "hi", F.sum("n").over(w).cast("bigint").alias("cum_n")
+    )
+
+
+@register(
+    "events_funnel",
+    oracle="""
+WITH v AS (
+  SELECT user_id, min(ts) AS t_view
+  FROM events WHERE event_type = 'view' GROUP BY user_id
+),
+c AS (
+  SELECT e.user_id, min(e.ts) AS t_click
+  FROM events e JOIN v ON e.user_id = v.user_id
+  WHERE e.event_type = 'click' AND e.ts > v.t_view
+  GROUP BY e.user_id
+),
+p AS (
+  SELECT e.user_id, min(e.ts) AS t_purchase
+  FROM events e JOIN c ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+  GROUP BY e.user_id
+)
+SELECT v.user_id, v.t_view, c.t_click, p.t_purchase,
+       1 + CASE WHEN c.user_id IS NULL THEN 0 ELSE 1 END
+         + CASE WHEN p.user_id IS NULL THEN 0 ELSE 1 END AS stage
+FROM v
+LEFT JOIN c ON v.user_id = c.user_id
+LEFT JOIN p ON v.user_id = p.user_id
+""".strip(),
+    tags=("agg", "funnel", "events"),
+)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential funnel (view → later click → later purchase) per
+    user: each stage's earliest qualifying timestamp must strictly
+    follow the previous stage's.  The idiom is cascaded
+    filter-aggregate-join rounds — every join and aggregation keys on
+    ``user_id``, so one hash partitioning serves the whole funnel
+    (Catalyst reuses the exchange), and each stage's frame is one row
+    per surviving user, shrinking monotonically.  Timestamps compare at
+    full microsecond precision, identical in both engines."""
+    e = table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    v = (
+        e.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        e.join(v, "user_id")
+        .where((F.col("event_type") == "click") & (F.col("ts") > F.col("t_view")))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        e.join(c, "user_id")
+        .where((F.col("event_type") == "purchase") & (F.col("ts") > F.col("t_click")))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    return (
+        v.join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .select(
+            "user_id",
+            "t_view",
+            "t_click",
+            "t_purchase",
+            (
+                F.lit(1)
+                + F.when(F.col("t_click").isNull(), 0).otherwise(1)
+                + F.when(F.col("t_purchase").isNull(), 0).otherwise(1)
+            ).alias("stage"),
+        )
     )
