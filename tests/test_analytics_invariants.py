@@ -1,0 +1,138 @@
+"""Invariants of the sessionization / funnel / PageRank / histogram /
+contamination queries that the oracle hash can't see: the hash proves
+cross-engine agreement, these prove the semantics are the intended ones.
+"""
+
+from __future__ import annotations
+
+from collections import defaultdict
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR
+
+
+def _q(spark, name):
+    from mapreduce_framework_spark.registry import get_query
+
+    return get_query(name).fn(spark, SF_DIR)
+
+
+def test_sessionize_gap_semantics(spark):
+    """Within a session all consecutive gaps are ≤ 30 min; consecutive
+    sessions of the same user are separated by > 30 min; event counts
+    conserve."""
+    from mapreduce_framework_spark.io import table
+
+    sessions = _q(spark, "window_sessionize").collect()
+    events = (
+        table(spark, SF_DIR, "events")
+        .select("user_id", F.col("ts").cast("long").alias("sec"), "event_id")
+        .collect()
+    )
+    by_user = defaultdict(list)
+    for r in events:
+        by_user[r.user_id].append((r.sec, r.event_id))
+    # Recompute sessions in pure Python and compare aggregate shape.
+    expected_counts = defaultdict(int)
+    for uid, evs in by_user.items():
+        evs.sort()
+        sid = 0
+        prev = None
+        for sec, _ in evs:
+            if prev is None or sec - prev > 1800:
+                sid += 1
+            expected_counts[(uid, sid)] += 1
+            prev = sec
+    got_counts = {(r.user_id, r.session_no): r.n_events for r in sessions}
+    assert got_counts == dict(expected_counts)
+    assert sum(r.n_events for r in sessions) == len(events)
+    for r in sessions:
+        assert r.duration_s >= 0
+
+
+def test_funnel_stage_ordering(spark):
+    """Funnel timestamps are strictly increasing along reached stages,
+    and stage counts are monotonically non-increasing."""
+    rows = _q(spark, "events_funnel").collect()
+    n = [0, 0, 0]
+    for r in rows:
+        assert r.stage == 1 + (r.t_click is not None) + (r.t_purchase is not None)
+        if r.t_click is not None:
+            assert r.t_click > r.t_view
+            n[1] += 1
+        if r.t_purchase is not None:
+            assert r.t_click is not None, "stage skipped"
+            assert r.t_purchase > r.t_click
+            n[2] += 1
+        n[0] += 1
+    assert n[0] >= n[1] >= n[2]
+    assert n[0] > 0
+
+
+def test_pagerank_bounds_and_determinism(spark):
+    """Every rank ≥ the damping floor; total rank is bounded by the
+    initial mass (floor() only discards); re-running is bit-identical."""
+    rows = _q(spark, "graph_pagerank").collect()
+    assert rows, "empty graph"
+    total_initial = len(rows) * 1_000_000
+    total = sum(r["rank"] for r in rows)
+    for r in rows:
+        assert r["rank"] >= 150_000
+    assert total <= total_initial
+    # Mass shouldn't collapse either: floor() loses < 1 unit per edge
+    # per round; 15% redistribution base keeps sums in the same decade.
+    assert total >= total_initial * 0.5
+    again = _q(spark, "graph_pagerank").collect()
+    assert sorted((r["node"], r["rank"]) for r in rows) == sorted(
+        (r["node"], r["rank"]) for r in again
+    )
+
+
+def test_histogram_partitions_orders(spark):
+    """Buckets tile the value range: counts sum to the table count,
+    bucket bounds nest inside [bucket*w, (bucket+1)*w), and the CDF is
+    strictly increasing with the last value equal to the total."""
+    from mapreduce_framework_spark.io import table
+
+    rows = sorted(_q(spark, "agg_histogram").collect(), key=lambda r: r.bucket)
+    n_orders = table(spark, SF_DIR, "orders").count()
+    assert sum(r.n for r in rows) == n_orders
+    w = 20000
+    cum = 0
+    for r in rows:
+        assert r.bucket * w <= r.lo <= r.hi < (r.bucket + 1) * w
+        cum += r.n
+        assert r.cum_n == cum
+    assert rows[-1].cum_n == n_orders
+
+
+def test_contamination_ratio_bounds(spark):
+    """Ratios live in [0,1]; a doc's contaminated grams never exceed its
+    gram count; only eval-split docs appear."""
+    rows = _q(spark, "contamination_ngram").collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.n_contaminated <= r.n_grams
+        assert abs(r.contamination_ratio - r.n_contaminated / r.n_grams) < 1e-12
+    # Split membership: every doc_id hashes to the eval bucket.
+    import hashlib
+
+    for r in rows:
+        assert hashlib.md5(str(r.doc_id).encode()).hexdigest()[0] >= "c"
+
+
+def test_stratified_sample_rates(spark):
+    """Per-stratum sampled fraction tracks the declared 4/16 vs 12/16
+    rates (loose bounds at small SF), and sampling is a pure function
+    of doc_id (identical on re-run)."""
+    rows = _q(spark, "sample_stratified").collect()
+    for r in rows:
+        frac = r.n_sampled / r.n_total
+        head = int(r.source[3:]) < 10
+        if head:
+            assert frac <= 0.6
+        else:
+            assert frac >= 0.4
+    again = _q(spark, "sample_stratified").collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
