@@ -651,3 +651,55 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("stage"),
         )
     )
+
+
+@register(
+    "calendar_spine_gapfill",
+    oracle="""
+WITH b AS (
+  SELECT CAST(date_trunc('day', min(o_orderdate)) AS TIMESTAMP) AS lo,
+         CAST(date_trunc('day', max(o_orderdate)) AS TIMESTAMP) AS hi
+  FROM orders
+),
+spine AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS d FROM b),
+daily AS (
+  SELECT CAST(date_trunc('day', o_orderdate) AS TIMESTAMP) AS d, count(*) AS n
+  FROM orders GROUP BY 1
+)
+SELECT CAST(date_trunc('month', s.d) AS DATE) AS month,
+       count(*) AS n_days,
+       count(*) FILTER (WHERE daily.n IS NULL) AS n_zero_days,
+       CAST(coalesce(SUM(daily.n), 0) AS BIGINT) AS total_orders
+FROM spine s LEFT JOIN daily ON s.d = daily.d
+GROUP BY 1
+""".strip(),
+    tags=("agg", "gapfill"),
+)
+def calendar_spine_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar densification: generate the full day spine between the
+    first and last order date, left-join daily counts, and report
+    zero-order days per month — the gap-filling step every time-series
+    rollup needs (an aggregation alone can't see days with NO rows).
+    The spine is `sequence()` over a 2-row-bound aggregate — its size
+    is the date RANGE, not the row count, so at 100 TB it is still a
+    few thousand rows and broadcasts into the join; the daily counts
+    side is a normal partial+final aggregate of the fact table."""
+    o = table(spark, sf_dir, "orders")
+    b = o.agg(
+        F.date_trunc("day", F.min("o_orderdate")).alias("lo"),
+        F.date_trunc("day", F.max("o_orderdate")).alias("hi"),
+    )
+    spine = b.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 DAY"))).alias("d")
+    )
+    daily = o.groupBy(F.date_trunc("day", F.col("o_orderdate")).alias("d")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    joined = spine.join(daily, "d", "left")
+    return joined.groupBy(
+        F.date_trunc("month", F.col("d")).cast("date").alias("month")
+    ).agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.count(F.when(F.col("n").isNull(), 1)).alias("n_zero_days"),
+        F.coalesce(F.sum("n"), F.lit(0)).cast("bigint").alias("total_orders"),
+    )

@@ -296,3 +296,41 @@ def scalar_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.bit_count(k).alias("popcount"),
         F.bitwise_not(k).alias("inverted"),
     )
+
+
+@register(
+    "scalar_datetime_parts",
+    oracle="""
+SELECT event_id,
+       CAST(quarter(ts) AS INTEGER) AS q,
+       CAST(weekofyear(ts) AS INTEGER) AS iso_week,
+       CAST(dayofyear(ts) AS INTEGER) AS doy,
+       CAST(dayofweek(ts) AS INTEGER) AS dow0,
+       CAST(hour(ts) AS INTEGER) AS h,
+       CAST(minute(ts) AS INTEGER) AS m,
+       ts + INTERVAL 90 MINUTE AS ts_plus_90m,
+       CAST(date_trunc('day', ts) AS DATE) AS day
+FROM events
+""".strip(),
+    tags=("scalar", "datetime"),
+)
+def scalar_datetime_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Datetime-part extraction + interval arithmetic battery on
+    microsecond event timestamps.  The one cross-engine convention trap
+    is day-of-week numbering — Spark's dayofweek is 1=Sunday, DuckDB's
+    is 0=Sunday — normalized here to the 0-based convention; ISO week
+    and day-of-year agree natively.  Interval addition stays in
+    whole-stage codegen (no Python), and month addition (scalar_date's
+    add_months) clamps to month-end identically in both engines."""
+    e = table(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        F.quarter("ts").alias("q"),
+        F.weekofyear("ts").alias("iso_week"),
+        F.dayofyear("ts").alias("doy"),
+        (F.dayofweek("ts") - 1).cast("int").alias("dow0"),
+        F.hour("ts").alias("h"),
+        F.minute("ts").alias("m"),
+        (F.col("ts") + F.expr("INTERVAL 90 MINUTE")).alias("ts_plus_90m"),
+        F.date_trunc("day", F.col("ts")).cast("date").alias("day"),
+    )

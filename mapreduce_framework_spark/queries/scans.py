@@ -226,3 +226,51 @@ def sink_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
         "valid_to",
         F.when(F.col("valid_to").isNull(), 1).otherwise(0).alias("is_current"),
     )
+
+
+@register(
+    "sink_sorted_clustered",
+    oracle="""
+SELECT CAST(date_trunc('month', l_shipdate) AS DATE) AS month,
+       count(*) AS n_items,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
+            AS DOUBLE) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1996-07-01 00:00:00'
+GROUP BY 1
+""".strip(),
+    tags=("sink", "clustering"),
+)
+def sink_sorted_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sort-clustered parquet layout: rewrite lineitem sorted by
+    l_shipdate WITHIN partitions, then answer a date-range question
+    from the clustered copy.  sortWithinPartitions (no global sort, no
+    extra shuffle) is the layout half of data skipping: with rows
+    clustered on the filter column, parquet row-group min/max stats
+    become disjoint ranges and the pushed-down predicate prunes most
+    row groups at scan time — at 100 TB this is the difference between
+    reading six months and reading every file.  The result is
+    layout-independent (the oracle reads the original table), which is
+    exactly the point: clustering changes the COST, not the answer."""
+    src = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate", "l_extendedprice", "l_discount"
+    )
+    out = tempfile.mkdtemp(prefix="mfs_clustered_")
+    src.sortWithinPartitions("l_shipdate").write.mode("overwrite").parquet(out)
+    back = spark.read.parquet(out).where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-07-01").cast("timestamp"))
+    )
+    return back.groupBy(
+        F.date_trunc("month", F.col("l_shipdate")).cast("date").alias("month")
+    ).agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum(
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                "decimal(18,4)"
+            )
+        )
+        .cast("double")
+        .alias("revenue"),
+    )
