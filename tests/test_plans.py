@@ -231,3 +231,25 @@ def test_pack_sequences_avoids_global_sort(spark):
     plan = formatted_plan(_q(spark, "pack_sequences"))
     assert "SinglePartition" not in plan
     assert "hashpartitioning(source" in plan
+
+
+def test_sessionize_is_single_shuffle(spark):
+    """Both sessionize windows and the final per-session aggregate must
+    share ONE user_id exchange — a second exchange means the groupBy
+    stopped reusing the window partitioning (the whole scale story of
+    this operator)."""
+    from mapreduce_framework_spark.plans import count_exchanges
+
+    assert count_exchanges(_q(spark, "window_sessionize")) == 1
+
+
+def test_ngram_topk_take_ordered_with_partial_agg(spark):
+    """Corpus bigram top-k: partial aggregation below the exchange
+    (one row per distinct gram shuffles, not per occurrence) and
+    TakeOrderedAndProject on top (never a global sort)."""
+    from mapreduce_framework_spark.plans import formatted_plan, has_operator
+
+    df = _q(spark, "ngram_topk")
+    assert has_operator(df, "TakeOrderedAndProject")
+    plan = formatted_plan(df)
+    assert "partial_count" in plan or "HashAggregate" in plan
