@@ -703,3 +703,52 @@ def calendar_spine_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(F.col("n").isNull(), 1)).alias("n_zero_days"),
         F.coalesce(F.sum("n"), F.lit(0)).cast("bigint").alias("total_orders"),
     )
+
+
+@register(
+    "events_retention",
+    oracle="""
+WITH first_seen AS (
+  SELECT user_id, CAST(date_trunc('week', min(ts)) AS DATE) AS cohort_week
+  FROM events GROUP BY user_id
+),
+activity AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS active_week
+  FROM events
+)
+SELECT f.cohort_week,
+       CAST(date_diff('day', f.cohort_week, a.active_week) / 7 AS INTEGER)
+         AS week_offset,
+       count(*) AS n_active_users
+FROM first_seen f
+JOIN activity a ON f.user_id = a.user_id
+GROUP BY 1, 2
+""".strip(),
+    tags=("agg", "retention", "events"),
+)
+def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: users bucketed by the ISO week of their
+    first event, counted in every later week they return — the
+    retention triangle behind every activation dashboard.  One row per
+    (user, active-week) survives the dedup, so the cohort join moves
+    user-cardinality data, not event-cardinality; both the first-seen
+    aggregate and the join key on user_id (shared partitioning).  The
+    offset divides an exact multiple of 7, so integer division is safe
+    in both engines; week truncation starts Monday in both."""
+    e = table(spark, sf_dir, "events")
+    first_seen = e.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).cast("date").alias("cohort_week")
+    )
+    activity = e.select(
+        "user_id", F.date_trunc("week", F.col("ts")).cast("date").alias("active_week")
+    ).distinct()
+    return (
+        first_seen.join(activity, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.datediff("active_week", "cohort_week") / 7)
+            .cast("int")
+            .alias("week_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_active_users"))
+    )

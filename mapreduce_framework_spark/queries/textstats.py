@@ -483,3 +483,50 @@ def contamination_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n_contaminated", F.lit(0)).cast("double") / F.col("n_grams")
         ).alias("contamination_ratio"),
     )
+
+
+@register(
+    "text_repetition_ratio",
+    oracle="""
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+g AS (
+  SELECT doc_id,
+         len(t) - 2 AS n_grams,
+         len(list_distinct(list_transform(range(1, len(t) - 1),
+               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS n_distinct
+  FROM d WHERE len(t) >= 3
+)
+SELECT doc_id, n_grams, n_distinct,
+       1.0 - CAST(n_distinct AS DOUBLE) / n_grams AS rep_ratio,
+       CASE WHEN 1.0 - CAST(n_distinct AS DOUBLE) / n_grams > 0.2
+            THEN 1 ELSE 0 END AS is_repetitive
+FROM g
+""".strip(),
+    tags=("text", "quality", "repetition"),
+)
+def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition (Gopher-style quality signal): the
+    fraction of word-3-grams that are repeats of an earlier gram in the
+    same doc.  Boilerplate and looping generations score high and get
+    flagged.  Entirely row-local — gram lists never leave their row, so
+    the pass is scan-side with zero shuffle at any corpus size.  Grams
+    are staged as a named column once (HOF-re-evaluation rule,
+    operators/minhash.py)."""
+    from mapreduce_framework_spark.functions.tokenize import word_ngrams
+
+    d = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", F.split("text", " ").alias("t"))
+        .where(F.size("t") >= 3)
+        .select("doc_id", word_ngrams(F.col("t"), 3).alias("grams"))
+    )
+    n_grams = F.size("grams")
+    n_distinct = F.size(F.array_distinct("grams"))
+    rep = F.lit(1.0) - n_distinct.cast("double") / n_grams
+    return d.select(
+        "doc_id",
+        n_grams.alias("n_grams"),
+        n_distinct.alias("n_distinct"),
+        rep.alias("rep_ratio"),
+        F.when(rep > 0.2, 1).otherwise(0).alias("is_repetitive"),
+    )
