@@ -57,3 +57,70 @@ def mapreduce_job_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
     return result.select(
         F.col("key").alias("word"), F.col("value").alias("cnt")
     )
+
+
+_CHAIN_ORACLE = f"""
+SELECT substring(word, 1, 1) AS letter, count(*) AS total
+FROM (
+    SELECT unnest({tokenize_sql_duckdb('text')}) AS word
+    FROM documents
+)
+GROUP BY 1
+""".strip()
+
+
+def _make_first_letter_mapfunc():
+    """Second-stage mapfunc: consumes the FIRST job's ``key:value``
+    output lines (word:count) and re-keys counts by first letter.
+    Closure-built so cloudpickle ships it by value (executors never
+    import this package)."""
+
+    def mapfunc(path: str) -> dict[str, int]:
+        counts: dict[str, int] = {}
+        with open(path, encoding="utf-8", errors="replace") as f:
+            for line in f:
+                line = line.rstrip("\n")
+                if not line:
+                    continue
+                key, _, value = line.rpartition(":")
+                if key:
+                    letter = key[0]
+                    counts[letter] = counts.get(letter, 0) + int(value)
+        return counts
+
+    return mapfunc
+
+
+@register("mapreduce_job_chained", oracle=_CHAIN_ORACLE, tags=("compat", "udf"))
+def mapreduce_job_chained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closure under composition, end-to-end (design.md:74: "output …
+    must be in the same format as we expect from input"): job 1 is the
+    reference word count; job 2's INPUT PATH is job 1's text sink
+    directory, unmodified — its mapfunc parses the ``word:count`` lines
+    and re-keys totals by first letter, its reducefunc is the stock sum
+    reducer.  The oracle recomputes the composition declaratively from
+    the source corpus, so the hash proves the two chained opaque-UDF
+    jobs equal one two-level aggregation — chaining loses nothing."""
+    corpus = os.path.join(
+        tempfile.gettempdir(), f"mfs_mrc_corpus_{os.path.basename(sf_dir)}"
+    )
+    mid = os.path.join(tempfile.gettempdir(), f"mfs_mrc_mid_{os.path.basename(sf_dir)}")
+    table(spark, sf_dir, "documents").select("text").write.mode("overwrite").text(
+        corpus
+    )
+    compat.run_job(
+        spark,
+        corpus,
+        compat.make_wordcount_mapfunc(),
+        compat.make_wordcount_reducefunc(),
+        num_reducers=5,
+        output_path=mid,
+    )
+    result = compat.run_job(
+        spark,
+        mid,  # job 2 reads job 1's sink as-is: the chaining invariant
+        _make_first_letter_mapfunc(),
+        compat.make_wordcount_reducefunc(),
+        num_reducers=3,
+    )
+    return result.select(F.col("key").alias("letter"), F.col("value").alias("total"))
