@@ -253,3 +253,41 @@ def test_ngram_topk_take_ordered_with_partial_agg(spark):
     assert has_operator(df, "TakeOrderedAndProject")
     plan = formatted_plan(df)
     assert "partial_count" in plan or "HashAggregate" in plan
+
+
+def test_runtime_bloom_filter_injects_on_selective_join(spark):
+    """Spark's runtime bloom-filter join (the 100 TB shuffle reducer:
+    the selective side's keys are sketched and applied as a
+    might_contain prefilter on the big side's scan) stays OFF at local
+    fixture sizes — the application-side threshold is 10 GB — but must
+    inject once thresholds reflect big-data conditions.  This pins that
+    the engine's plans are bloom-eligible: join shape and key types
+    qualify, so at real scale the filter appears with default configs."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_framework_spark.io import table
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        li = table(spark, SF_DIR, "lineitem")
+        o = table(spark, SF_DIR, "orders").where(F.col("o_totalprice") > 300000)
+        j = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in plan, "runtime bloom filter did not inject"
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
