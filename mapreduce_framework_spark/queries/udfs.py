@@ -245,3 +245,37 @@ def udf_table_function(spark: SparkSession, sf_dir: str) -> DataFrame:
              LATERAL mfs_chunker(d.doc_id, d.text) AS c
         """
     )
+
+
+@register(
+    "udf_arrow_scalar",
+    oracle="""
+SELECT doc_id,
+       len(string_split(text, ' ')) AS n_tokens,
+       CASE WHEN len(string_split(text, ' ')) >= 64 THEN 'long'
+            WHEN len(string_split(text, ' ')) >= 16 THEN 'mid'
+            ELSE 'short' END AS length_band
+FROM documents
+""".strip(),
+    tags=("udf", "arrow"),
+)
+def udf_arrow_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-optimized Python UDF (``useArrow=True``): same row-wise
+    user code as a classic UDF, but batched over Arrow instead of
+    pickled row-by-row — the middle rung of the Python ladder (classic
+    UDF ≪ arrow UDF ≤ pandas UDF) and Spark 4's recommended default for
+    scalar Python logic.  The banding is recomputed declaratively by
+    the oracle, so the hash proves Arrow (de)serialization preserves
+    values exactly."""
+
+    def band(text: str) -> str:
+        n = len((text or "").split(" "))
+        return "long" if n >= 64 else ("mid" if n >= 16 else "short")
+
+    band_udf = F.udf(band, StringType(), useArrow=True)
+    d = table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.split("text", " ")).alias("n_tokens"),
+        band_udf("text").alias("length_band"),
+    )
