@@ -20,16 +20,28 @@ from mapreduce_framework_spark.registry import (  # noqa: E402
     oracle_sqls,
     query_fns,
 )
+from mapreduce_framework_spark.session import apply_runtime_confs  # noqa: E402
+
+
+def _pinned(fn: Callable[[SparkSession, str], DataFrame]) -> Callable[[SparkSession, str], DataFrame]:
+    """The driver hands us ITS SparkSession; pin the semantics-critical
+    runtime confs (UTC session timezone, Arrow lanes, AQE) before every
+    query so results don't depend on the harness session's defaults."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return fn(apply_runtime_confs(spark), sf_dir)
+
+    return run
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query (wordcount) on /root/testdata/sf0.001."""
-    return get_query("wordcount").fn(spark, "/root/testdata/sf0.001")
+    return _pinned(get_query("wordcount").fn)(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
-    return query_fns()
+    return {name: _pinned(fn) for name, fn in query_fns().items()}
 
 
 def oracle_sql() -> dict[str, str]:

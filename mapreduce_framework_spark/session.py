@@ -66,6 +66,38 @@ def get_spark(app_name: str = "mapreduce_framework_spark") -> SparkSession:
     return builder.getOrCreate()
 
 
+# Runtime-settable confs the engine's semantics depend on.  The driver
+# contract hands our queries an externally-built SparkSession, so these
+# must be (re-)applied per entry call, not only at build time:
+#   - session.timeZone: timestamp columns collect in session-local time;
+#     a non-UTC harness session would shift every timestamp result
+#     against the (naive-UTC) parquet data and the DuckDB oracle.
+#   - arrow.*: pandas/mapInPandas/UDTF paths must take the Arrow lane —
+#     correctness is unaffected but a pickled-row fallback is 10-100×
+#     slower, which at bench scale reads as a regression.
+#   - adaptive.*: the skew/coalesce safety nets every plan assumes.
+RUNTIME_CONFS: dict[str, str] = {
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.parquet.filterPushdown": "true",
+    "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+}
+
+
+def apply_runtime_confs(spark: SparkSession) -> SparkSession:
+    """Pin semantics-critical runtime confs on an externally-built
+    session (idempotent, cheap — plain SQLConf writes)."""
+    for k, v in RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:  # pragma: no cover - locked custom conf
+            pass
+    return spark
+
+
 def stop_spark() -> None:
     active = SparkSession.getActiveSession()
     if active is not None:
