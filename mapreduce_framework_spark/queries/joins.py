@@ -347,3 +347,45 @@ def join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_items"),
         dsum(F.col("l_extendedprice")).alias("revenue"),
     )
+
+
+@register(
+    "join_salted_skew",
+    oracle="""
+SELECT n_name,
+       count(*) AS n_customers,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+""".strip(),
+    tags=("join", "skew"),
+)
+def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe equi-join on a 25-value key (every key hot at scale):
+    the fact side is salted S ways and the dim side replicated S×, so
+    one hot nation's rows spread over S reducers instead of one — see
+    operators/salting.py.  Same answer as the plain join (the oracle IS
+    the plain join); the merge hint keeps the sf-sized dim from
+    broadcasting, which would hide the exchange being de-skewed.
+    AQE's skew-join split is the first line of defense; explicit
+    salting is for the cases it can't split (stream sides, or one key
+    larger than an executor)."""
+    from mapreduce_framework_spark.operators.salting import salted_join
+
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey", "c_acctbal")
+    n = table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nationkey"), "n_name"
+    )
+    joined = salted_join(
+        c,
+        n.hint("merge"),
+        on="c_nationkey",
+        salt_source=F.col("c_custkey"),
+        n_salts=8,
+    )
+    return joined.groupBy("n_name").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("total_acctbal"),
+    )

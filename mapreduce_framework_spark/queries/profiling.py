@@ -1,0 +1,147 @@
+"""Dataset profiling and layout-maintenance operations.
+
+A 100 TB corpus is curated by looking at it first: per-column null
+rates, cardinalities, and value ranges (the "data profile" every
+ingestion pipeline computes before schema decisions), and by keeping
+its file layout healthy afterwards (compacting the small files that
+incremental jobs accrete — the reference's one-blob-per-reducer sink,
+workerimpl.cc:319-333, is exactly how such small files are born:
+R reducers → R output blobs per job, forever).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mapreduce_framework_spark.io import table
+from mapreduce_framework_spark.registry import register
+
+# (column, null-count expr source, representation for min/max)
+# Representations are pinned to strings that render identically in
+# Spark and DuckDB: bigint/varchar cast directly, doubles go through
+# DECIMAL(18,2) (no scientific notation, fixed scale), timestamps
+# through an explicit UTC format string.
+_PROFILE_COLS = ("o_custkey", "o_orderstatus", "o_totalprice", "o_orderpriority", "o_orderdate")
+
+
+def _render(col: F.Column, c: str) -> F.Column:
+    """Render an aggregated (native-typed) min/max as a portable string.
+    Rendering happens AFTER aggregation: min/max must use the column's
+    native ordering (numeric/temporal), not the lexicographic order of
+    its string form."""
+    if c == "o_totalprice":
+        return col.cast("decimal(18,2)").cast("string")
+    if c == "o_orderdate":
+        return F.date_format(col, "yyyy-MM-dd HH:mm:ss")
+    return col.cast("string")
+
+
+def _duck_repr(c: str, agg: str) -> str:
+    if c == "o_totalprice":
+        return f"CAST(CAST({agg}({c}) AS DECIMAL(18,2)) AS VARCHAR)"
+    if c == "o_orderdate":
+        return f"strftime({agg}({c}), '%Y-%m-%d %H:%M:%S')"
+    return f"CAST({agg}({c}) AS VARCHAR)"
+
+
+_PROFILE_ORACLE = "\nUNION ALL\n".join(
+    f"""SELECT '{c}' AS column_name,
+       count(*) AS n_rows,
+       count(*) - count({c}) AS n_nulls,
+       count(DISTINCT {c}) AS n_distinct,
+       {_duck_repr(c, 'min')} AS min_repr,
+       {_duck_repr(c, 'max')} AS max_repr
+FROM orders"""
+    for c in _PROFILE_COLS
+)
+
+
+@register(
+    "profile_table",
+    oracle=_PROFILE_ORACLE,
+    tags=("profiling", "pipeline"),
+)
+def profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-scan column profile of ``orders``: row count, null count,
+    exact distinct count, and min/max (as engine-portable strings) for
+    five columns at once — the ingestion-time data profile.
+
+    Plan shape: a single global aggregate over one FileScan.  The
+    multi-column ``count(DISTINCT ...)`` makes Catalyst plan an Expand
+    (one duplicated stream per distinct column) feeding a two-phase
+    aggregate — the standard single-pass profiling plan.  Scale: Expand
+    multiplies the scan 5×; at 100 TB swap ``countDistinct`` for
+    ``approx_count_distinct`` (HLL, one stream, mergeable sketches) —
+    same query shape, declared here exact so the oracle can check it.
+    """
+    o = table(spark, sf_dir, "orders")
+    agg = o.agg(
+        F.count(F.lit(1)).alias("_n"),
+        *[
+            a
+            for c in _PROFILE_COLS
+            for a in (
+                F.count(F.col(c)).alias(f"_nn_{c}"),
+                F.countDistinct(F.col(c)).alias(f"_nd_{c}"),
+                F.min(F.col(c)).alias(f"_min_{c}"),
+                F.max(F.col(c)).alias(f"_max_{c}"),
+            )
+        ],
+    )
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column_name"),
+                F.col("_n").alias("n_rows"),
+                (F.col("_n") - F.col(f"_nn_{c}")).alias("n_nulls"),
+                F.col(f"_nd_{c}").alias("n_distinct"),
+                _render(F.col(f"_min_{c}"), c).alias("min_repr"),
+                _render(F.col(f"_max_{c}"), c).alias("max_repr"),
+            )
+            for c in _PROFILE_COLS
+        ]
+    )
+    return agg.select(F.inline(rows))
+
+
+@register(
+    "sink_compaction",
+    oracle=None,  # file-layout behavior → rows-only; invariants
+    # (row preservation, exact file counts) are asserted in
+    # tests/test_analytics_invariants.py
+    tags=("sink", "maintenance"),
+)
+def sink_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction: a 64-file parquet directory (the debris of
+    64 incremental writer tasks) is rewritten as 4 right-sized files,
+    verified lossless by re-reading both layouts.
+
+    Scale: the small-files problem is THE operational failure mode of
+    long-lived 100 TB tables — listing cost, per-file open cost, and
+    tiny row groups all degrade scans.  The compactor is a plain
+    ``repartition(target)`` rewrite: one round-robin shuffle, no
+    skew (round-robin is balanced by construction), and the target
+    count is data-size / desired-file-size in production.  Returns one
+    metrics row so the operation itself stays a DataFrame.
+    """
+    docs = table(spark, sf_dir, "documents").select("doc_id", "lang", "source", "n_chars")
+    base = os.path.join(
+        tempfile.gettempdir(), f"mfs_compact_{os.path.basename(sf_dir)}"
+    )
+    small, compacted = os.path.join(base, "small"), os.path.join(base, "compacted")
+    docs.repartition(64).write.mode("overwrite").parquet(small)
+    spark.read.parquet(small).repartition(4).write.mode("overwrite").parquet(compacted)
+
+    def _nfiles(d: str) -> int:
+        return sum(1 for f in os.listdir(d) if f.endswith(".parquet"))
+
+    n_in = spark.read.parquet(small).count()
+    n_out = spark.read.parquet(compacted).count()
+    return spark.createDataFrame(
+        [(n_in, n_out, _nfiles(small), _nfiles(compacted))],
+        "n_rows_before bigint, n_rows_after bigint, n_files_before int, n_files_after int",
+    )

@@ -530,3 +530,59 @@ def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         rep.alias("rep_ratio"),
         F.when(rep > 0.2, 1).otherwise(0).alias("is_repetitive"),
     )
+
+
+@register(
+    "contamination_exact",
+    oracle="""
+WITH d AS (
+  SELECT doc_id, source,
+         CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'c'
+              THEN 'train' ELSE 'eval' END AS split,
+         md5(lower(trim(text))) AS fp
+  FROM documents
+),
+tr AS (SELECT DISTINCT fp FROM d WHERE split = 'train'),
+ev AS (SELECT doc_id, source, fp FROM d WHERE split = 'eval')
+SELECT ev.source,
+       count(*) AS n_eval_docs,
+       count(tr.fp) AS n_contaminated
+FROM ev LEFT JOIN tr ON ev.fp = tr.fp
+GROUP BY ev.source
+""".strip(),
+    tags=("text", "contamination", "pipeline"),
+)
+def contamination_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Doc-level exact contamination: eval documents whose normalized
+    full text (lower + trim) appears verbatim anywhere in the train
+    split, counted per source — the cheap first tier of a
+    decontamination audit (contamination_ngram is the expensive
+    fuzzy tier).  Splits follow the md5-hexdigit convention of
+    split_train_eval so all three compose.
+
+    Scale: both sides join on a 32-hex md5 fingerprint, never on the
+    text itself — the shuffle carries 32 bytes per doc regardless of
+    document size, and the train side first collapses to DISTINCT
+    fingerprints (partial-aggregated map-side).  At 100 TB the left
+    join becomes fingerprint-bucketed and the eval side is the small
+    probe; the plan shape is unchanged."""
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.when(
+            F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 1)
+            < "c",
+            "train",
+        )
+        .otherwise("eval")
+        .alias("split"),
+        F.md5(F.lower(F.trim(F.col("text"))).cast("binary")).alias("fp"),
+    )
+    train = d.where(F.col("split") == "train").select("fp").distinct()
+    ev = d.where(F.col("split") == "eval")
+    joined = ev.join(train.withColumnRenamed("fp", "tfp"),
+                     ev["fp"] == F.col("tfp"), "left")
+    return joined.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_eval_docs"),
+        F.count(F.col("tfp")).alias("n_contaminated"),
+    )

