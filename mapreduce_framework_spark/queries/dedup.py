@@ -295,3 +295,88 @@ def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("edit_dist") <= 24)
     )
+
+
+@register(
+    "dedup_incremental",
+    oracle="""
+WITH d AS (
+  SELECT doc_id, source,
+         CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '4'
+              THEN 'new' ELSE 'corpus' END AS split,
+         md5(lower(trim(text))) AS fp
+  FROM documents
+),
+corpus AS (SELECT DISTINCT fp FROM d WHERE split = 'corpus'),
+nw AS (SELECT doc_id, source, fp FROM d WHERE split = 'new'),
+fresh AS (
+  SELECT nw.* FROM nw LEFT JOIN corpus c USING (fp) WHERE c.fp IS NULL
+),
+keeper AS (SELECT fp, min(doc_id) AS keep_id FROM fresh GROUP BY fp)
+SELECT nw.source,
+       count(*) AS n_new,
+       sum(CASE WHEN c.fp IS NOT NULL THEN 1 ELSE 0 END) AS n_dup_corpus,
+       sum(CASE WHEN c.fp IS NULL AND nw.doc_id = k.keep_id
+                THEN 1 ELSE 0 END) AS n_kept,
+       sum(CASE WHEN c.fp IS NULL AND nw.doc_id <> k.keep_id
+                THEN 1 ELSE 0 END) AS n_dup_within
+FROM nw
+LEFT JOIN corpus c USING (fp)
+LEFT JOIN keeper k USING (fp)
+GROUP BY nw.source
+""".strip(),
+    tags=("dedup", "pipeline", "incremental"),
+)
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental (batch-vs-corpus) exact dedup — the production shape
+    of tier 1: a new ingest batch is deduped (a) against the existing
+    corpus's fingerprint set and (b) within itself (first-wins by
+    lowest doc_id), reporting per-source admit/drop counts.  The
+    new/corpus split reuses the md5-hexdigit convention of
+    split_train_eval so the whole pipeline family composes.
+
+    Scale: the corpus side collapses to DISTINCT 32-hex fingerprints
+    before the join (map-side partial), so the daily job shuffles
+    32 bytes per corpus doc once — and in production that distinct
+    fingerprint set is a bucketed table maintained incrementally, so
+    admitting a batch touches only matching buckets and NEVER rescans
+    corpus text.  Within-batch dedup is a groupBy on the (small) batch.
+    Both drop reasons stay separate because they answer different
+    operational questions (ingest overlap vs upstream re-crawl)."""
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.when(
+            F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 1)
+            < "4",
+            "new",
+        )
+        .otherwise("corpus")
+        .alias("split"),
+        F.md5(F.lower(F.trim(F.col("text"))).cast("binary")).alias("fp"),
+    )
+    corpus = (
+        d.where(F.col("split") == "corpus")
+        .select(F.col("fp").alias("cfp"))
+        .distinct()
+    )
+    new = d.where(F.col("split") == "new").drop("split")
+    flagged = new.join(corpus, new["fp"] == F.col("cfp"), "left")
+    keeper = (
+        flagged.where(F.col("cfp").isNull())
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("keep_id"))
+        .withColumnRenamed("fp", "kfp")
+    )
+    full = flagged.join(keeper, flagged["fp"] == F.col("kfp"), "left")
+    is_corpus_dup = F.col("cfp").isNotNull()
+    return full.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_new"),
+        F.sum(F.when(is_corpus_dup, 1).otherwise(0)).alias("n_dup_corpus"),
+        F.sum(
+            F.when(~is_corpus_dup & (F.col("doc_id") == F.col("keep_id")), 1).otherwise(0)
+        ).alias("n_kept"),
+        F.sum(
+            F.when(~is_corpus_dup & (F.col("doc_id") != F.col("keep_id")), 1).otherwise(0)
+        ).alias("n_dup_within"),
+    )

@@ -389,3 +389,56 @@ def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("total_acctbal"),
     )
+
+
+@register(
+    "join_interval_overlap",
+    oracle="""
+WITH w AS (
+  SELECT event_id AS err_id, ts AS lo, ts + INTERVAL 15 MINUTE AS hi
+  FROM events WHERE event_type = 'error'
+),
+p AS (
+  SELECT ts, CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events WHERE event_type = 'click'
+)
+SELECT err_id,
+       count(*) AS n_clicks,
+       sum(cents) AS click_cents
+FROM w JOIN p ON p.ts >= w.lo AND p.ts < w.hi
+GROUP BY err_id
+""".strip(),
+    tags=("join", "range"),
+)
+def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Big-big interval join without a nested loop: every click landing
+    inside the 15-minute blast window after any error event, aggregated
+    per error (impact attribution).  Both sides are the full events
+    stream — neither is broadcastable at scale — so a naive theta join
+    would plan BroadcastNestedLoopJoin, O(n·m).  Instead
+    operators/rangejoin.py quantizes time into hour buckets, explodes
+    each window into the 1-2 buckets it overlaps, hash-joins on the
+    bucket id (the ONLY shuffle), and re-applies the exact
+    lo <= ts < hi predicate after the equi-join.
+
+    Scale: shuffle volume is n_points + n_windows × avg buckets/window
+    skinny rows; bucket width should track the median window length
+    (here 15 min → hour buckets ⇒ ≤2 buckets/window).  Hot buckets
+    (event storms) are ordinary AQE-splittable key skew.  Value cents
+    are exact integers so the aggregate is engine-portable."""
+    from mapreduce_framework_spark.operators.rangejoin import point_interval_join
+
+    ev = table(spark, sf_dir, "events")
+    windows = ev.where(F.col("event_type") == "error").select(
+        F.col("event_id").alias("err_id"),
+        F.col("ts").alias("lo"),
+        (F.col("ts") + F.expr("INTERVAL 15 MINUTES")).alias("hi"),
+    )
+    points = ev.where(F.col("event_type") == "click").select(
+        "ts", F.round(F.col("value") * 100).cast("bigint").alias("cents")
+    )
+    joined = point_interval_join(points, windows, "ts", "lo", "hi", bucket="hour")
+    return joined.groupBy("err_id").agg(
+        F.count(F.lit(1)).alias("n_clicks"),
+        F.sum("cents").alias("click_cents"),
+    )

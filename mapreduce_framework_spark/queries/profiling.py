@@ -145,3 +145,46 @@ def sink_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(n_in, n_out, _nfiles(small), _nfiles(compacted))],
         "n_rows_before bigint, n_rows_after bigint, n_files_before int, n_files_after int",
     )
+
+
+@register(
+    "profile_heavy_hitters",
+    oracle="""
+WITH counts AS (
+  SELECT o_custkey AS key, count(*) AS n_rows
+  FROM orders GROUP BY o_custkey
+),
+tot AS (SELECT count(*) AS total FROM orders)
+SELECT key, n_rows, n_rows * 1000000 // total AS share_ppm
+FROM counts, tot
+ORDER BY n_rows DESC, key ASC
+LIMIT 10
+""".strip(),
+    tags=("profiling", "skew"),
+)
+def profile_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 heaviest join keys with their parts-per-million share of
+    the table — the skew-detection scan that decides whether a join
+    needs `operators/salting.py` (or AQE's skew split) BEFORE the
+    expensive join runs.  Share is exact integer ppm (``div``/``//``,
+    engine-portable); ordering is deterministic (count desc, key asc).
+
+    Plan shape: partial-aggregated groupBy + a 1-row broadcast total +
+    TakeOrderedAndProject — one shuffle of (key, count) pairs, never the
+    full rows.  Scale: exact per-key counts at 100 TB are one skinny
+    shuffle; if even that is too hot, swap the exact count for a
+    count-min sketch / sampled count in the same shape — the consumers
+    (salting decisions) only need order-of-magnitude shares."""
+    o = table(spark, sf_dir, "orders").select(F.col("o_custkey").alias("key"))
+    counts = o.groupBy("key").agg(F.count(F.lit(1)).alias("n_rows"))
+    tot = o.agg(F.count(F.lit(1)).alias("total"))
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            "key",
+            "n_rows",
+            F.expr("n_rows * 1000000 div total").alias("share_ppm"),
+        )
+        .orderBy(F.desc("n_rows"), F.asc("key"))
+        .limit(10)
+    )

@@ -9,6 +9,7 @@ from collections import defaultdict
 
 from pyspark.sql import functions as F
 
+from mapreduce_framework_spark.io import table
 from tests.conftest import SF_DIR
 
 
@@ -198,3 +199,47 @@ def test_contamination_exact_bounds(spark):
     assert rows
     for r in rows:
         assert 0 <= r.n_contaminated <= r.n_eval_docs
+
+
+def test_heavy_hitters_ordered_and_consistent(spark):
+    """Exactly 10 hitters, non-increasing counts with deterministic
+    key tie-break, and ppm share consistent with the table total."""
+    rows = _q(spark, "profile_heavy_hitters").collect()
+    assert len(rows) == 10
+    total = table(spark, SF_DIR, "orders").count()
+    for a, b in zip(rows, rows[1:]):
+        assert (a.n_rows, -a.key) >= (b.n_rows, -b.key)
+    for r in rows:
+        assert r.share_ppm == r.n_rows * 1_000_000 // total
+
+
+def test_dedup_incremental_conservation(spark):
+    """Every new doc is accounted for exactly once:
+    n_new = corpus-dups + within-batch-dups + kept, per source."""
+    rows = _q(spark, "dedup_incremental").collect()
+    assert rows
+    for r in rows:
+        assert r.n_new == r.n_dup_corpus + r.n_kept + r.n_dup_within
+        assert r.n_kept > 0
+
+
+def test_interval_overlap_equals_naive_theta_join(spark):
+    """The bucketized range join must return exactly what the naive
+    (nested-loop) theta join returns."""
+    ev = table(spark, SF_DIR, "events")
+    w = ev.where(F.col("event_type") == "error").select(
+        F.col("event_id").alias("err_id"),
+        F.col("ts").alias("lo"),
+        (F.col("ts") + F.expr("INTERVAL 15 MINUTES")).alias("hi"),
+    )
+    p = ev.where(F.col("event_type") == "click").select(
+        "ts", F.round(F.col("value") * 100).cast("bigint").alias("cents")
+    )
+    naive = (
+        p.join(w, (F.col("ts") >= F.col("lo")) & (F.col("ts") < F.col("hi")))
+        .groupBy("err_id")
+        .agg(F.count(F.lit(1)).alias("n_clicks"), F.sum("cents").alias("click_cents"))
+    )
+    got = sorted(map(tuple, _q(spark, "join_interval_overlap").collect()))
+    want = sorted(map(tuple, naive.collect()))
+    assert got == want
