@@ -752,3 +752,45 @@ def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n_active_users"))
     )
+
+
+@register(
+    "agg_hll_partial_merge",
+    oracle=None,  # Datasketches HLL has no DuckDB twin → rows-only;
+    # tests/test_analytics_invariants.py pins merge==direct equality
+    # and <5% error vs exact distincts.
+    tags=("agg", "sketch", "incremental"),
+)
+def agg_hll_partial_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable distinct-count sketches: per-day HLL sketches of
+    active users, re-aggregated to a corpus-wide estimate by sketch
+    UNION — without touching raw events again.  This is the 100 TB
+    replacement for exact `count(DISTINCT)` rollups: exact distincts
+    don't merge (yesterday's count + today's count ≠ union), so every
+    re-aggregation rescans raw data; HLL sketches merge associatively,
+    so daily partials persist in a tiny rollup table and ANY time-range
+    distinct is a sketch-union over that table — the same incremental-
+    maintenance shape as agg_partial_merge, extended to the one
+    aggregate that isn't algebraic.
+
+    lgK=12 (4 KiB per sketch) holds relative error ~1.6% regardless of
+    cardinality; estimates are deterministic for a fixed dataset and
+    partitioning-invariant (tested)."""
+    ev = table(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("day"), "user_id"
+    )
+    daily = ev.groupBy("day").agg(
+        F.hll_sketch_agg("user_id", F.lit(12)).alias("sk")
+    )
+    per_day = daily.select(
+        F.col("day").cast("string").alias("grain"),
+        F.hll_sketch_estimate("sk").alias("est_users"),
+    )
+    total = (
+        daily.agg(F.hll_union_agg("sk").alias("sk"))
+        .select(
+            F.lit("ALL").alias("grain"),
+            F.hll_sketch_estimate("sk").alias("est_users"),
+        )
+    )
+    return per_day.unionByName(total)

@@ -243,3 +243,36 @@ def test_interval_overlap_equals_naive_theta_join(spark):
     got = sorted(map(tuple, _q(spark, "join_interval_overlap").collect()))
     want = sorted(map(tuple, naive.collect()))
     assert got == want
+
+
+def test_hll_merge_equals_direct_and_bounds_error(spark):
+    """Sketch-union of daily partials must equal the single direct
+    sketch over all events (associative merge), estimates must sit
+    within HLL lgK=12 error of exact distincts, and the whole thing
+    must be partitioning-invariant."""
+    rows = {r.grain: r.est_users for r in _q(spark, "agg_hll_partial_merge").collect()}
+    ev = table(spark, SF_DIR, "events")
+    direct = (
+        ev.agg(F.hll_sketch_estimate(F.hll_sketch_agg("user_id", F.lit(12))).alias("e"))
+        .collect()[0][0]
+    )
+    assert rows["ALL"] == direct
+    exact_all = ev.select("user_id").distinct().count()
+    assert abs(rows["ALL"] - exact_all) <= max(2, 0.05 * exact_all)
+    exact_daily = {
+        str(r.day): r.n
+        for r in ev.groupBy(F.to_date("ts").alias("day"))
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(rows) - {"ALL"} == set(exact_daily)
+    for day, n in exact_daily.items():
+        assert abs(rows[day] - n) <= max(2, 0.05 * n)
+    repart = (
+        ev.repartition(13, "user_id")
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(F.hll_sketch_agg("user_id", F.lit(12)).alias("sk"))
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("e"))
+        .collect()[0][0]
+    )
+    assert repart == rows["ALL"]
