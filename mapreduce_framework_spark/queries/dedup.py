@@ -380,3 +380,47 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(~is_corpus_dup & (F.col("doc_id") != F.col("keep_id")), 1).otherwise(0)
         ).alias("n_dup_within"),
     )
+
+
+@register(
+    "dedup_doc_prefix",
+    oracle="""
+WITH p AS (
+  SELECT doc_id,
+         md5(array_to_string(list_slice(string_split(text, ' '), 1, 2), ' ')) AS prefix_hash
+  FROM documents
+)
+SELECT prefix_hash, count(*) AS n_docs,
+       min(doc_id) AS keep_doc, max(doc_id) AS last_doc
+FROM p GROUP BY prefix_hash HAVING count(*) > 1
+""".strip(),
+    tags=("dedup", "boilerplate"),
+)
+def dedup_doc_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate-prefix detection: cluster documents by the hash of
+    their leading tokens (2 here; 50–200 in production) and report
+    clusters with more than one member.  Shared prefixes are how
+    scraped boilerplate (cookie banners, nav headers, license
+    preambles) manifests — prefix clustering is the cheap tier-0 that
+    runs before any pairwise near-dup math, and `keep_doc` (min id)
+    is the deterministic survivor choice.
+
+    Plan shape: fixed-width digest of a 2-token slice, scan-side; one
+    exchange of (16-byte hash, id) pairs — the same skinny-shuffle
+    footprint as dedup_exact regardless of document length, because
+    the slice bounds the bytes hashed per row."""
+    p = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.md5(
+            F.concat_ws(" ", F.slice(F.split(F.col("text"), " "), 1, 2)).cast("binary")
+        ).alias("prefix_hash"),
+    )
+    return (
+        p.groupBy("prefix_hash")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("keep_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .where(F.col("n_docs") > 1)
+    )

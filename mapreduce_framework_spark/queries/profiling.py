@@ -14,7 +14,7 @@ from __future__ import annotations
 import os
 import tempfile
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from mapreduce_framework_spark.io import table
@@ -242,3 +242,60 @@ def profile_fk_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = audited if out is None else out.unionByName(audited)
     return out
+
+
+_ANOMALY_ORACLE = """
+WITH d AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n_events
+  FROM events GROUP BY event_type, CAST(ts AS DATE)
+),
+s AS (
+  SELECT event_type, count(*) AS n,
+         CAST(sum(n_events) AS BIGINT) AS s,
+         CAST(sum(n_events * n_events) AS BIGINT) AS ss
+  FROM d GROUP BY event_type
+)
+SELECT d.event_type, d.day, d.n_events,
+       4 * (d.n_events * s.n - s.s) * (d.n_events * s.n - s.s)
+         > 9 * (s.n * s.ss - s.s * s.s) AS is_anomaly
+FROM d JOIN s ON d.event_type = s.event_type
+""".strip()
+
+
+@register(
+    "events_anomaly_exact",
+    oracle=_ANOMALY_ORACLE,
+    tags=("profiling", "quality", "timeseries"),
+)
+def events_anomaly_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-volume anomaly flags per event type: a day is anomalous
+    when its count sits more than 1.5 population standard deviations
+    from that type's mean.  The monitoring query every ingestion
+    pipeline runs on arrival volumes — a collector outage or a bot
+    flood shows up here a day before it shows up in model metrics.
+
+    |z| > 1.5  ⇔  (x·n − s)² · 4 > (n·ss − s²) · 9, which is pure
+    int64 arithmetic on counts — no sqrt, no float division — so the
+    flag hashes identically on any engine (the float formulation would
+    drift at the boundary).
+
+    Plan shape: scan-side partial counts → one exchange on
+    (event_type, day) → window stats over event_type on the daily grid
+    (|types|×|days| rows).  The raw events table is aggregated before
+    anything global happens; at 100 TB the window input is kilobytes."""
+    daily = (
+        table(spark, sf_dir, "events")
+        .groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    w = Window.partitionBy("event_type")
+    x, n = F.col("n_events"), F.count(F.lit(1)).over(w)
+    s = F.sum("n_events").over(w)
+    ss = F.sum(F.col("n_events") * F.col("n_events")).over(w)
+    dev = x * n - s
+    return daily.select(
+        "event_type",
+        "day",
+        "n_events",
+        (4 * dev * dev > 9 * (n * ss - s * s)).alias("is_anomaly"),
+    )

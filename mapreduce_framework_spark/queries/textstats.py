@@ -586,3 +586,132 @@ def contamination_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_eval_docs"),
         F.count(F.col("tfp")).alias("n_contaminated"),
     )
+
+
+_GOPHER_ORACLE = """
+WITH m AS (
+  SELECT source,
+         len(t) AS n_tok,
+         list_aggregate(list_transform(t, x -> len(x)), 'sum') AS chars,
+         len(list_filter(t, w -> w IN ('the', 'a', 'data', 'value'))) AS stop_hits,
+         len(list_distinct(t)) AS n_dis
+  FROM (SELECT source, string_split(text, ' ') AS t FROM documents)
+)
+SELECT source,
+       count(*) AS n_docs,
+       CAST(sum(CASE WHEN n_tok NOT BETWEEN 25 AND 100 THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_len,
+       CAST(sum(CASE WHEN chars < 3 * n_tok OR chars > 8 * n_tok THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_wordlen,
+       CAST(sum(CASE WHEN stop_hits < 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_stop,
+       CAST(sum(CASE WHEN 2 * n_dis < n_tok THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_ttr,
+       CAST(sum(CASE WHEN n_tok BETWEEN 25 AND 100
+                      AND chars BETWEEN 3 * n_tok AND 8 * n_tok
+                      AND stop_hits >= 2
+                      AND 2 * n_dis >= n_tok THEN 1 ELSE 0 END) AS BIGINT) AS n_pass
+FROM m
+GROUP BY source
+""".strip()
+
+
+@register(
+    "quality_gopher_rules",
+    oracle=_GOPHER_ORACLE,
+    tags=("text", "quality"),
+)
+def quality_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style rule-battery filter funnel, reported per source:
+    how many documents each quality rule rejects (length band, mean
+    word length band, minimum stopword hits, type-token ratio) and how
+    many survive all four.  This is the report a curation pipeline
+    publishes per ingest batch so a drifting source (suddenly failing
+    the word-length rule, say) is caught before it poisons a training
+    mix.  All thresholds compare integers cross-multiplied (chars <
+    3*n_tok, 2*n_distinct < n_tok) — no float ratios, so the oracle
+    hash is exact.
+
+    Plan shape: per-doc rule bits are scan-side expressions; the only
+    shuffle is the final skinny groupBy(source) of pre-aggregated
+    partial sums — at 100 TB this is a full-corpus scan but a
+    kilobyte-scale exchange (|sources| rows per map task)."""
+    t = F.col("t")
+    n_tok = F.size(t)
+    chars = F.aggregate(F.transform(t, F.length), F.lit(0), lambda a, x: a + x)
+    stop_hits = F.size(F.filter(t, lambda w: w.isin("the", "a", "data", "value")))
+    n_dis = F.size(F.array_distinct(t))
+    ok_len = n_tok.between(25, 100)
+    ok_wordlen = (chars >= 3 * n_tok) & (chars <= 8 * n_tok)
+    ok_stop = stop_hits >= 2
+    ok_ttr = 2 * n_dis >= n_tok
+
+    def fails(ok: Column, name: str) -> Column:
+        return F.sum(F.when(~ok, 1).otherwise(0)).cast("long").alias(name)
+
+    return (
+        table(spark, sf_dir, "documents")
+        .select("source", _toks().alias("t"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            fails(ok_len, "n_fail_len"),
+            fails(ok_wordlen, "n_fail_wordlen"),
+            fails(ok_stop, "n_fail_stop"),
+            fails(ok_ttr, "n_fail_ttr"),
+            F.sum(
+                F.when(ok_len & ok_wordlen & ok_stop & ok_ttr, 1).otherwise(0)
+            ).cast("long").alias("n_pass"),
+        )
+    )
+
+
+_MIX_ORACLE = """
+WITH g AS (
+  SELECT source, lang, count(*) AS n_docs,
+         CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source, lang
+)
+SELECT source, lang, n_docs, n_tokens,
+       CAST((1000000 * n_tokens) // (SELECT sum(n_tokens) FROM g) AS BIGINT) AS share_ppm
+FROM g
+""".strip()
+
+
+@register(
+    "doc_mix_report",
+    oracle=_MIX_ORACLE,
+    tags=("text", "mix"),
+)
+def doc_mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mix planning report: per (source, lang) cell, document
+    count, token count, and integer-ppm share of the whole corpus's
+    tokens.  The mix table is what you reweight when a training recipe
+    says "30% code, 5% per non-English language" — ppm is computed by
+    integer floor-division so the report hashes identically across
+    engines (no float shares).
+
+    Plan shape: one scan-side partial agg → skinny exchange on
+    (source, lang) → an unpartitioned window over the aggregated grid
+    (|sources|×|langs| rows, trivially single-partition) for the
+    corpus total.  The raw corpus is never shuffled and never scanned
+    twice."""
+    g = (
+        table(spark, sf_dir, "documents")
+        .groupBy("source", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.size(_toks())).alias("n_tokens"),
+        )
+    )
+    total = F.sum("n_tokens").over(Window.partitionBy())
+    return g.select(
+        "source",
+        "lang",
+        "n_docs",
+        "n_tokens",
+        F.expr("1000000 * n_tokens").cast("long").alias("_num"),
+        total.alias("_tot"),
+    ).select(
+        "source",
+        "lang",
+        "n_docs",
+        "n_tokens",
+        F.expr("_num div _tot").alias("share_ppm"),
+    )

@@ -276,3 +276,84 @@ def test_hll_merge_equals_direct_and_bounds_error(spark):
         .collect()[0][0]
     )
     assert repart == rows["ALL"]
+
+
+def test_gopher_rules_match_python_recompute(spark):
+    """Rule counters must equal an independent per-document Python
+    recompute of the same thresholds (the SQL and the Spark plan could
+    agree on the *wrong* semantics; this pins the intended one)."""
+    got = {r.source: r for r in _q(spark, "quality_gopher_rules").collect()}
+    agg = defaultdict(lambda: [0, 0, 0, 0, 0, 0])  # docs, f_len, f_wl, f_stop, f_ttr, pass
+    for row in table(spark, SF_DIR, "documents").select("source", "text").collect():
+        t = row.text.split(" ")
+        n_tok, chars = len(t), sum(len(w) for w in t)
+        stop = sum(1 for w in t if w in ("the", "a", "data", "value"))
+        ndis = len(set(t))
+        ok = (
+            25 <= n_tok <= 100,
+            3 * n_tok <= chars <= 8 * n_tok,
+            stop >= 2,
+            2 * ndis >= n_tok,
+        )
+        a = agg[row.source]
+        a[0] += 1
+        for i, o in enumerate(ok):
+            a[1 + i] += 0 if o else 1
+        a[5] += 1 if all(ok) else 0
+    assert set(got) == set(agg)
+    for src, a in agg.items():
+        r = got[src]
+        assert (
+            [r.n_docs, r.n_fail_len, r.n_fail_wordlen, r.n_fail_stop, r.n_fail_ttr, r.n_pass]
+            == a
+        ), src
+
+
+def test_anomaly_flags_match_float_zscore(spark):
+    """The integer-exact flag must agree with the plain float z-score
+    formulation everywhere (the data sits away from the |z|=1.5
+    boundary, so both formulations decide identically), and some but
+    not all days must be flagged."""
+    rows = _q(spark, "events_anomaly_exact").collect()
+    by_type = defaultdict(list)
+    for r in rows:
+        by_type[r.event_type].append(r)
+    n_flagged = 0
+    for rs in by_type.values():
+        xs = [r.n_events for r in rs]
+        n, mean = len(xs), sum(xs) / len(xs)
+        var = sum((x - mean) ** 2 for x in xs) / n
+        for r in rs:
+            z2 = (r.n_events - mean) ** 2 / var if var else 0.0
+            assert r.is_anomaly == (z2 > 2.25), (r.event_type, r.day)
+            n_flagged += r.is_anomaly
+    assert 0 < n_flagged < len(rows)
+
+
+def test_mix_report_ppm_floor_and_totals(spark):
+    """Integer-floor ppm shares must sum to within n_groups of exactly
+    1e6 (floor loses < 1 ppm per cell) and doc counts must conserve."""
+    rows = _q(spark, "doc_mix_report").collect()
+    total_ppm = sum(r.share_ppm for r in rows)
+    assert 1_000_000 - len(rows) < total_ppm <= 1_000_000
+    n_docs = table(spark, SF_DIR, "documents").count()
+    assert sum(r.n_docs for r in rows) == n_docs
+    tok = table(spark, SF_DIR, "documents").select(
+        F.size(F.split("text", " ")).alias("n")
+    )
+    assert sum(r.n_tokens for r in rows) == tok.agg(F.sum("n")).collect()[0][0]
+
+
+def test_prefix_clusters_share_prefix_and_cover_all_dups(spark):
+    """Every reported cluster's members share the identical 2-token
+    prefix; every prefix shared by >1 document is reported."""
+    got = {r.prefix_hash: r for r in _q(spark, "dedup_doc_prefix").collect()}
+    groups = defaultdict(list)
+    for row in table(spark, SF_DIR, "documents").select("doc_id", "text").collect():
+        groups[" ".join(row.text.split(" ")[:2])].append(row.doc_id)
+    dup_groups = {k: sorted(v) for k, v in groups.items() if len(v) > 1}
+    assert len(got) == len(dup_groups)
+    sizes = sorted(r.n_docs for r in got.values())
+    assert sizes == sorted(len(v) for v in dup_groups.values())
+    keeps = sorted(r.keep_doc for r in got.values())
+    assert keeps == sorted(v[0] for v in dup_groups.values())
