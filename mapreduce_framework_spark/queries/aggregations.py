@@ -295,7 +295,7 @@ SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day_bucket,
        GROUPING(date_trunc('day', ts), date_trunc('hour', ts),
                 time_bucket(INTERVAL '5 minutes', ts)) AS lvl,
        count(*) AS n_events,
-       sum(CAST(round(value * 100) AS BIGINT)) AS total_cents
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_cents
 FROM events
 GROUP BY ROLLUP(date_trunc('day', ts), date_trunc('hour', ts),
                 time_bucket(INTERVAL '5 minutes', ts))
@@ -355,8 +355,8 @@ def reshape_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_array_collect",
     oracle="""
 SELECT l_orderkey,
-       list(l_linenumber ORDER BY l_linenumber) AS line_numbers,
-       list_sort(list_distinct(list(l_returnflag))) AS flags
+       array_to_string(list_sort(list(l_linenumber)), ',') AS line_numbers,
+       array_to_string(list_sort(list_distinct(list(l_returnflag))), ',') AS flags
 FROM lineitem
 GROUP BY l_orderkey
 """.strip(),
@@ -368,11 +368,19 @@ def agg_array_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
     so every collected array is sorted before it leaves the query.  At
     scale this is an ObjectHashAggregate whose state grows with group
     size: only safe on bounded groups (≤7 lines per order here); for
-    unbounded groups prefer windowed top-k."""
+    unbounded groups prefer windowed top-k.
+
+    The arrays are serialized to comma-joined strings on BOTH the Spark
+    and oracle side: the correctness harness canonicalizes results via a
+    pandas sort + hash, and raw array cells (numpy.ndarray) are
+    unhashable there — the sortedness property being demonstrated
+    survives serialization."""
     l = table(spark, sf_dir, "lineitem")
     return l.groupBy("l_orderkey").agg(
-        F.sort_array(F.collect_list("l_linenumber")).alias("line_numbers"),
-        F.sort_array(F.collect_set("l_returnflag")).alias("flags"),
+        F.concat_ws(",", F.sort_array(F.collect_list("l_linenumber"))).alias(
+            "line_numbers"
+        ),
+        F.concat_ws(",", F.sort_array(F.collect_set("l_returnflag"))).alias("flags"),
     )
 
 

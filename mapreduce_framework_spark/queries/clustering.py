@@ -45,7 +45,7 @@ a2 AS (
 SELECT cid AS cluster_id,
        count(*) AS n_members,
        min(vec_id) AS rep_vec_id,
-       SUM(dist) AS total_dist
+       CAST(SUM(dist) AS BIGINT) AS total_dist
 FROM a2
 GROUP BY cid
 """.strip()

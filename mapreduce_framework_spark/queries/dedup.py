@@ -315,11 +315,12 @@ fresh AS (
 keeper AS (SELECT fp, min(doc_id) AS keep_id FROM fresh GROUP BY fp)
 SELECT nw.source,
        count(*) AS n_new,
-       sum(CASE WHEN c.fp IS NOT NULL THEN 1 ELSE 0 END) AS n_dup_corpus,
-       sum(CASE WHEN c.fp IS NULL AND nw.doc_id = k.keep_id
-                THEN 1 ELSE 0 END) AS n_kept,
-       sum(CASE WHEN c.fp IS NULL AND nw.doc_id <> k.keep_id
-                THEN 1 ELSE 0 END) AS n_dup_within
+       CAST(sum(CASE WHEN c.fp IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dup_corpus,
+       CAST(sum(CASE WHEN c.fp IS NULL AND nw.doc_id = k.keep_id
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(sum(CASE WHEN c.fp IS NULL AND nw.doc_id <> k.keep_id
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_within
 FROM nw
 LEFT JOIN corpus c USING (fp)
 LEFT JOIN keeper k USING (fp)

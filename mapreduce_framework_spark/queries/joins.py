@@ -404,7 +404,7 @@ p AS (
 )
 SELECT err_id,
        count(*) AS n_clicks,
-       sum(cents) AS click_cents
+       CAST(sum(cents) AS BIGINT) AS click_cents
 FROM w JOIN p ON p.ts >= w.lo AND p.ts < w.hi
 GROUP BY err_id
 """.strip(),
