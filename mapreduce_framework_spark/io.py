@@ -42,23 +42,33 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one table. Parquet scan → column pruning + predicate pushdown
     happen automatically once the caller selects/filters.
 
-    ``events.ts`` is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    reader rejects; we read it as raw nanos (legacy conf) and truncate to
-    microsecond TIMESTAMP_NTZ — the same ns→µs truncation DuckDB applies,
-    so oracle comparisons stay exact.
+    ``events.ts`` must surface as TIMESTAMP (not TIMESTAMP_NTZ):
+    watermarks and epoch casts require it, and with the session timezone
+    pinned to UTC the values are bit-identical to the naive timestamps
+    DuckDB reads from the same files.  The testdata generator has shipped
+    the column both as parquet TIMESTAMP(NANOS) — which Spark's
+    vectorized reader rejects, so we read raw nanos (legacy conf) and
+    truncate to microseconds, the same ns→µs truncation DuckDB applies —
+    and as TIMESTAMP(MICROS, isAdjustedToUTC=false), which a default
+    session infers as TIMESTAMP_NTZ; both normalize to TIMESTAMP here.
     """
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
-        if dict(df.dtypes).get("ts") == "bigint":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
             from pyspark.sql import functions as F
 
-            # TIMESTAMP (not NTZ): watermarks require it, and with the
-            # session timezone pinned to UTC the values are identical.
             # Integer division: double division of int64 nanos loses
             # precision above 2^53 and shifts timestamps by ±1 µs.
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":
+            from pyspark.sql import functions as F
+
+            # NTZ→LTZ cast interprets the naive value in the session
+            # timezone; pinned UTC makes it value-preserving.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df
     return spark.read.parquet(path)
 

@@ -69,22 +69,63 @@ WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
     tags=("dedup",),
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Blocked exact Jaccard: quadratic only within (lang, source)
-    blocks.  Exact int cardinalities + one double division → hash-exact
-    against the oracle.  At scale, add a token-count band to the block
-    key (near-dups can't differ much in length) to bound block size."""
-    d = table(spark, sf_dir, "documents").select(
-        "doc_id", "lang", "source", F.array_distinct(F.split("text", " ")).alias("toks")
+    """Blocked exact Jaccard with a token-count band in the join key.
+
+    Blocking on (lang, source) alone is a scale-killer: block membership
+    grows linearly with the corpus, so within-block pairs grow
+    quadratically.  The band bounds it losslessly: Jaccard ≥ 0.8 forces
+    the DISTINCT-token counts within 25% of each other
+    (|A∩B| ≥ 0.8·|A∪B| ≥ 0.8·max ⇒ min ≥ 0.8·max), so with geometric
+    bands of factor 1.25 (band = ⌊log₁.₂₅ n⌋) a qualifying pair differs
+    by at most one band.  The probe side explodes band±2 (±1 suffices
+    mathematically; ±2 absorbs float rounding at the 0.8/1.25
+    boundaries) and the build side keeps its single band, so every
+    qualifying pair matches EXACTLY once — no post-join distinct, the
+    result multiset (hence the unchanged oracle) is identical.  Block
+    size becomes O(docs per (lang, source, ~25% length slice)) — flat in
+    corpus growth for a stable length distribution — instead of O(docs
+    per (lang, source))."""
+    import math
+
+    d = (
+        table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            "lang",
+            "source",
+            F.array_distinct(F.split("text", " ")).alias("toks"),
+        )
+        .withColumn(
+            "band",
+            F.floor(
+                F.log(F.greatest(F.size("toks"), F.lit(1))) / F.lit(math.log(1.25))
+            ).cast("int"),
+        )
     )
     a = d.select(
-        F.col("doc_id").alias("doc_a"), "lang", "source", F.col("toks").alias("toks_a")
+        F.col("doc_id").alias("doc_a"),
+        "lang",
+        "source",
+        F.col("toks").alias("toks_a"),
+        F.explode(
+            F.array(*[F.col("band") + F.lit(i) for i in range(-2, 3)])
+        ).alias("band_probe"),
     )
     b = d.select(
-        F.col("doc_id").alias("doc_b"), "lang", "source", F.col("toks").alias("toks_b")
+        F.col("doc_id").alias("doc_b"),
+        F.col("lang").alias("lang_b"),
+        F.col("source").alias("source_b"),
+        F.col("toks").alias("toks_b"),
+        "band",
     )
     j = jaccard(F.col("toks_a"), F.col("toks_b"))
     return (
-        a.join(b, ["lang", "source"])
+        a.join(
+            b,
+            (F.col("lang") == F.col("lang_b"))
+            & (F.col("source") == F.col("source_b"))
+            & (F.col("band_probe") == F.col("band")),
+        )
         .where(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b", j.alias("jaccard"))
         .where(F.col("jaccard") >= 0.8)

@@ -1,10 +1,24 @@
 """Streaming queries (SURVEY.md §2b).
 
-Oracle-checked entries run the shared transform in batch mode (the
-driver's DuckDB check applies); `stream_watermark_late` runs the REAL
-Structured Streaming path — watermarked, micro-batched, append-mode —
-and is rows-only by contract.  tests/test_streaming.py additionally
-proves batch≡stream equivalence for the windowed transforms.
+Every query here executes on the REAL Structured Streaming path:
+`streaming/runner.run_file_stream` materializes the events table as a
+time-range-partitioned parquet directory and replays it through
+`readStream` in bounded micro-batches (`maxFilesPerTrigger=1` +
+`availableNow`), collecting from a memory sink.
+
+Why the oracle hash still holds on the real path: the replay is
+range-partitioned ON the event-time column, so micro-batch k+1's
+earliest timestamp is ≥ micro-batch k's latest — no row ever arrives
+behind the watermark, and windowed/complete-mode state converges to
+exactly the batch aggregate.  tests/test_streaming.py proves the
+batch ≡ stream equality for each transform, plus the watermark-drop
+and checkpoint-resume behaviors the equality queries don't exercise.
+
+Column pruning note: the runner writes + rescans the source once per
+micro-batch, so each query stages only the columns its transform
+reads (the wide `props` string would be range-sorted and re-read 4×
+for nothing — measured 2× the whole query at sf0.1).  Safe because
+the replay is time-ordered: output never depends on batch assignment.
 """
 
 from __future__ import annotations
@@ -36,9 +50,10 @@ GROUP BY 1, 2, 3
     bench=True,
 )
 def stream_tumbling_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """5-minute tumbling counts per event type (batch-equivalence mode;
-    the identical transform replays incrementally in tests)."""
-    return tumbling_counts(table(spark, sf_dir, "events"))
+    """5-minute tumbling counts per event type, run as a real
+    micro-batched stream (complete mode: final state = batch result)."""
+    ev = table(spark, sf_dir, "events").select("ts", "event_type")
+    return run_file_stream(spark, ev, tumbling_counts, output_mode="complete")
 
 
 @register(
@@ -56,8 +71,10 @@ GROUP BY 1, 2, 3
     tags=("streaming",),
 )
 def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """10-minute windows sliding every 5 (each event in exactly two)."""
-    return sliding_counts(table(spark, sf_dir, "events"))
+    """10-minute windows sliding every 5 (each event in exactly two),
+    run as a real micro-batched stream in complete mode."""
+    ev = table(spark, sf_dir, "events").select("ts", "event_type")
+    return run_file_stream(spark, ev, sliding_counts, output_mode="complete")
 
 
 @register(
@@ -87,10 +104,12 @@ GROUP BY user_id, sid
     tags=("streaming", "session"),
 )
 def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """30-minute-gap session windows per user.  The oracle reconstructs
-    Spark's session semantics via gaps-and-islands SQL (new session when
-    gap > 30 min; end = last event + gap)."""
-    return session_windows(table(spark, sf_dir, "events"))
+    """30-minute-gap session windows per user on the real streaming
+    path (complete mode merges session state across micro-batches; the
+    oracle reconstructs Spark's session semantics via gaps-and-islands
+    SQL: new session when gap > 30 min, end = last event + gap)."""
+    ev = table(spark, sf_dir, "events").select("ts", "user_id")
+    return run_file_stream(spark, ev, session_windows, output_mode="complete")
 
 
 @register(
@@ -103,9 +122,12 @@ GROUP BY event_id
     tags=("streaming", "dedup"),
 )
 def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exactly-once by event_id (deterministic batch form; streaming
-    form = withWatermark + dropDuplicates, exercised in tests)."""
-    return dedup_events(table(spark, sf_dir, "events"))
+    """Exactly-once accounting by event_id on the real streaming path
+    (complete-mode keyed aggregation: first timestamp + copy count; the
+    drop-duplicates flavor with watermark-bounded id state is
+    tests/test_streaming.py::test_streaming_dedup_exactly_once)."""
+    ev = table(spark, sf_dir, "events").select("ts", "event_id")
+    return run_file_stream(spark, ev, dedup_events, output_mode="complete")
 
 
 @register(
@@ -153,13 +175,6 @@ def stream_stateful_running_total(spark: SparkSession, sf_dir: str) -> DataFrame
 
     from mapreduce_framework_spark.streaming.stateful import running_totals
 
-    # Stage only the columns the stateful operator reads: the replay
-    # writes + rescans the source once per micro-batch, so the wide
-    # `props` string would be range-sorted and re-read 4× for nothing
-    # (measured 2× the whole query at sf0.1).  Safe here because the
-    # integer-cent state is batching-invariant; transforms whose output
-    # depends on batch assignment (watermark drops) must keep the full
-    # row so the tie-break ordering is unchanged.
     ev = table(spark, sf_dir, "events").select("ts", "user_id", "value")
     updates = run_file_stream(spark, ev, running_totals, output_mode="update")
     final = (
@@ -189,11 +204,21 @@ JOIN events p
     tags=("streaming", "join"),
 )
 def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Click→purchase attribution within 10 minutes (batch-equivalence
-    mode; tests replay the identical transform as a true stream-stream
-    join with watermark-bounded state)."""
+    """Click→purchase attribution within 10 minutes as a TRUE
+    stream-stream self-join: watermarked source, append mode (inner
+    interval joins emit on match; the watermark bounds buffered state
+    to the 10-minute horizon, so at 100 TB the join holds a time slice
+    of each stream, not its history).  Time-ordered replay means no
+    match is ever dropped, so the result equals the batch join exactly."""
     from mapreduce_framework_spark.streaming.transforms import (
         click_purchase_interval_join,
     )
 
-    return click_purchase_interval_join(table(spark, sf_dir, "events"))
+    ev = table(spark, sf_dir, "events").select("ts", "user_id", "event_type", "event_id")
+    return run_file_stream(
+        spark,
+        ev,
+        click_purchase_interval_join,
+        watermark=("ts", "10 minutes"),
+        output_mode="append",
+    )

@@ -333,3 +333,25 @@ def test_dedup_incremental_joins_on_fingerprints_only(spark):
     # node: every reference outside the scan/project lines is the fp.
     for schema in read_schema_columns(df):
         assert "doc_id" in schema or "text" in schema  # scans read only what they need
+
+
+def test_ngram_jaccard_join_carries_token_band(spark):
+    """The exact-Jaccard join must block on the token-count band, not
+    just (lang, source): the band is what bounds within-block pair
+    growth at corpus scale.  Pin that the join is an equi-join whose
+    keys include band_probe/band, with no nested loop."""
+    from mapreduce_framework_spark.plans import formatted_plan
+
+    df = _q(spark, "dedup_ngram_jaccard")
+    plan = formatted_plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "band_probe" in plan and "band" in plan
+    # the band must appear in the join's key list, not merely as a
+    # post-join filter: find the join node's key line and check it.
+    join_lines = [
+        ln
+        for ln in plan.splitlines()
+        if "Join" in ln or "keys" in ln.lower()
+    ]
+    assert any("band" in ln for ln in join_lines), join_lines
