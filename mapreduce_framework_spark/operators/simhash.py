@@ -22,27 +22,49 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
-def fingerprints(df: DataFrame, id_col: str, tokens_col: str) -> DataFrame:
-    """DataFrame[id, fp]: 64-bit SimHash (bigint) per document from a
-    token-ARRAY column.  One explode + one codegen HashAggregate; the
-    shuffle carries one row of 65 longs per doc."""
+def md5_prefix60(token: Column) -> Column:
+    """60-bit token hash from the first 15 hex chars of md5 — the
+    cross-engine-reproducible hash family: DuckDB computes the identical
+    value as ``CAST(concat('0x', substr(md5(t), 1, 15)) AS BIGINT)``,
+    which makes md5-based SimHash fingerprints oracle-checkable.  Still
+    pure JVM codegen (md5 + conv), just slower than xxhash64."""
+    return F.conv(F.substring(F.md5(token), 1, 15), 16, 10).cast("long")
+
+
+def fingerprints(
+    df: DataFrame,
+    id_col: str,
+    tokens_col: str,
+    token_hash=None,
+    n_bits: int = 64,
+) -> DataFrame:
+    """DataFrame[id, fp]: ``n_bits``-bit SimHash (bigint) per document
+    from a token-ARRAY column.  One explode + one codegen HashAggregate;
+    the shuffle carries one row of n_bits+1 longs per doc.
+
+    ``token_hash`` maps a token Column to a bigint Column; default is
+    engine-native ``xxhash64`` (fastest).  Pass :func:`md5_prefix60`
+    with ``n_bits=60`` when the fingerprint must be reproducible
+    outside Spark (oracle checks)."""
+    if token_hash is None:
+        token_hash = F.xxhash64
     # explode_outer: avoids the inferred size()>0 filter that re-inlines
     # the token-array expression below the projection (see
     # operators/minhash.py).
     ex = (
         df.select(F.col(id_col).alias("_id"), F.explode_outer(F.col(tokens_col)).alias("_t"))
         .where(F.col("_t").isNotNull())
-        .select("_id", F.xxhash64("_t").alias("_h"))
+        .select("_id", token_hash(F.col("_t")).alias("_h"))
     )
     agg = ex.groupBy("_id").agg(
         F.count(F.lit(1)).alias("_n"),
         *[
             F.sum(F.shiftrightunsigned("_h", i).bitwiseAND(F.lit(1))).alias(f"_b{i}")
-            for i in range(64)
+            for i in range(n_bits)
         ],
     )
     fp = F.lit(0).cast("long")
-    for i in range(64):
+    for i in range(n_bits):
         # bit set iff vote > 0  ⇔  2·Σbit − n > 0
         fp = fp.bitwiseOR(
             F.when(
@@ -59,32 +81,41 @@ def hamming64(a: Column, b: Column) -> Column:
     return F.bit_count(a.bitwiseXOR(b))
 
 
-def chunk16(fp: Column) -> Column:
-    """array<struct<chunk_id:int, chunk_val:int>>: the 4 16-bit chunks
-    for the pigeonhole candidate join."""
+def chunk16(fp: Column, n_chunks: int = 4, width: int = 16) -> Column:
+    """array<struct<chunk_id:int, chunk_val:int>>: the fingerprint cut
+    into ``n_chunks`` chunks of ``width`` bits for the pigeonhole
+    candidate join (distance ≤ n_chunks−1 ⇒ some chunk matches)."""
+    mask = (1 << width) - 1
     return F.array(
         *[
             F.struct(
                 F.lit(c).alias("chunk_id"),
-                F.shiftrightunsigned(fp, c * 16)
-                .bitwiseAND(F.lit(0xFFFF))
+                F.shiftrightunsigned(fp, c * width)
+                .bitwiseAND(F.lit(mask))
                 .cast("int")
                 .alias("chunk_val"),
             )
-            for c in range(4)
+            for c in range(n_chunks)
         ]
     )
 
 
 def near_pairs(
-    df: DataFrame, id_col: str, fp_col: str, max_distance: int = 3
+    df: DataFrame,
+    id_col: str,
+    fp_col: str,
+    max_distance: int = 3,
+    n_chunks: int = 4,
+    width: int = 16,
 ) -> DataFrame:
     """(id_a, id_b, distance) for pairs within ``max_distance``; one
-    shuffle on 16-bit chunks (valid for max_distance ≤ 3 with 4 chunks),
+    shuffle on fingerprint chunks (valid for max_distance ≤ n_chunks−1),
     pairs generated within each chunk bucket array-side."""
     chunked = df.select(
         F.col(id_col).alias("_id"), F.col(fp_col).alias("_fp")
-    ).select("_id", "_fp", F.explode(chunk16(F.col("_fp"))).alias("c"))
+    ).select(
+        "_id", "_fp", F.explode(chunk16(F.col("_fp"), n_chunks, width)).alias("c")
+    )
     buckets = (
         chunked.groupBy(
             F.col("c.chunk_id").alias("chunk_id"), F.col("c.chunk_val").alias("chunk_val")

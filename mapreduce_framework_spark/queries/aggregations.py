@@ -81,20 +81,45 @@ def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "agg_approx_distinct",
-    # HLL sketches differ between engines → rows-only check; the exact
-    # variant `agg_distinct` covers value correctness.
-    oracle=None,
+    # Tolerance oracle: HLL sketch internals differ between engines, so
+    # the check constrains the ESTIMATE, not the sketch — the query
+    # emits the exact distinct count plus an error-bound verdict on the
+    # HLL estimate (within max(±5%, ±2): relative 2.5σ at scale, small
+    # absolute wobble on tiny groups); the oracle asserts the verdict is
+    # TRUE everywhere.  At 100 TB you ship only the
+    # estimate; the exact column here is the certificate that makes an
+    # approximate operator hash-checkable.
+    oracle="""
+SELECT c_nationkey,
+       count(DISTINCT o_custkey) AS exact_customers,
+       TRUE AS within_tol
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_nationkey
+""".strip(),
     tags=("agg", "approx"),
 )
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct (HyperLogLog++): the 100 TB path for
-    distinct-cardinality — fixed-size sketch, no distinct-pair shuffle."""
+    distinct-cardinality — fixed-size sketch, no distinct-pair shuffle.
+    Emits (exact, estimate-within-±5% verdict) per group so the driver
+    hash check verifies the estimate's error bound."""
     o = table(spark, sf_dir, "orders")
     c = table(spark, sf_dir, "customer")
     return (
         o.join(c, o.o_custkey == c.c_custkey)
         .groupBy("c_nationkey")
-        .agg(F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx_customers"))
+        .agg(
+            F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx_customers"),
+            F.countDistinct("o_custkey").alias("exact_customers"),
+        )
+        .select(
+            "c_nationkey",
+            "exact_customers",
+            (
+                F.abs(F.col("approx_customers") - F.col("exact_customers"))
+                <= F.greatest(F.lit(2.0), 0.05 * F.col("exact_customers"))
+            ).alias("within_tol"),
+        )
     )
 
 
@@ -764,9 +789,19 @@ def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "agg_hll_partial_merge",
-    oracle=None,  # Datasketches HLL has no DuckDB twin → rows-only;
-    # tests/test_analytics_invariants.py pins merge==direct equality
-    # and <5% error vs exact distincts.
+    # Tolerance oracle (Datasketches internals have no DuckDB twin, so
+    # the check constrains the estimates): exact distincts per grain +
+    # an all-TRUE within-5% verdict column; tests additionally pin
+    # merge==direct equality and partitioning invariance.
+    oracle="""
+SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS grain,
+       count(DISTINCT user_id) AS exact_users,
+       TRUE AS within_tol
+FROM events
+GROUP BY 1
+UNION ALL
+SELECT 'ALL', count(DISTINCT user_id), TRUE FROM events
+""".strip(),
     tags=("agg", "sketch", "incremental"),
 )
 def agg_hll_partial_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -783,22 +818,35 @@ def agg_hll_partial_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     lgK=12 (4 KiB per sketch) holds relative error ~1.6% regardless of
     cardinality; estimates are deterministic for a fixed dataset and
-    partitioning-invariant (tested)."""
+    partitioning-invariant (tested).  Each grain emits the exact
+    distinct count plus a within-5% verdict on the sketch estimate —
+    the driver hash check then verifies the error bound (tolerance
+    oracle; Datasketches internals still have no DuckDB twin)."""
     ev = table(spark, sf_dir, "events").select(
         F.to_date("ts").alias("day"), "user_id"
     )
     daily = ev.groupBy("day").agg(
-        F.hll_sketch_agg("user_id", F.lit(12)).alias("sk")
+        F.hll_sketch_agg("user_id", F.lit(12)).alias("sk"),
+        F.countDistinct("user_id").alias("exact_users"),
     )
     per_day = daily.select(
         F.col("day").cast("string").alias("grain"),
+        "exact_users",
         F.hll_sketch_estimate("sk").alias("est_users"),
     )
     total = (
         daily.agg(F.hll_union_agg("sk").alias("sk"))
-        .select(
-            F.lit("ALL").alias("grain"),
-            F.hll_sketch_estimate("sk").alias("est_users"),
+        .select(F.hll_sketch_estimate("sk").alias("est_users"))
+        .crossJoin(
+            ev.agg(F.countDistinct("user_id").alias("exact_users"))
         )
+        .select(F.lit("ALL").alias("grain"), "exact_users", "est_users")
     )
-    return per_day.unionByName(total)
+    return per_day.unionByName(total).select(
+        "grain",
+        "exact_users",
+        (
+            F.abs(F.col("est_users") - F.col("exact_users"))
+            <= F.greatest(F.lit(2.0), 0.05 * F.col("exact_users"))
+        ).alias("within_tol"),
+    )

