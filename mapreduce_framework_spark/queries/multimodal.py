@@ -59,19 +59,50 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "multimodal_audio_features",
-    oracle=None,  # array<float> output; checked rows-only by the driver,
-    # exactly by tests/test_multimodal.py (deterministic fake)
+    # The float array itself is unhashable for the driver canonicalizer,
+    # so the query serializes it to its exact integer grid (features are
+    # (n>>k & 255)/255 in the deterministic fake): the UDF still emits
+    # the real array<float>, the check constrains every element.
+    oracle="""
+SELECT doc_id,
+       octet_length(encode(text)) * 8 AS duration_ms,
+       concat_ws(',',
+         (octet_length(encode(text)) >> 0) & 255,
+         (octet_length(encode(text)) >> 1) & 255,
+         (octet_length(encode(text)) >> 2) & 255,
+         (octet_length(encode(text)) >> 3) & 255,
+         (octet_length(encode(text)) >> 4) & 255,
+         (octet_length(encode(text)) >> 5) & 255,
+         (octet_length(encode(text)) >> 6) & 255,
+         (octet_length(encode(text)) >> 7) & 255) AS features_csv
+FROM documents
+""".strip(),
     tags=("multimodal",),
 )
 def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio-style feature extraction: binary payload → fixed-width
-    float vector, the input shape for the ANN/similarity stage."""
+    float vector (array<float>), the input shape for the ANN/similarity
+    stage.  For the hash check the vector is serialized losslessly back
+    to its integer grid (×255, round, int) — float-format-free, so both
+    engines canonicalize identically; tests/test_multimodal.py checks
+    the raw array."""
     from mapreduce_framework_spark.multimodal.decode import extract_audio_features
 
     payloads = table(spark, sf_dir, "documents").select(
         "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
     )
-    return extract_audio_features(payloads)
+    feats = extract_audio_features(payloads)
+    return feats.select(
+        "doc_id",
+        "duration_ms",
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.col("features"),
+                lambda x: F.round(x * 255).cast("int").cast("string"),
+            ),
+        ).alias("features_csv"),
+    )
 
 
 @register(

@@ -110,9 +110,18 @@ def profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "sink_compaction",
-    oracle=None,  # file-layout behavior → rows-only; invariants
-    # (row preservation, exact file counts) are asserted in
-    # tests/test_analytics_invariants.py
+    # The metrics row is fully deterministic: both layouts hold exactly
+    # the documents rows, and the file counts are the repartition
+    # targets — so the file-layout behavior IS oracle-checkable.
+    # Deeper invariants (per-file row balance) stay in
+    # tests/test_analytics_invariants.py.
+    oracle="""
+SELECT count(*) AS n_rows_before,
+       count(*) AS n_rows_after,
+       64 AS n_files_before,
+       4 AS n_files_after
+FROM documents
+""".strip(),
     tags=("sink", "maintenance"),
 )
 def sink_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -45,8 +45,42 @@ def sim_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "sim_search_ivf",
-    oracle=None,  # approximate by construction → rows-only; recall vs
-    # the exact baseline is asserted in tests/test_operators.py
+    # The IVF pipeline is deterministic end-to-end (seed centroids =
+    # 16 lowest vec_ids, argmax-cosine assignment with lowest-cell-id
+    # tie-break, 4 fixed probes), so the oracle replicates it EXACTLY
+    # in SQL — an approximate ANN result that is still hash-checkable.
+    # Recall vs the exact baseline is additionally asserted in
+    # tests/test_operators.py.
+    oracle="""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+c AS (SELECT vec_id AS cell_id, v AS cv FROM e ORDER BY vec_id LIMIT 16),
+scored AS (
+  SELECT e.vec_id, e.v, c.cell_id,
+         list_cosine_similarity(e.v, c.cv) AS sim,
+         row_number() OVER (
+           PARTITION BY e.vec_id
+           ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cell_id ASC
+         ) AS rn
+  FROM e, c
+  WHERE e.vec_id <> 0
+),
+assigned AS (SELECT vec_id, v, cell_id FROM scored WHERE rn = 1),
+probes AS (
+  SELECT cell_id FROM (
+    SELECT c.cell_id,
+           row_number() OVER (
+             ORDER BY list_cosine_similarity(c.cv, q.qv) DESC, c.cell_id ASC
+           ) AS rn
+    FROM c, q
+  ) WHERE rn <= 4
+)
+SELECT a.vec_id, round(list_cosine_similarity(a.v, q.qv), 6) AS cos_sim
+FROM assigned a, q
+WHERE a.cell_id IN (SELECT cell_id FROM probes)
+ORDER BY cos_sim DESC, a.vec_id ASC
+LIMIT 10
+""".strip(),
     tags=("similarity", "ann"),
     bench=True,
 )
