@@ -24,12 +24,56 @@ IMAGE_META_SCHEMA = (
 )
 
 
+def pil_available() -> bool:
+    """True when a real imaging library is importable in this
+    environment (auto-detected; this container ships none, so the
+    deterministic fake is the default everywhere tests run)."""
+    try:
+        import PIL.Image  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
 def decode_image_real(payload: bytes) -> dict:
-    """Real image decode — requires an imaging library not present in
-    this container.  STUB: plug PIL/torchvision here in production."""
-    raise NotImplementedError(
-        "image codec not available in this environment; use fake_image_meta"
-    )
+    """Real image decode via PIL.  Raises ImportError when no imaging
+    library is present (use :func:`pil_available` / ``codec='auto'`` on
+    :func:`decode_images` to fall back to the deterministic fake)."""
+    import io
+
+    from PIL import Image
+
+    with Image.open(io.BytesIO(payload)) as im:
+        return {
+            "width": int(im.width),
+            "height": int(im.height),
+            "format": (im.format or "unknown").lower(),
+        }
+
+
+def make_real_decoder():
+    """PIL-backed batch decoder with the same schema as the fake.
+    Payloads PIL can't parse fall back to the fake's length-derived
+    metadata with format 'undecodable' — a 100 TB corpus always
+    contains corrupt blobs, and a codec stage must degrade per-row,
+    never fail the task."""
+
+    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                n = len(payload)
+                try:
+                    meta = decode_image_real(bytes(payload))
+                    rows.append((doc_id, n, meta["width"], meta["height"], meta["format"]))
+                except Exception:
+                    rows.append((doc_id, n, int(n % 256), int(n // 256 + 1), "undecodable"))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "n_bytes", "width", "height", "format"]
+            ).astype({"width": "int32", "height": "int32"})
+
+    return decode_batches
 
 
 def make_fake_decoder():
@@ -53,10 +97,18 @@ def make_fake_decoder():
     return decode_batches
 
 
-def decode_images(payloads: DataFrame) -> DataFrame:
+def decode_images(payloads: DataFrame, codec: str = "fake") -> DataFrame:
     """payloads(doc_id long, payload binary) → typed image metadata via
-    Arrow-batched mapInPandas."""
-    return payloads.mapInPandas(make_fake_decoder(), schema=IMAGE_META_SCHEMA)
+    Arrow-batched mapInPandas.
+
+    ``codec``: 'fake' (deterministic, oracle-checkable — the registered
+    query uses this so results never depend on the environment), 'real'
+    (PIL, raises if absent), or 'auto' (real when PIL imports, fake
+    otherwise — the production default)."""
+    if codec == "auto":
+        codec = "real" if pil_available() else "fake"
+    fn = make_real_decoder() if codec == "real" else make_fake_decoder()
+    return payloads.mapInPandas(fn, schema=IMAGE_META_SCHEMA)
 
 
 FRAME_SCHEMA = "doc_id long, frame_idx int, ts_ms long, frame_bytes long"

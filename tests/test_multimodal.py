@@ -43,10 +43,52 @@ def test_audio_features_fixed_width_and_deterministic(spark):
     assert all(len(v[1]) == 8 for v in rows.values())
 
 
-def test_real_decoder_is_explicit_stub():
+def test_real_decoder_raises_cleanly_without_codec():
+    """Without an imaging library the real path must fail loudly
+    (ImportError), never return fake data pretending to be a decode."""
     import pytest
 
-    from mapreduce_framework_spark.multimodal.decode import decode_image_real
+    from mapreduce_framework_spark.multimodal.decode import (
+        decode_image_real,
+        pil_available,
+    )
 
-    with pytest.raises(NotImplementedError):
+    if pil_available():
+        pytest.skip("imaging library present; real path covered below")
+    with pytest.raises(ImportError):
         decode_image_real(b"\x89PNG")
+
+
+def test_codec_auto_detect_seam(spark):
+    """'auto' resolves to the fake in a codec-less container and to PIL
+    when present; the PIL branch is exercised whenever the environment
+    allows (skipped otherwise, never silently faked)."""
+    import pandas as pd
+    import pytest
+
+    from mapreduce_framework_spark.multimodal.decode import (
+        decode_images,
+        pil_available,
+    )
+
+    payloads = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1], "payload": [b"not-an-image"]})
+    )
+    out = decode_images(payloads, codec="auto").collect()[0]
+    if not pil_available():
+        assert out.format == "fake/raw"  # auto fell back to the fake
+        pytest.skip("no imaging library in this environment")
+    # PIL present: undecodable payloads degrade per-row, decodable ones
+    # get real dimensions.
+    assert out.format == "undecodable"
+    import io
+
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.new("RGB", (5, 7)).save(buf, format="PNG")
+    real = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [2], "payload": [buf.getvalue()]})
+    )
+    row = decode_images(real, codec="auto").collect()[0]
+    assert (row.width, row.height, row.format) == (5, 7, "png")

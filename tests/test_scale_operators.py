@@ -183,3 +183,67 @@ def test_write_compacted_bounds_file_count(spark):
         files = glob.glob(f"{path}/part-*")
         assert 1 <= len(files) <= 4
         assert spark.read.parquet(path).count() == agg.count()
+
+
+def test_interval_join_survives_event_storm(spark):
+    """Skew: one hour holds ~50% of all points (an event storm).  The
+    bucketized range join must (a) stay exact under the storm and
+    (b) let AQE split the hot bucket's shuffle partition at runtime —
+    asserted on the executed plan, with thresholds forced low so the
+    split triggers at test scale the way size would trigger it at
+    100 TB."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_framework_spark.operators.rangejoin import point_interval_join
+
+    base = F.lit("2024-03-01 00:00:00").cast("timestamp")
+    # 20k points: even ids all inside hour 12 (the storm), odd ids
+    # spread uniformly over the day.
+    points = spark.range(20_000).select(
+        F.col("id").alias("pid"),
+        F.when(
+            F.col("id") % 2 == 0,
+            base + F.make_interval(hours=F.lit(12), secs=F.col("id") % 3600),
+        )
+        .otherwise(base + F.make_interval(secs=F.col("id") % 86_400))
+        .alias("ts"),
+    )
+    # 96 quarter-hour-aligned intervals of 90 minutes (overlapping).
+    intervals = spark.range(96).select(
+        F.col("id").alias("iid"),
+        (base + F.make_interval(mins=15 * F.col("id"))).alias("lo"),
+        (base + F.make_interval(mins=15 * F.col("id") + 90)).alias("hi"),
+    )
+
+    joined = point_interval_join(points, intervals, "ts", "lo", "hi", bucket="hour")
+
+    naive = points.join(
+        intervals, (F.col("ts") >= F.col("lo")) & (F.col("ts") < F.col("hi"))
+    )
+    want = sorted((r.pid, r.iid) for r in naive.select("pid", "iid").collect())
+
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "16KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16KB",
+        "spark.sql.adaptive.coalescePartitions.minPartitionSize": "1KB",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        got_df = point_interval_join(
+            points, intervals, "ts", "lo", "hi", bucket="hour"
+        ).select("pid", "iid")
+        got = sorted((r.pid, r.iid) for r in got_df.collect())
+        assert got == want  # exact under the storm
+        # executedPlan after the action = AQE's FINAL plan.
+        final_plan = got_df._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in final_plan, final_plan[:2000]
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
