@@ -58,7 +58,7 @@ SELECT node, rank FROM r{_N_ITER}
 """.strip()
 
 
-@register("graph_pagerank", oracle=_PR_ORACLE, tags=("graph", "iterative"))
+@register("graph_pagerank", oracle=_PR_ORACLE, tags=("graph", "iterative"), bench=True)
 def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank ({_N_ITER} rounds, damping 0.85) over the undirected
     customer–supplier transaction graph (distinct pairs from

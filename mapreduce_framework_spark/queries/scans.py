@@ -149,6 +149,7 @@ def sink_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "sink_scd2",
+    bench=True,
     oracle="""
 WITH snap AS (
   SELECT c_custkey, c_mktsegment,

@@ -144,7 +144,7 @@ GROUP BY c_custkey, o_orderkey, o_orderdate
 """.strip()
 
 
-@register("sql_q18_shape", oracle=_Q18, tags=("sql", "join", "subquery"))
+@register("sql_q18_shape", oracle=_Q18, tags=("sql", "join", "subquery"), bench=True)
 def sql_q18_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q18 shape by SQL text: an aggregated-HAVING IN-subquery
     (orders whose total quantity exceeds a threshold) filtering a

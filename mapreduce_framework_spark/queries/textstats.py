@@ -332,6 +332,7 @@ def ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "tfidf_topk",
+    bench=True,
     oracle="""
 WITH tok AS (
   SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
@@ -400,6 +401,7 @@ def tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "contamination_ngram",
+    bench=True,
     oracle="""
 WITH d AS (
   SELECT doc_id,

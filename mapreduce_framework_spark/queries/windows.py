@@ -223,6 +223,7 @@ def window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "window_sessionize",
+    bench=True,
     oracle="""
 WITH marked AS (
   SELECT user_id, event_id, ts,
