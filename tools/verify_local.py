@@ -1,0 +1,106 @@
+#!/usr/bin/env python
+"""Local replica of the driver's CORRECTNESS gate over the FULL registry.
+
+Runs every `queries()` entry on Spark and its `oracle_sql()` twin on
+DuckDB at the driver's scale factor (sf0.01 by default), canonicalizes
+both sides the way the driver does (columns sorted by name, cells
+normalized, rows sorted), and writes one JSON file with per-query
+rows/schema/values verdicts:
+
+    python tools/verify_local.py [--sf-dir /root/testdata/sf0.01] \
+        [--out VERIFY_LOCAL.json]
+
+The driver samples a subset of keys per round; this artifact is the
+evidence for the rest.  Uses the same normalization helpers as
+tests/conftest.py (single source of truth for comparison semantics).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+import duckdb  # noqa: E402
+
+from tests.conftest import TABLES, rows_normalized  # noqa: E402
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    ap.add_argument("--out", default=str(REPO / "VERIFY_LOCAL.json"))
+    args = ap.parse_args()
+
+    import __spark_entry__ as contract  # noqa: E402  (repo-root import)
+    from mapreduce_framework_spark.session import get_spark
+
+    spark = get_spark("mfs-verify-local")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{args.sf_dir}/{t}.parquet'"
+        )
+
+    qs, oracles = contract.queries(), contract.oracle_sql()
+    report: dict[str, dict] = {}
+    for name in sorted(qs):
+        t0 = time.time()
+        entry: dict = {"err": None}
+        try:
+            sdf = qs[name](spark, args.sf_dir)
+            s_cols = sdf.columns
+            s_rows = [tuple(r) for r in sdf.collect()]
+            if name not in oracles:
+                entry.update(rows_only=True, spark_rows=len(s_rows))
+            else:
+                res = con.execute(oracles[name])
+                d_cols = [d[0] for d in res.description]
+                d_rows = res.fetchall()
+                _, s_norm = rows_normalized(s_cols, s_rows)
+                _, d_norm = rows_normalized(d_cols, d_rows)
+                entry.update(
+                    spark_rows=len(s_rows),
+                    oracle_rows=len(d_rows),
+                    rows_match=len(s_rows) == len(d_rows),
+                    schema_match=sorted(s_cols) == sorted(d_cols),
+                    values_match=s_norm == d_norm,
+                )
+        except Exception as e:  # harness parity: record, don't abort
+            entry["err"] = f"{type(e).__name__}: {e}"[:300]
+        entry["sec"] = round(time.time() - t0, 1)
+        report[name] = entry
+        status = (
+            "ERR"
+            if entry["err"]
+            else "rows-only"
+            if entry.get("rows_only")
+            else ("OK" if entry.get("values_match") else "MISMATCH")
+        )
+        print(f"{name:35s} {status:9s} {entry['sec']}s", flush=True)
+
+    checked = [e for e in report.values() if "values_match" in e]
+    ok = sum(1 for e in checked if e["values_match"] and e["rows_match"] and e["schema_match"])
+    summary = {
+        "sf_dir": args.sf_dir,
+        "total": len(report),
+        "oracle_checked": len(checked),
+        "oracle_green": ok,
+        "rows_only": sum(1 for e in report.values() if e.get("rows_only")),
+        "errors": sum(1 for e in report.values() if e["err"]),
+    }
+    out = {"summary": summary, "queries": report}
+    Path(args.out).write_text(json.dumps(out, indent=1))
+    print(json.dumps(summary))
+    return 0 if ok == len(checked) and summary["errors"] == 0 else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
