@@ -103,3 +103,53 @@ def sim_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=10,
         n_probe=4,
     )
+
+
+@register(
+    "sim_search_quantized",
+    # The whole pipeline is deterministic: quantization codes are
+    # round(v * 127/max|v|) — identical in both engines — and the code
+    # dot product is integer arithmetic (order-independent, no float
+    # summation divergence), so the oracle replicates the approximate
+    # search EXACTLY; only the two scale factors are float ops, rounded
+    # to 6 on both sides.
+    oracle="""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+m AS (
+  SELECT vec_id, v,
+         127.0 / greatest(list_max(list_transform(v, x -> abs(x))), 1e-12) AS scale
+  FROM e
+),
+q AS (SELECT vec_id, list_transform(v, x -> round(x * scale)) AS qv, scale FROM m),
+qq AS (SELECT qv AS query_qv, scale AS query_scale FROM q WHERE vec_id = 0)
+SELECT a.vec_id,
+       round(list_dot_product(a.qv, qq.query_qv) / (a.scale * qq.query_scale), 6)
+         AS approx_dot
+FROM q a, qq
+WHERE a.vec_id <> 0
+ORDER BY approx_dot DESC, a.vec_id ASC
+LIMIT 10
+""".strip(),
+    tags=("similarity", "ann", "quantization"),
+)
+def sim_search_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8-quantized top-10 by rescaled quantized dot product — the
+    vector-store compression tier: 4× fewer scan bytes than float32 and
+    an integer dot product that is exact and reproducible regardless of
+    summation order (a float dot's value depends on fold order, which
+    differs across engines and partitionings).  At 100 TB the int8
+    codes column replaces the raw embedding column for first-pass
+    retrieval; exact re-ranking on the float vectors touches only the
+    candidate set (tests pin the recall of this pass vs the exact
+    baseline)."""
+    from mapreduce_framework_spark.operators.annsearch import (
+        quantize,
+        quantized_topk,
+    )
+
+    vectors = _vectors(spark, sf_dir).select("vec_id", "v")
+    q = quantize(vectors)
+    query = q.where(F.col("vec_id") == 0).select(
+        F.col("qv").alias("query_qv"), F.col("scale").alias("query_scale")
+    )
+    return quantized_topk(q.where(F.col("vec_id") != 0), query, k=10)

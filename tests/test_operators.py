@@ -121,3 +121,52 @@ def test_point_interval_join_equals_nested_loop(spark):
         ).collect()
     }
     assert bucketized == bnl and len(bnl) > 0
+
+
+def test_quantized_topk_recall_and_error(spark):
+    """Int8 quantization must (a) keep per-element reconstruction error
+    within half a quantization step and (b) recover most of the exact
+    dot-product top-10 on the test embeddings (first-pass retrieval
+    quality; exact re-rank would fix the rest in production)."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_framework_spark.functions.vector import dot
+    from mapreduce_framework_spark.operators.annsearch import quantize
+    from mapreduce_framework_spark.queries.similarity import _vectors
+
+    vectors = _vectors(spark, SF_DIR).select("vec_id", "v")
+    q = quantize(vectors)
+    # (a) |v_i - qv_i/scale| <= 0.5/scale for every element
+    bad = (
+        q.join(vectors, "vec_id")
+        .select(
+            F.size(
+                F.filter(
+                    F.zip_with(
+                        "v", "qv", lambda x, c: F.abs(x - c / F.col("scale"))
+                    ),
+                    lambda err: err > 0.5 / F.col("scale") + 1e-12,
+                )
+            ).alias("n_bad")
+        )
+        .agg(F.sum("n_bad"))
+        .collect()[0][0]
+    )
+    assert bad == 0
+
+    # (b) recall@10 vs exact double-precision dot product
+    qv = vectors.where(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
+    exact = (
+        vectors.where(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qv))
+        .select("vec_id", dot(F.col("v"), F.col("qv")).alias("d"))
+        .orderBy(F.desc("d"), F.asc("vec_id"))
+        .limit(10)
+    )
+    exact_ids = {r.vec_id for r in exact.collect()}
+    from mapreduce_framework_spark.registry import get_query
+
+    approx_ids = {
+        r.vec_id for r in get_query("sim_search_quantized").fn(spark, SF_DIR).collect()
+    }
+    assert len(exact_ids & approx_ids) >= 8  # ≥80% first-pass recall
