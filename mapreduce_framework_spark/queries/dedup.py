@@ -71,6 +71,7 @@ WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
         / len(list_distinct(a.toks || b.toks)) >= 0.8
 """.strip(),
     tags=("dedup",),
+    bench=True,
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Blocked exact Jaccard with a token-count band in the join key.

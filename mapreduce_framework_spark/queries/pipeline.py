@@ -165,3 +165,133 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("sampled_chars"),
         )
     )
+
+
+@register(
+    "corpus_curation_funnel",
+    # End-to-end curation composed as ONE plan; every stage is integer
+    # counting over deterministic digests, so the whole funnel is
+    # hash-checked.
+    oracle="""
+WITH base AS (
+  SELECT doc_id, source,
+         len(string_split(text, ' ')) AS tok_cnt,
+         length(text) AS n_chars,
+         sha256(lower(trim(text))) AS h,
+         md5(array_to_string(string_split(text, ' ')[1:12], ' ')) AS pfx,
+         substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '2' AS is_eval
+  FROM documents
+),
+flagged AS (
+  SELECT *,
+         (tok_cnt BETWEEN 5 AND 5000
+          AND CAST(n_chars AS DOUBLE) / tok_cnt BETWEEN 2 AND 20) AS qual
+  FROM base
+),
+staged AS (
+  SELECT *,
+         (qual AND NOT is_eval
+          AND doc_id = min(CASE WHEN qual AND NOT is_eval THEN doc_id END)
+                         OVER (PARTITION BY h)) AS keep_exact,
+         max(CASE WHEN qual AND is_eval THEN 1 ELSE 0 END)
+           OVER (PARTITION BY h) AS eval_hash_seen
+  FROM flagged
+),
+staged2 AS (
+  SELECT *,
+         (keep_exact
+          AND doc_id = min(CASE WHEN keep_exact THEN doc_id END)
+                         OVER (PARTITION BY pfx)) AS keep_prefix
+  FROM staged
+)
+SELECT source,
+       count(*) AS n_raw,
+       CAST(sum(CASE WHEN qual THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
+       CAST(sum(CASE WHEN qual AND NOT is_eval THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_train_pool,
+       CAST(sum(CASE WHEN keep_exact THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_post_exact,
+       CAST(sum(CASE WHEN keep_prefix THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_post_prefix,
+       CAST(sum(CASE WHEN keep_prefix AND eval_hash_seen = 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_clean,
+       CAST(sum(CASE WHEN qual AND is_eval THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_eval_heldout
+FROM staged2
+GROUP BY source
+""".strip(),
+    tags=("pipeline", "dedup", "quality"),
+    bench=True,
+)
+def corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The END-TO-END training-corpus curation pipeline as ONE plan:
+    quality gate → held-out split → exact dedup (within the train pool)
+    → prefix near-dedup → decontamination against the held-out split,
+    reported as a per-source funnel of surviving-document counts.
+
+    Composition strategy (the 100 TB point of this query): every stage
+    is a FLAG computed with conditional window aggregation over the
+    stage's blocking digest — `min(CASE WHEN <prev stage> THEN doc_id
+    END) OVER (PARTITION BY digest)` — so the whole funnel is one scan
+    of the corpus plus two skinny digest-partitioned shuffles (exact
+    hash, prefix digest) and one final groupBy.  No stage re-scans the
+    corpus, no intermediate materialization, and survivors of stage k
+    are defined inside stage k+1's window frame instead of a join.
+    Decontamination rides the exact-hash window for free (has ANY
+    held-out doc been seen under this hash?).  Individual tiers exist
+    as standalone queries (quality_gopher_rules, dedup_exact,
+    dedup_doc_prefix, contamination_exact, split_train_eval); this is
+    their composed, single-plan form."""
+    d = table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    toks = F.split("text", " ")
+    base = d.select(
+        "doc_id",
+        "source",
+        F.size(toks).alias("tok_cnt"),
+        F.length("text").alias("n_chars"),
+        F.sha2(F.lower(F.trim(F.col("text"))), 256).alias("h"),
+        F.md5(F.concat_ws(" ", F.slice(toks, 1, 12))).alias("pfx"),
+        (
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) < F.lit("2")
+        ).alias("is_eval"),
+    )
+    flagged = base.withColumn(
+        "qual",
+        F.col("tok_cnt").between(5, 5000)
+        & (F.col("n_chars").cast("double") / F.col("tok_cnt")).between(2, 20),
+    )
+    train_doc = F.when(F.col("qual") & ~F.col("is_eval"), F.col("doc_id"))
+    staged = flagged.select(
+        "*",
+        (
+            F.col("qual")
+            & ~F.col("is_eval")
+            & (F.col("doc_id") == F.min(train_doc).over(Window.partitionBy("h")))
+        ).alias("keep_exact"),
+        F.max(
+            F.when(F.col("qual") & F.col("is_eval"), F.lit(1)).otherwise(F.lit(0))
+        )
+        .over(Window.partitionBy("h"))
+        .alias("eval_hash_seen"),
+    )
+    keep_doc = F.when(F.col("keep_exact"), F.col("doc_id"))
+    staged2 = staged.select(
+        "*",
+        (
+            F.col("keep_exact")
+            & (F.col("doc_id") == F.min(keep_doc).over(Window.partitionBy("pfx")))
+        ).alias("keep_prefix"),
+    )
+
+    def n(cond, name):
+        return F.sum(F.when(cond, 1).otherwise(0)).cast("long").alias(name)
+
+    return staged2.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_raw"),
+        n(F.col("qual"), "n_quality"),
+        n(F.col("qual") & ~F.col("is_eval"), "n_train_pool"),
+        n(F.col("keep_exact"), "n_post_exact"),
+        n(F.col("keep_prefix"), "n_post_prefix"),
+        n(F.col("keep_prefix") & (F.col("eval_hash_seen") == 0), "n_clean"),
+        n(F.col("qual") & F.col("is_eval"), "n_eval_heldout"),
+    )

@@ -355,3 +355,19 @@ def test_ngram_jaccard_join_carries_token_band(spark):
         if "Join" in ln or "keys" in ln.lower()
     ]
     assert any("band" in ln for ln in join_lines), join_lines
+
+
+def test_curation_funnel_is_single_scan(spark):
+    """The composed curation funnel must scan `documents` exactly once:
+    stage survivorship is conditional window aggregation, not re-scans
+    or self-joins.  (Two digest-partitioned window exchanges + the final
+    groupBy are the only shuffles.)"""
+    from mapreduce_framework_spark.plans import formatted_plan
+
+    import re
+
+    plan = formatted_plan(_q(spark, "corpus_curation_funnel"))
+    scan_nodes = set(re.findall(r"\((\d+)\) Scan parquet", plan))
+    assert len(scan_nodes) == 1, plan[:1500]
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
