@@ -131,6 +131,7 @@ ORDER BY approx_dot DESC, a.vec_id ASC
 LIMIT 10
 """.strip(),
     tags=("similarity", "ann", "quantization"),
+    bench=True,
 )
 def sim_search_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Int8-quantized top-10 by rescaled quantized dot product — the
