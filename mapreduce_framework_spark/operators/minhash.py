@@ -37,39 +37,33 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-def candidate_pairs(
+def band_buckets(
     df: DataFrame,
     id_col: str,
     tokens_col: str,
     n_hashes: int = 64,
     n_bands: int = 16,
-    max_bucket: int = 100_000,
 ) -> DataFrame:
-    """Distinct candidate id pairs (id_a < id_b) from LSH banding.
+    """DataFrame(_id, band_id, band_hash): the LSH banding index rows
+    for each document — n_bands rows per doc, each hashing r adjacent
+    minhashes.  This IS the persistable incremental-dedup index: at
+    100 TB the corpus's band rows live in a bucketed table partitioned
+    by (band_id, band_hash) and new batches probe it with an equi-join,
+    never re-scanning (or re-pairing) the corpus itself.
 
-    One corpus scan → one shuffle of (doc, band) rows → pairs generated
-    array-side within each bucket.  ``max_bucket`` drops degenerate
-    buckets (a bucket of k docs yields k² pairs; a pathological
-    collision would otherwise dominate the stage).  NOTE it must stay
-    well above the largest *legitimate* duplicate-cluster size — a
-    cluster of k near-identical docs shares most band buckets, and
-    pruning those buckets silently loses true pairs (recall, not just
-    cost).  Default bounds bucket blowup at ~1e10 comparisons while
-    tolerating 1e5-doc dup clusters; tune per corpus with the
-    bucket-size histogram."""
+    Signature via EXPLODE + codegen'd HashAggregate, not array HOFs:
+    `transform`/`array_min` are interpreted per element with boxing —
+    64 passes over every token array was the whole query's bottleneck
+    (measured ~3× end-to-end).  Exploded, the 64 `min(rehash)` columns
+    run inside whole-stage codegen; map-side partial aggregation means
+    the shuffle still carries one row per doc (64 longs), identical to
+    the array formulation.
+    explode_outer, NOT explode: plain explode makes Catalyst infer a
+    `size(arr) > 0` filter and push it below the projection with the
+    whole array expression inlined — the shingle pipeline then runs
+    twice per row, once in re-inlined (split-per-element_at) form.
+    Measured 6.2s → 0.2s on this stage at sf0.1."""
     rows_per_band = n_hashes // n_bands
-    # Signature via EXPLODE + codegen'd HashAggregate, not array HOFs:
-    # `transform`/`array_min` are interpreted per element with boxing —
-    # 64 passes over every token array was the whole query's bottleneck
-    # (measured ~3× end-to-end).  Exploded, the 64 `min(rehash)` columns
-    # run inside whole-stage codegen; map-side partial aggregation means
-    # the shuffle still carries one row per doc (64 longs), identical to
-    # the array formulation.
-    # explode_outer, NOT explode: plain explode makes Catalyst infer a
-    # `size(arr) > 0` filter and push it below the projection with the
-    # whole array expression inlined — the shingle pipeline then runs
-    # twice per row, once in re-inlined (split-per-element_at) form.
-    # Measured 6.2s → 0.2s on this stage at sf0.1.
     ex = (
         df.select(F.col(id_col).alias("_id"), F.explode_outer(F.col(tokens_col)).alias("_t"))
         .where(F.col("_t").isNotNull())
@@ -92,9 +86,55 @@ def candidate_pairs(
             for b in range(n_bands)
         ]
     )
-    banded = mins.select("_id", F.explode(band_arr).alias("b")).select(
+    return mins.select("_id", F.explode(band_arr).alias("b")).select(
         "_id", F.col("b.band_id").alias("band_id"), F.col("b.band_hash").alias("band_hash")
     )
+
+
+def probe_candidates(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    id_col: str,
+    tokens_col: str,
+    n_hashes: int = 64,
+    n_bands: int = 16,
+) -> DataFrame:
+    """Distinct (new_id, corpus_id) candidate pairs: new docs probing
+    the corpus's banding index.  The incremental-dedup join shape —
+    cost is O(new·bands + matched buckets), with NO corpus×corpus pair
+    generation; at scale ``band_buckets(corpus)`` is precomputed and
+    bucketed on (band_id, band_hash) so the probe is a co-located
+    join."""
+    nb = band_buckets(new_df, id_col, tokens_col, n_hashes, n_bands).select(
+        F.col("_id").alias("new_id"), "band_id", "band_hash"
+    )
+    cb = band_buckets(corpus_df, id_col, tokens_col, n_hashes, n_bands).select(
+        F.col("_id").alias("corpus_id"), "band_id", "band_hash"
+    )
+    return nb.join(cb, ["band_id", "band_hash"]).select("new_id", "corpus_id").distinct()
+
+
+def candidate_pairs(
+    df: DataFrame,
+    id_col: str,
+    tokens_col: str,
+    n_hashes: int = 64,
+    n_bands: int = 16,
+    max_bucket: int = 100_000,
+) -> DataFrame:
+    """Distinct candidate id pairs (id_a < id_b) from LSH banding.
+
+    One corpus scan → one shuffle of (doc, band) rows → pairs generated
+    array-side within each bucket.  ``max_bucket`` drops degenerate
+    buckets (a bucket of k docs yields k² pairs; a pathological
+    collision would otherwise dominate the stage).  NOTE it must stay
+    well above the largest *legitimate* duplicate-cluster size — a
+    cluster of k near-identical docs shares most band buckets, and
+    pruning those buckets silently loses true pairs (recall, not just
+    cost).  Default bounds bucket blowup at ~1e10 comparisons while
+    tolerating 1e5-doc dup clusters; tune per corpus with the
+    bucket-size histogram."""
+    banded = band_buckets(df, id_col, tokens_col, n_hashes, n_bands)
     buckets = (
         banded.groupBy("band_id", "band_hash")
         .agg(F.collect_list("_id").alias("ids"))

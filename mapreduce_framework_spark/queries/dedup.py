@@ -549,3 +549,118 @@ def dedup_doc_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("n_docs") > 1)
     )
+
+
+@register(
+    "dedup_minhash_incremental",
+    # Oracle: DuckDB derives every new doc's admission status from the
+    # EXACT shingle-Jaccard truth (new×corpus and new×new pairs at
+    # 0.7, quadratic pruned by the lossless shingle-count band), so
+    # hash equality proves the incremental LSH probe found every true
+    # match — same recall argument as dedup_minhash, extended to the
+    # cross-batch probe.
+    oracle="""
+WITH d AS (
+  SELECT doc_id, string_split(text, ' ') AS toks,
+         substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '2' AS is_new
+  FROM documents
+),
+s AS (
+  SELECT doc_id, is_new,
+         list_distinct(list_transform(generate_series(1, len(toks) - 2),
+            i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+  FROM d
+  WHERE len(toks) >= 3
+),
+corpus_hit AS (
+  SELECT DISTINCT a.doc_id
+  FROM s a JOIN s b
+    ON a.is_new AND NOT b.is_new
+   AND len(a.sh) >= CAST(ceil(0.7 * len(b.sh)) AS BIGINT)
+   AND len(a.sh) <= CAST(floor(len(b.sh) / 0.7) AS BIGINT)
+  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+          / len(list_distinct(a.sh || b.sh)) >= 0.7
+),
+batch_hit AS (
+  SELECT DISTINCT a.doc_id
+  FROM s a JOIN s b
+    ON a.is_new AND b.is_new AND b.doc_id < a.doc_id
+   AND len(a.sh) >= CAST(ceil(0.7 * len(b.sh)) AS BIGINT)
+   AND len(a.sh) <= CAST(floor(len(b.sh) / 0.7) AS BIGINT)
+  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+          / len(list_distinct(a.sh || b.sh)) >= 0.7
+)
+SELECT d.doc_id,
+       CASE WHEN c.doc_id IS NOT NULL THEN 'dup_of_corpus'
+            WHEN h.doc_id IS NOT NULL THEN 'dup_within_batch'
+            ELSE 'admitted' END AS status
+FROM d
+LEFT JOIN corpus_hit c USING (doc_id)
+LEFT JOIN batch_hit h USING (doc_id)
+WHERE d.is_new
+""".strip(),
+    tags=("dedup", "lsh", "incremental"),
+)
+def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental NEAR-dup admission: a new batch (deterministic ~1/8
+    split of `documents`) probes the existing corpus's MinHash banding
+    index — the production shape for continuous corpus ingestion at
+    100 TB.
+
+    The corpus is NEVER re-paired against itself: its band rows
+    (`operators/minhash.py:band_buckets`) are the persistable index, and
+    the probe is one equi-join on (band_id, band_hash) costing
+    O(new·bands), independent of corpus-side history size.  Within-batch
+    dups are found by regular LSH over the (small) batch only.  Every
+    candidate is verified by exact shingle-Jaccard ≥ 0.7 before it can
+    affect a verdict, so statuses are sketch-noise-free:
+    `dup_of_corpus` (≥1 corpus near-match) beats `dup_within_batch`
+    (a smaller-id near-dup in the same batch) beats `admitted`.
+    The exact-fingerprint tier of the same shape is dedup_incremental."""
+    from mapreduce_framework_spark.functions.tokenize import word_ngrams
+    from mapreduce_framework_spark.operators.minhash import probe_candidates
+
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.split("text", " ").alias("toks"),
+        (
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) < F.lit("2")
+        ).alias("is_new"),
+    )
+    sh = d.where(F.size("toks") >= 3).select(
+        "doc_id", "is_new", word_ngrams(F.col("toks"), 3).alias("sh")
+    )
+    new = sh.where(F.col("is_new"))
+    corpus = sh.where(~F.col("is_new"))
+
+    sh_by_id = sh.select(F.col("doc_id").alias("_sid"), F.col("sh").alias("_sh"))
+
+    def verified(pairs: DataFrame, left: str, right: str) -> DataFrame:
+        return (
+            pairs.join(sh_by_id.withColumnRenamed("_sid", left).withColumnRenamed("_sh", "_sha"), left)
+            .join(sh_by_id.withColumnRenamed("_sid", right).withColumnRenamed("_sh", "_shb"), right)
+            .where(jaccard(F.col("_sha"), F.col("_shb")) >= 0.7)
+            .select(left, right)
+        )
+
+    corpus_hits = verified(
+        probe_candidates(new, corpus, "doc_id", "sh"), "new_id", "corpus_id"
+    ).select(F.col("new_id").alias("doc_id")).distinct()
+
+    batch_pairs = candidate_pairs(new, "doc_id", "sh")  # id_a < id_b
+    batch_hits = verified(batch_pairs, "id_a", "id_b").select(
+        F.col("id_b").alias("doc_id")
+    ).distinct()
+
+    new_all = d.where(F.col("is_new")).select("doc_id")
+    return (
+        new_all.join(corpus_hits.withColumn("_c", F.lit(1)), "doc_id", "left")
+        .join(batch_hits.withColumn("_b", F.lit(1)), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("_c") == 1, F.lit("dup_of_corpus"))
+            .when(F.col("_b") == 1, F.lit("dup_within_batch"))
+            .otherwise(F.lit("admitted"))
+            .alias("status"),
+        )
+    )

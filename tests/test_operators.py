@@ -170,3 +170,34 @@ def test_quantized_topk_recall_and_error(spark):
         r.vec_id for r in get_query("sim_search_quantized").fn(spark, SF_DIR).collect()
     }
     assert len(exact_ids & approx_ids) >= 8  # ≥80% first-pass recall
+
+
+def test_incremental_probe_finds_planted_near_dups(spark):
+    """probe_candidates must surface a planted new×corpus near-dup and
+    must NOT generate any corpus×corpus pairs (the incremental-cost
+    contract)."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_framework_spark.functions.tokenize import word_ngrams
+    from mapreduce_framework_spark.operators.minhash import probe_candidates
+
+    base = "the quick brown fox jumps over the lazy dog again and again " * 5
+    rows = [
+        (1, base + "tail one"),          # corpus
+        (2, base + "tail one extra"),    # corpus near-dup of 1 (must NOT pair)
+        (3, "completely different words with no overlap at all here now"),
+        (101, base + "tail one"),        # new: near-dup of corpus 1/2
+        (102, "unrelated fresh document about entirely other topics today"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string").select(
+        "doc_id", word_ngrams(F.split("text", " "), 3).alias("sh")
+    )
+    new = docs.where(F.col("doc_id") >= 100)
+    corpus = docs.where(F.col("doc_id") < 100)
+    got = {
+        (r.new_id, r.corpus_id)
+        for r in probe_candidates(new, corpus, "doc_id", "sh").collect()
+    }
+    assert (101, 1) in got and (101, 2) in got
+    assert all(nid >= 100 and cid < 100 for nid, cid in got)
+    assert not any(nid == 102 for nid, _ in got)  # unrelated doc clean

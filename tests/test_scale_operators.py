@@ -247,3 +247,24 @@ def test_interval_join_survives_event_storm(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_jaccard_band_is_lossless_exhaustive():
+    """The banded jaccard join is only correct if NO qualifying pair
+    can land more than 2 bands apart (probe side explodes band±2).
+    Jaccard ≥ 0.8 forces distinct-token counts x ≤ y ≤ 1.25·x, and
+    band(n) = ⌊ln n / ln 1.25⌋ is monotone — so checking the extreme
+    ratios for every x proves losslessness for all (x, y) pairs.
+    Exhaustive to 200k tokens with the exact IEEE double ops Spark's
+    expression uses (log/division/floor), which is where the
+    theoretical ±1 bound could rot to ±2 via rounding."""
+    import math
+
+    def band(n: int) -> int:
+        return math.floor(math.log(max(n, 1)) / math.log(1.25))
+
+    for x in range(1, 200_001):
+        hi = math.floor(x * 1.25)
+        lo = math.ceil(x * 0.8)
+        assert abs(band(x) - band(hi)) <= 2, (x, hi)
+        assert abs(band(x) - band(lo)) <= 2, (x, lo)
