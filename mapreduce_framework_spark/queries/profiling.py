@@ -308,3 +308,72 @@ def events_anomaly_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         (4 * dev * dev > 9 * (n * ss - s * s)).alias("is_anomaly"),
     )
+
+
+@register(
+    "profile_column_entropy",
+    # Entropy terms are p·ln p over exact integer ratios; both engines
+    # sum ≤ O(distinct) double terms and the result is rounded to 6 —
+    # well inside cross-engine float agreement.
+    oracle="""
+WITH cols AS (
+  SELECT 'events.event_type' AS col_name, event_type AS val FROM events
+  UNION ALL SELECT 'documents.lang', lang FROM documents
+  UNION ALL SELECT 'documents.source', source FROM documents
+),
+freq AS (
+  SELECT col_name, val, count(*) AS cnt FROM cols GROUP BY col_name, val
+),
+tot AS (
+  SELECT col_name, sum(cnt) AS n, count(*) AS n_distinct FROM freq GROUP BY col_name
+)
+SELECT f.col_name,
+       CAST(t.n_distinct AS BIGINT) AS n_distinct,
+       round(-sum((cnt / CAST(n AS DOUBLE)) * ln(cnt / CAST(n AS DOUBLE))), 6)
+         AS entropy_nats,
+       round(-sum((cnt / CAST(n AS DOUBLE)) * ln(cnt / CAST(n AS DOUBLE)))
+             / ln(CAST(t.n_distinct AS DOUBLE)), 6) AS normalized
+FROM freq f JOIN tot t USING (col_name)
+GROUP BY f.col_name, t.n_distinct
+""".strip(),
+    tags=("profiling",),
+)
+def profile_column_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of categorical columns — the data-quality signal
+    for mix skew (a near-zero-entropy `source` column means one origin
+    dominates the corpus; normalized entropy ≈ 1 means a balanced mix).
+
+    Scale shape: one skinny (column, value) frequency aggregation per
+    profiled column — the entropy itself is computed over the per-column
+    FREQUENCY table (≤ distinct-count rows), never the raw data, so
+    profiling cost is the same count shuffle a groupBy costs and the
+    entropy stage is O(distinct) arithmetic."""
+    ev = table(spark, sf_dir, "events").select(
+        F.lit("events.event_type").alias("col_name"),
+        F.col("event_type").alias("val"),
+    )
+    dl = table(spark, sf_dir, "documents").select(
+        F.lit("documents.lang").alias("col_name"), F.col("lang").alias("val")
+    )
+    ds = table(spark, sf_dir, "documents").select(
+        F.lit("documents.source").alias("col_name"), F.col("source").alias("val")
+    )
+    freq = (
+        ev.unionByName(dl)
+        .unionByName(ds)
+        .groupBy("col_name", "val")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.partitionBy("col_name")
+    p = (F.col("cnt") / F.sum("cnt").over(w).cast("double")).alias("p")
+    terms = freq.select(
+        "col_name",
+        F.count(F.lit(1)).over(w).alias("n_distinct"),
+        (p * F.log(p)).alias("term"),
+    )
+    return terms.groupBy("col_name", "n_distinct").agg(
+        F.round(-F.sum("term"), 6).alias("entropy_nats"),
+        F.round(
+            -F.sum("term") / F.log(F.col("n_distinct").cast("double")), 6
+        ).alias("normalized"),
+    )

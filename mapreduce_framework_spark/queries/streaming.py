@@ -222,3 +222,66 @@ def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         watermark=("ts", "10 minutes"),
         output_mode="append",
     )
+
+
+@register(
+    "stream_exactly_once_sink",
+    # The sink contents are the source rows exactly once, so the oracle
+    # is the source itself — including after the simulated post-crash
+    # retry of batch 0 that the query performs (a re-run must be
+    # indistinguishable from the original write).
+    oracle="""
+SELECT event_id, ts, user_id FROM events
+""".strip(),
+    tags=("streaming", "sink", "exactly-once"),
+)
+def stream_exactly_once_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once streaming delivery into a parquet sink, driver-hash-
+    checked: the events stream replays through ``foreachBatch`` with the
+    idempotent partition-by-batch-id writer (streaming/sinks.py), then
+    batch 0 is deliberately re-applied with the same batch id — the
+    post-crash retry Structured Streaming may perform — and the sink is
+    read back.  Hash equality against the raw source proves no loss and
+    no duplication.  This is the engine-grade version of the
+    reference's requeue + overwrite-by-name exactly-once machinery
+    (workerimpl.cc:319-333)."""
+    import glob
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from mapreduce_framework_spark.streaming.sinks import idempotent_parquet_writer
+
+    ev = table(spark, sf_dir, "events").select("event_id", "ts", "user_id")
+    base = tempfile.mkdtemp(prefix="mfs_eo_sink_")
+    src_dir, sink_dir, ckpt = (
+        os.path.join(base, "src"),
+        os.path.join(base, "sink"),
+        os.path.join(base, "ckpt"),
+    )
+    ev.repartitionByRange(4, "ts", "event_id").sortWithinPartitions(
+        "ts", "event_id"
+    ).write.mode("overwrite").parquet(src_dir)
+    part_files = sorted(glob.glob(os.path.join(src_dir, "part-*")))
+    for i, f in enumerate(part_files):
+        os.utime(f, (1_600_000_000 + i * 60, 1_600_000_000 + i * 60))
+
+    write_batch = idempotent_parquet_writer(sink_dir)
+    q = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+        .writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    # Simulated post-crash retry: re-run batch 0's write with its id.
+    sunk = spark.read.parquet(sink_dir)
+    batch0 = sunk.where(F.col("_batch_id") == 0).drop("_batch_id")
+    write_batch(batch0, 0)
+
+    return spark.read.parquet(sink_dir).select("event_id", "ts", "user_id")
