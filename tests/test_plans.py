@@ -371,3 +371,27 @@ def test_curation_funnel_is_single_scan(spark):
     assert len(scan_nodes) == 1, plan[:1500]
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_quantized_topk_is_broadcast_take_ordered(spark):
+    """Quantized search must broadcast the 1-row query and keep top-k as
+    TakeOrderedAndProject — no shuffle of the vector table, no global
+    sort."""
+    from mapreduce_framework_spark.plans import formatted_plan
+
+    plan = formatted_plan(_q(spark, "sim_search_quantized"))
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastExchange" in plan
+    assert "Sort " not in plan.replace("TakeOrdered", "")
+
+
+def test_incremental_minhash_probe_is_equi_join_on_bands(spark):
+    """The corpus probe must be an equi-join on (band_id, band_hash) —
+    the persisted-index lookup — with no nested loop anywhere in the
+    admission pipeline."""
+    from mapreduce_framework_spark.plans import formatted_plan
+
+    plan = formatted_plan(_q(spark, "dedup_minhash_incremental"))
+    assert "band_hash" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
