@@ -84,6 +84,13 @@ RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     "spark.sql.parquet.filterPushdown": "true",
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    # Semantics pins (the values every oracle was validated under — a
+    # harness session configured differently would silently change
+    # division-by-zero/cast behavior, identifier resolution, or decimal
+    # widening):
+    "spark.sql.ansi.enabled": "true",
+    "spark.sql.caseSensitive": "false",
+    "spark.sql.decimalOperations.allowPrecisionLoss": "true",
 }
 
 

@@ -38,9 +38,19 @@ def main() -> int:
     args = ap.parse_args()
 
     import __spark_entry__ as contract  # noqa: E402  (repo-root import)
-    from mapreduce_framework_spark.session import get_spark
+    from pyspark.sql import SparkSession
 
-    spark = get_spark("mfs-verify-local")
+    # A BARE session, deliberately NOT the repo's get_spark(): the real
+    # driver hands queries ITS OWN session, so this replica must prove
+    # the contract's per-query runtime-conf pinning (and nothing else)
+    # is what makes results correct.  The round-3 timestamp-NTZ bug was
+    # exactly the class of failure a get_spark()-based replica misses.
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
     spark.sparkContext.setLogLevel("ERROR")
 
     con = duckdb.connect()
