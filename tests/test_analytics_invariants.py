@@ -365,3 +365,21 @@ def test_prefix_clusters_share_prefix_and_cover_all_dups(spark):
     assert sizes == sorted(len(v) for v in dup_groups.values())
     keeps = sorted(r.keep_doc for r in got.values())
     assert keeps == sorted(v[0] for v in dup_groups.values())
+
+
+def test_curation_funnel_is_monotone(spark):
+    """Each curation stage can only shrink the surviving set, per
+    source; and quality split accounting must balance exactly."""
+    rows = _q(spark, "corpus_curation_funnel").collect()
+    assert rows
+    for r in rows:
+        assert (
+            r.n_raw
+            >= r.n_quality
+            >= r.n_train_pool
+            >= r.n_post_exact
+            >= r.n_post_prefix
+            >= r.n_clean
+            >= 0
+        ), r
+        assert r.n_quality == r.n_train_pool + r.n_eval_heldout, r
