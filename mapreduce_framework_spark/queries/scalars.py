@@ -334,3 +334,38 @@ def scalar_datetime_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("ts") + F.expr("INTERVAL 90 MINUTE")).alias("ts_plus_90m"),
         F.date_trunc("day", F.col("ts")).cast("date").alias("day"),
     )
+
+
+@register(
+    "scalar_regex",
+    # Patterns restricted to the Java-regex ∩ RE2 common subset
+    # (character classes + bounded repetition; no backrefs/lookarounds,
+    # which RE2 lacks) so both engines match identically.  DuckDB's
+    # regexp_replace needs the 'g' flag to match Spark's replace-all
+    # semantics — the classic cross-engine regex trap, pinned here.
+    oracle="""
+SELECT doc_id,
+       len(regexp_extract_all(text, '[a-z]{6,}')) AS n_long_words,
+       regexp_extract(text, '([a-z]{6,})', 1) AS first_long_word,
+       len(regexp_extract_all(text, '[aeiou][aeiou]')) AS n_vowel_pairs,
+       length(regexp_replace(text, '[aeiou]', '*', 'g')) AS replaced_len,
+       len(string_split_regex(text, '[ ]+')) AS n_ws_tokens
+FROM documents
+""".strip(),
+    tags=("scalar", "regex"),
+)
+def scalar_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex scalar battery over document text: count / extract /
+    replace-all / split, all JVM codegen (never a Python UDF).  Scale
+    note: regex evaluation is scan-side and embarrassingly parallel —
+    the cost model is bytes scanned × pattern complexity, no shuffle at
+    all (this query's plan is a bare Project over the file scan)."""
+    d = table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.regexp_count("text", F.lit("[a-z]{6,}")).alias("n_long_words"),
+        F.regexp_extract("text", "([a-z]{6,})", 1).alias("first_long_word"),
+        F.regexp_count("text", F.lit("[aeiou][aeiou]")).alias("n_vowel_pairs"),
+        F.length(F.regexp_replace("text", "[aeiou]", "*")).alias("replaced_len"),
+        F.size(F.split("text", "[ ]+")).alias("n_ws_tokens"),
+    )
