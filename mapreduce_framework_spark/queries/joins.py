@@ -442,3 +442,56 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_clicks"),
         F.sum("cents").alias("click_cents"),
     )
+
+
+@register(
+    "join_null_safe",
+    # DuckDB's IS NOT DISTINCT FROM ≡ Spark's <=> (eqNullSafe): NULL
+    # matches NULL, which a plain equi-join silently drops — the classic
+    # outer-join-accounting bug this query pins.
+    oracle="""
+WITH a AS (
+  SELECT o_orderkey, nullif(o_orderpriority, '1-URGENT') AS pri
+  FROM orders
+),
+b AS (
+  SELECT DISTINCT nullif(o_orderpriority, '1-URGENT') AS pri,
+         CASE WHEN o_orderpriority = '1-URGENT' THEN 'missing-priority'
+              ELSE 'priority: ' || o_orderpriority END AS label
+  FROM orders
+)
+SELECT b.label, count(*) AS n_orders
+FROM a JOIN b ON a.pri IS NOT DISTINCT FROM b.pri
+GROUP BY b.label
+""".strip(),
+    tags=("join",),
+)
+def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi-join (`<=>`): NULL keys match NULL keys instead of
+    vanishing.  Spark plans eqNullSafe as a HASH join (the null bucket
+    is just another key value), so the shape and scale posture are
+    identical to a plain equi-join — unlike the naive
+    `(a = b OR (a IS NULL AND b IS NULL))` rewrite, which degrades to a
+    nested loop.  The NULL side of a real dataset is often its biggest
+    skew key; AQE's skew split (or salting) applies to it like any hot
+    key."""
+    o = table(spark, sf_dir, "orders")
+    a = o.select(
+        "o_orderkey", F.nullif("o_orderpriority", F.lit("1-URGENT")).alias("pri")
+    )
+    b = (
+        o.select(
+            F.nullif("o_orderpriority", F.lit("1-URGENT")).alias("pri"),
+            F.when(
+                F.col("o_orderpriority") == "1-URGENT", F.lit("missing-priority")
+            )
+            .otherwise(F.concat(F.lit("priority: "), F.col("o_orderpriority")))
+            .alias("label"),
+        )
+        .distinct()
+    )
+    return (
+        a.join(b, a["pri"].eqNullSafe(b["pri"]))
+        .groupBy("label")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
