@@ -107,10 +107,23 @@ def near_pairs(
     max_distance: int = 3,
     n_chunks: int = 4,
     width: int = 16,
+    max_bucket: int = 100_000,
 ) -> DataFrame:
     """(id_a, id_b, distance) for pairs within ``max_distance``; one
     shuffle on fingerprint chunks (valid for max_distance ≤ n_chunks−1),
-    pairs generated within each chunk bucket array-side."""
+    pairs generated within each chunk bucket array-side.
+
+    ``max_bucket`` drops degenerate chunk buckets, with the same
+    rationale and recall caveat as operators/minhash.py — a bucket of k
+    docs builds k² pair structs inside ONE collect_list row, so an
+    unguarded hot bucket is a memory hazard before it is a time
+    problem.  Homogeneity note (measured, tools/scale_probe.py): on a
+    low-vocabulary corpus fingerprints concentrate and Σk² over
+    mid-size buckets — not one hot bucket — dominates (244M pair
+    structs at 400k synthetic ~100-word-vocab docs, 21.6× time at 10×
+    data, no bucket over 2.1k).  The cap cannot fix that shape; widen
+    the chunks (fewer, larger) or use the MinHash tier, which measured
+    1.1× time at 10× data on the same corpus."""
     chunked = df.select(
         F.col(id_col).alias("_id"), F.col(fp_col).alias("_fp")
     ).select(
@@ -121,7 +134,7 @@ def near_pairs(
             F.col("c.chunk_id").alias("chunk_id"), F.col("c.chunk_val").alias("chunk_val")
         )
         .agg(F.collect_list(F.struct(F.col("_id"), F.col("_fp"))).alias("xs"))
-        .where(F.size("xs") >= 2)
+        .where((F.size("xs") >= 2) & (F.size("xs") <= max_bucket))
     )
 
     def pairs_of(xs: Column) -> Column:

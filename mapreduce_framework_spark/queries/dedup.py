@@ -87,9 +87,13 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     boundaries) and the build side keeps its single band, so every
     qualifying pair matches EXACTLY once — no post-join distinct, the
     result multiset (hence the unchanged oracle) is identical.  Block
-    size becomes O(docs per (lang, source, ~25% length slice)) — flat in
-    corpus growth for a stable length distribution — instead of O(docs
-    per (lang, source))."""
+    size becomes O(docs per (lang, source, ~25% length slice)) instead
+    of O(docs per (lang, source)) — the band divides the quadratic
+    CONSTANT by the corpus's length-spread factor, but block membership
+    still grows linearly with the corpus when category cardinality is
+    fixed (measured: 3.6× time at 4× data, tools/scale_probe.py), so
+    this exact tier is for bounded blocks and verification; unbounded
+    corpora take the MinHash tier, which measured flat at 10× data."""
     import math
 
     d = (
