@@ -39,10 +39,22 @@ def main() -> None:
     for t in ("region", "nation", "customer", "supplier", "part", "orders",
               "lineitem", "events", "documents", "embeddings"):
         # Touch every input file into the page cache: the suite measures
-        # engine compute, not the host's cold-read disk latency.
+        # engine compute, not the host's cold-read disk latency.  Tables
+        # may ship as a single file OR a directory-style parquet dataset.
         p = os.path.join(sf_dir, f"{t}.parquet")
-        if os.path.exists(p):
-            with open(p, "rb") as fh:
+        if os.path.isdir(p):
+            files = sorted(
+                os.path.join(dp, f)
+                for dp, _, fs in os.walk(p)
+                for f in fs
+                if not f.startswith((".", "_"))
+            )
+        elif os.path.isfile(p):
+            files = [p]
+        else:
+            files = []
+        for fp in files:
+            with open(fp, "rb") as fh:
                 while fh.read(1 << 22):
                     pass
 

@@ -100,39 +100,61 @@ def chunk16(fp: Column, n_chunks: int = 4, width: int = 16) -> Column:
     )
 
 
-def near_pairs(
-    df: DataFrame,
-    id_col: str,
-    fp_col: str,
-    max_distance: int = 3,
-    n_chunks: int = 4,
-    width: int = 16,
-    max_bucket: int = 100_000,
-) -> DataFrame:
-    """(id_a, id_b, distance) for pairs within ``max_distance``; one
-    shuffle on fingerprint chunks (valid for max_distance ≤ n_chunks−1),
-    pairs generated within each chunk bucket array-side.
-
-    ``max_bucket`` drops degenerate chunk buckets, with the same
-    rationale and recall caveat as operators/minhash.py — a bucket of k
-    docs builds k² pair structs inside ONE collect_list row, so an
-    unguarded hot bucket is a memory hazard before it is a time
-    problem.  Homogeneity note (measured, tools/scale_probe.py): on a
-    low-vocabulary corpus fingerprints concentrate and Σk² over
-    mid-size buckets — not one hot bucket — dominates (244M pair
-    structs at 400k synthetic ~100-word-vocab docs, 21.6× time at 10×
-    data, no bucket over 2.1k).  The cap cannot fix that shape; widen
-    the chunks (fewer, larger) or use the MinHash tier, which measured
-    1.1× time at 10× data on the same corpus."""
-    chunked = df.select(
-        F.col(id_col).alias("_id"), F.col(fp_col).alias("_fp")
-    ).select(
+def _keyed_single(fps: DataFrame, n_chunks: int, width: int) -> DataFrame:
+    """(_id, _fp, key_id, key_val): one row per (doc, chunk) — the base
+    pigeonhole keying (distance ≤ n_chunks−1 ⇒ some chunk matches)."""
+    return fps.select(
         "_id", "_fp", F.explode(chunk16(F.col("_fp"), n_chunks, width)).alias("c")
+    ).select(
+        "_id",
+        "_fp",
+        F.col("c.chunk_id").alias("key_id"),
+        F.col("c.chunk_val").cast("long").alias("key_val"),
     )
+
+
+def _keyed_combo(fps: DataFrame, total_bits: int, max_distance: int) -> DataFrame:
+    """(_id, _fp, key_id, key_val): the WIDE-key fallback — re-chunk the
+    fingerprint into ``max_distance + 2`` chunks and key each doc on
+    every PAIR of chunks (multi-index / PartEnum-style).  Pigeonhole:
+    ≤ d bit errors touch ≤ d chunks, leaving ≥ 2 clean chunks, so a true
+    pair shares at least one (chunk_i, chunk_j) combo exactly — recall
+    is lossless, same as the single-chunk scheme, but the bucket key
+    carries 2·width bits instead of width, so homogeneous-corpus
+    buckets shrink ~2^width-fold.  Cost: C(d+2, 2) explode rows per doc
+    instead of d+1 (10 vs 4 at d=3) — skinny rows, cheap.
+
+    key_val is xxhash64 of the two chunk values (overflow-free packing);
+    a 64-bit hash collision can only MERGE buckets, adding false
+    candidates that the exact distance filter removes — never dropping
+    a true pair."""
+    c2 = max_distance + 2
+    w2 = total_bits // c2
+    mask = (1 << w2) - 1
+
+    def chunk(i: int) -> Column:
+        return F.shiftrightunsigned(F.col("_fp"), i * w2).bitwiseAND(F.lit(mask))
+
+    combos = [(i, j) for i in range(c2) for j in range(i + 1, c2)]
+    arr = F.array(
+        *[
+            F.struct(
+                F.lit(k).alias("key_id"),
+                F.xxhash64(chunk(i), chunk(j)).alias("key_val"),
+            )
+            for k, (i, j) in enumerate(combos)
+        ]
+    )
+    return fps.select("_id", "_fp", F.explode(arr).alias("c")).select(
+        "_id", "_fp", F.col("c.key_id").alias("key_id"), F.col("c.key_val").alias("key_val")
+    )
+
+
+def _bucket_pairs(keyed: DataFrame, max_distance: int, max_bucket: int) -> DataFrame:
+    """Group the keyed rows into buckets, generate pairs array-side
+    inside each bucket, filter by exact Hamming distance."""
     buckets = (
-        chunked.groupBy(
-            F.col("c.chunk_id").alias("chunk_id"), F.col("c.chunk_val").alias("chunk_val")
-        )
+        keyed.groupBy("key_id", "key_val")
         .agg(F.collect_list(F.struct(F.col("_id"), F.col("_fp"))).alias("xs"))
         .where((F.size("xs") >= 2) & (F.size("xs") <= max_bucket))
     )
@@ -159,3 +181,73 @@ def near_pairs(
         .where(F.col("distance") <= max_distance)
         .distinct()
     )
+
+
+def near_pairs(
+    df: DataFrame,
+    id_col: str,
+    fp_col: str,
+    max_distance: int = 3,
+    n_chunks: int = 4,
+    width: int = 16,
+    max_bucket: int = 100_000,
+    pair_budget_per_doc: int = 64,
+    pair_budget_floor: int = 5_000_000,
+) -> DataFrame:
+    """(id_a, id_b, distance) for pairs within ``max_distance``; one
+    shuffle on fingerprint chunk keys (valid for max_distance ≤
+    n_chunks−1), pairs generated within each bucket array-side.
+
+    ``max_bucket`` drops degenerate buckets, with the same rationale
+    and recall caveat as operators/minhash.py — a bucket of k docs
+    builds k² pair structs inside ONE collect_list row, so an unguarded
+    hot bucket is a memory hazard before it is a time problem.
+
+    HOMOGENEITY FALLBACK (automated; the round-3 probe measured the
+    problem, this closes it): on a low-vocabulary corpus fingerprints
+    concentrate and Σk² over MID-SIZE buckets — not one hot bucket —
+    dominates (244M pair structs at 400k synthetic ~100-word-vocab
+    docs, 21.6× time at 10× data, no bucket over 2.1k; the cap cannot
+    fix that shape).  So before generating pairs, the operator measures
+    the single-chunk bucket histogram — a one-row aggregate over ≤
+    n_chunks·2^width histogram groups, the same metadata-scale action
+    as components.py's convergence probe — and when the implied
+    comparison count Σk(k−1)/2 exceeds
+    ``max(pair_budget_floor, pair_budget_per_doc · n_docs)`` it
+    switches to the pair-combination keying (``_keyed_combo``): same
+    exact Hamming semantics, lossless recall, ~2^width-fold smaller
+    buckets.  The fingerprint frame is localCheckpoint'ed so the
+    histogram probe and the pair job compute fingerprints once.
+
+    The budget floor must stay above the pair count of the largest
+    LEGITIMATE duplicate cluster (k docs ⇒ k²/2 pairs in one bucket);
+    the default tolerates a ~3k-doc cluster before switching — and the
+    switch only changes bucket WIDTH, never which pairs qualify."""
+    fps = df.select(
+        F.col(id_col).alias("_id"), F.col(fp_col).alias("_fp")
+    ).localCheckpoint(eager=True)
+
+    keyed_base = _keyed_single(fps, n_chunks, width)
+    hist = keyed_base.groupBy("key_id", "key_val").agg(F.count(F.lit(1)).alias("k"))
+    over_budget = (
+        hist.agg(
+            F.sum(F.col("k") * (F.col("k") - F.lit(1)) / F.lit(2)).alias("pairs"),
+            (F.sum("k") / F.lit(n_chunks)).alias("n_docs"),
+        )
+        .where(
+            F.col("pairs")
+            > F.greatest(
+                F.lit(float(pair_budget_floor)),
+                F.lit(float(pair_budget_per_doc)) * F.col("n_docs"),
+            )
+        )
+        .limit(1)
+        .count()
+        > 0
+    )
+    keyed = (
+        _keyed_combo(fps, n_chunks * width, max_distance)
+        if over_budget
+        else keyed_base
+    )
+    return _bucket_pairs(keyed, max_distance, max_bucket)

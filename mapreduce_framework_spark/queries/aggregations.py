@@ -84,11 +84,13 @@ def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Tolerance oracle: HLL sketch internals differ between engines, so
     # the check constrains the ESTIMATE, not the sketch — the query
     # emits the exact distinct count plus an error-bound verdict on the
-    # HLL estimate (within max(±5%, ±2): relative 2.5σ at scale, small
-    # absolute wobble on tiny groups); the oracle asserts the verdict is
-    # TRUE everywhere.  At 100 TB you ship only the
-    # estimate; the exact column here is the certificate that makes an
-    # approximate operator hash-checkable.
+    # HLL estimate (within max(±8%, ±3): 4σ at rsd=0.02, so a correct
+    # implementation produces a spurious FALSE on ~30 groups with
+    # probability ~2e-3, vs a non-negligible chance at the old 2.5σ
+    # bound; the absolute floor absorbs tiny-group wobble); the oracle
+    # asserts the verdict is TRUE everywhere.  At 100 TB you ship only
+    # the estimate; the exact column here is the certificate that makes
+    # an approximate operator hash-checkable.
     oracle="""
 SELECT c_nationkey,
        count(DISTINCT o_custkey) AS exact_customers,
@@ -101,7 +103,7 @@ GROUP BY c_nationkey
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct (HyperLogLog++): the 100 TB path for
     distinct-cardinality — fixed-size sketch, no distinct-pair shuffle.
-    Emits (exact, estimate-within-±5% verdict) per group so the driver
+    Emits (exact, estimate-within-max(±8%, ±3) verdict) per group so the driver
     hash check verifies the estimate's error bound."""
     o = table(spark, sf_dir, "orders")
     c = table(spark, sf_dir, "customer")
@@ -117,7 +119,7 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             "exact_customers",
             (
                 F.abs(F.col("approx_customers") - F.col("exact_customers"))
-                <= F.greatest(F.lit(2.0), 0.05 * F.col("exact_customers"))
+                <= F.greatest(F.lit(3.0), 0.08 * F.col("exact_customers"))
             ).alias("within_tol"),
         )
     )
@@ -791,7 +793,9 @@ def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_hll_partial_merge",
     # Tolerance oracle (Datasketches internals have no DuckDB twin, so
     # the check constrains the estimates): exact distincts per grain +
-    # an all-TRUE within-5% verdict column; tests additionally pin
+    # an all-TRUE within-max(8%, 3) verdict column (~5σ at lgK=12's
+    # ~1.6% rse — wide enough that a correct sketch essentially never
+    # fails the gate on fresh data); tests additionally pin
     # merge==direct equality and partitioning invariance.
     oracle="""
 SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS grain,
@@ -819,7 +823,7 @@ def agg_hll_partial_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     lgK=12 (4 KiB per sketch) holds relative error ~1.6% regardless of
     cardinality; estimates are deterministic for a fixed dataset and
     partitioning-invariant (tested).  Each grain emits the exact
-    distinct count plus a within-5% verdict on the sketch estimate —
+    distinct count plus a within-max(8%, 3) verdict on the sketch estimate —
     the driver hash check then verifies the error bound (tolerance
     oracle; Datasketches internals still have no DuckDB twin)."""
     ev = table(spark, sf_dir, "events").select(
@@ -847,6 +851,6 @@ def agg_hll_partial_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         "exact_users",
         (
             F.abs(F.col("est_users") - F.col("exact_users"))
-            <= F.greatest(F.lit(2.0), 0.05 * F.col("exact_users"))
+            <= F.greatest(F.lit(3.0), 0.08 * F.col("exact_users"))
         ).alias("within_tol"),
     )

@@ -54,6 +54,134 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def banded_jaccard_pairs(
+    d: DataFrame, threshold: float = 0.8, block_cap: int = 1000
+) -> DataFrame:
+    """(doc_a, doc_b, jaccard) pairs at ``jaccard ≥ threshold`` from a
+    (doc_id, lang, source, toks) frame — the guarded exact tier.
+
+    Blocking on (lang, source) alone is a scale-killer: block membership
+    grows linearly with the corpus, so within-block pairs grow
+    quadratically.  Two defenses, both enforced in-plan:
+
+    1. LOSSLESS token-count band in the join key: Jaccard ≥ 0.8 forces
+       the DISTINCT-token counts within 25% of each other
+       (|A∩B| ≥ 0.8·|A∪B| ≥ 0.8·max ⇒ min ≥ 0.8·max), so with geometric
+       bands of factor 1.25 (band = ⌊log₁.₂₅ n⌋) a qualifying pair
+       differs by at most one band.  The probe side explodes band±2 (±1
+       suffices mathematically; ±2 absorbs float rounding at the
+       0.8/1.25 boundaries) and the build side keeps its single band,
+       so every qualifying pair matches EXACTLY once — no post-join
+       distinct, the result multiset is identical to unbanded.
+
+    2. ENFORCED block cap with MinHash overflow (round-4; the round-3
+       docstring merely advised it): per-(lang, source, band) group
+       sizes are aggregated (skinny rows), and any CATEGORY
+       (lang, source) containing a group above ``block_cap`` routes
+       wholly to the MinHash-LSH tier — candidates from
+       operators/minhash.py banding over the same distinct-token sets,
+       verified by the same exact Jaccard ≥ threshold predicate.
+       Category-level routing keeps every pair in exactly one tier, so
+       the union is duplicate-free by construction.  The exact tier can
+       no longer go quadratic: its per-group work is bounded by
+       ~5·block_cap² comparisons regardless of corpus size.  The
+       overflow sets are tiny category lists, so both the anti- and
+       semi-joins broadcast.
+
+       Overflow candidates come from unigram-set MinHash (16×4) over
+       the same distinct-token arrays the verify step uses — MinHash is
+       duplicate- and order-invariant, so the candidate metric IS the
+       declared set-Jaccard and per-pair recall follows the standard
+       S-curve (≥ 99.97% at j ≥ 0.8); false positives are impossible
+       since every candidate is exact-verified.  Honest limit: on a
+       degenerate LOW-VOCABULARY corpus, random doc pairs themselves
+       sit at high set-j (at ~25 observed tokens, unrelated docs reach
+       j = 1.0) — there the 0.8-threshold OUTPUT is Θ(n²) and no exact
+       algorithm is sub-quadratic because the answer is; the right
+       operator at that point is cluster-granularity reporting
+       (dedup_clusters), not pair enumeration.  On metric-healthy
+       corpora (real vocabularies, random-pair j ≈ 0) LSH candidates
+       ≈ true pairs and the overflow tier is linear — measured ~1× at
+       4× data on the wide-vocab single-category probe corpus
+       (tools/scale_probe.py banded_overflow)."""
+    import math
+
+    banded = d.withColumn(
+        "band",
+        F.floor(
+            F.log(F.greatest(F.size("toks"), F.lit(1))) / F.lit(math.log(1.25))
+        ).cast("int"),
+    )
+    big_cats = (
+        banded.groupBy("lang", "source", "band")
+        .agg(F.count(F.lit(1)).alias("k"))
+        .where(F.col("k") > block_cap)
+        .select("lang", "source")
+        .distinct()
+    )
+
+    small = banded.join(F.broadcast(big_cats), ["lang", "source"], "left_anti")
+    a = small.select(
+        F.col("doc_id").alias("doc_a"),
+        "lang",
+        "source",
+        F.col("toks").alias("toks_a"),
+        F.explode(
+            F.array(*[F.col("band") + F.lit(i) for i in range(-2, 3)])
+        ).alias("band_probe"),
+    )
+    b = small.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("lang").alias("lang_b"),
+        F.col("source").alias("source_b"),
+        F.col("toks").alias("toks_b"),
+        "band",
+    )
+    j = jaccard(F.col("toks_a"), F.col("toks_b"))
+    exact_pairs = (
+        a.join(
+            b,
+            (F.col("lang") == F.col("lang_b"))
+            & (F.col("source") == F.col("source_b"))
+            & (F.col("band_probe") == F.col("band")),
+        )
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", j.alias("jaccard"))
+        .where(F.col("jaccard") >= threshold)
+    )
+
+    big = banded.join(F.broadcast(big_cats), ["lang", "source"], "left_semi")
+    cands = candidate_pairs(big, "doc_id", "toks")
+    ma = big.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("lang").alias("lang_a"),
+        F.col("source").alias("source_a"),
+        F.col("toks").alias("toks_a"),
+    )
+    mb = big.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("lang").alias("lang_b"),
+        F.col("source").alias("source_b"),
+        F.col("toks").alias("toks_b"),
+    )
+    lsh_pairs = (
+        cands.join(ma, "id_a")
+        .join(mb, "id_b")
+        .where(
+            (F.col("lang_a") == F.col("lang_b"))
+            & (F.col("source_a") == F.col("source_b"))
+        )
+        .select(
+            F.col("id_a").alias("doc_a"),
+            F.col("id_b").alias("doc_b"),
+            jaccard(F.col("toks_a"), F.col("toks_b")).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+    return exact_pairs.unionByName(lsh_pairs)
+
+
+
 @register(
     "dedup_ngram_jaccard",
     oracle="""
@@ -74,71 +202,18 @@ WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
     bench=True,
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Blocked exact Jaccard with a token-count band in the join key.
-
-    Blocking on (lang, source) alone is a scale-killer: block membership
-    grows linearly with the corpus, so within-block pairs grow
-    quadratically.  The band bounds it losslessly: Jaccard ≥ 0.8 forces
-    the DISTINCT-token counts within 25% of each other
-    (|A∩B| ≥ 0.8·|A∪B| ≥ 0.8·max ⇒ min ≥ 0.8·max), so with geometric
-    bands of factor 1.25 (band = ⌊log₁.₂₅ n⌋) a qualifying pair differs
-    by at most one band.  The probe side explodes band±2 (±1 suffices
-    mathematically; ±2 absorbs float rounding at the 0.8/1.25
-    boundaries) and the build side keeps its single band, so every
-    qualifying pair matches EXACTLY once — no post-join distinct, the
-    result multiset (hence the unchanged oracle) is identical.  Block
-    size becomes O(docs per (lang, source, ~25% length slice)) instead
-    of O(docs per (lang, source)) — the band divides the quadratic
-    CONSTANT by the corpus's length-spread factor, but block membership
-    still grows linearly with the corpus when category cardinality is
-    fixed (measured: 3.6× time at 4× data, tools/scale_probe.py), so
-    this exact tier is for bounded blocks and verification; unbounded
-    corpora take the MinHash tier, which measured flat at 10× data."""
-    import math
-
-    d = (
-        table(spark, sf_dir, "documents")
-        .select(
-            "doc_id",
-            "lang",
-            "source",
-            F.array_distinct(F.split("text", " ")).alias("toks"),
-        )
-        .withColumn(
-            "band",
-            F.floor(
-                F.log(F.greatest(F.size("toks"), F.lit(1))) / F.lit(math.log(1.25))
-            ).cast("int"),
-        )
-    )
-    a = d.select(
-        F.col("doc_id").alias("doc_a"),
+    """Blocked exact Jaccard with a token-count band in the join key and
+    an ENFORCED block-size cap that routes oversized categories to the
+    MinHash tier — see :func:`banded_jaccard_pairs` for both guards.
+    On the pinned testdata no category overflows, so the oracle's plain
+    quadratic join replicates the result exactly."""
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id",
         "lang",
         "source",
-        F.col("toks").alias("toks_a"),
-        F.explode(
-            F.array(*[F.col("band") + F.lit(i) for i in range(-2, 3)])
-        ).alias("band_probe"),
+        F.array_distinct(F.split("text", " ")).alias("toks"),
     )
-    b = d.select(
-        F.col("doc_id").alias("doc_b"),
-        F.col("lang").alias("lang_b"),
-        F.col("source").alias("source_b"),
-        F.col("toks").alias("toks_b"),
-        "band",
-    )
-    j = jaccard(F.col("toks_a"), F.col("toks_b"))
-    return (
-        a.join(
-            b,
-            (F.col("lang") == F.col("lang_b"))
-            & (F.col("source") == F.col("source_b"))
-            & (F.col("band_probe") == F.col("band")),
-        )
-        .where(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", j.alias("jaccard"))
-        .where(F.col("jaccard") >= 0.8)
-    )
+    return banded_jaccard_pairs(d, threshold=0.8, block_cap=1000)
 
 
 @register(
@@ -151,6 +226,16 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # so hash equality proves recall: the LSH banding found every true
     # pair.  xxhash64 seeds stay engine-native — the check constrains
     # the OUTPUT, not the sketch internals.
+    #
+    # Recall caveat (pinned-testdata contract): 16 bands x 4 rows gives
+    # a true pair at jaccard j a per-band hit probability j^4, so a pair
+    # JUST above the 0.7 threshold misses every band with
+    # (1 - 0.7^4)^16 ~ 1.2% probability.  The generator's planted
+    # near-dups sit well above the S-curve knee (j >= ~0.8 -> miss
+    # < 0.03%), and the equality has been validated at sf0.001/0.01/0.1;
+    # on a NEW corpus with borderline-j pairs the correct response to a
+    # hash mismatch is to raise n_hashes/bands, not to distrust the
+    # banding math.
     oracle="""
 WITH d AS (
   SELECT doc_id, string_split(text, ' ') AS toks
@@ -256,10 +341,24 @@ ch AS (
 keyed AS (
   SELECT doc_id, fp, chunk_id, (fp >> (chunk_id * 15)) & 32767 AS chunk_val
   FROM ch
+),
+-- Mirror the implementation's max_bucket guard (operators/simhash.py:
+-- near_pairs drops chunk buckets with more than 100k members), so the
+-- oracle and the engine agree even on a corpus with a degenerate
+-- bucket instead of silently diverging on recall.  (near_pairs'
+-- homogeneity fallback to pair-combination keys changes only bucket
+-- WIDTH, never which pairs qualify, so this oracle stays valid on
+-- either path.)
+bsz AS (
+  SELECT chunk_id, chunk_val FROM keyed
+  GROUP BY chunk_id, chunk_val
+  HAVING count(*) BETWEEN 2 AND 100000
 )
 SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
        bit_count(xor(a.fp, b.fp)) AS distance
-FROM keyed a JOIN keyed b USING (chunk_id, chunk_val)
+FROM keyed a
+JOIN keyed b USING (chunk_id, chunk_val)
+JOIN bsz USING (chunk_id, chunk_val)
 WHERE a.doc_id < b.doc_id
   AND bit_count(xor(a.fp, b.fp)) <= 3
 """.strip()
@@ -561,8 +660,9 @@ def dedup_doc_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     # EXACT shingle-Jaccard truth (new×corpus and new×new pairs at
     # 0.7, quadratic pruned by the lossless shingle-count band), so
     # hash equality proves the incremental LSH probe found every true
-    # match — same recall argument as dedup_minhash, extended to the
-    # cross-batch probe.
+    # match — same recall argument (and same pinned-testdata caveat:
+    # ~1.2% per-band-scheme miss chance for a pair at exactly j=0.7)
+    # as dedup_minhash, extended to the cross-batch probe.
     oracle="""
 WITH d AS (
   SELECT doc_id, string_split(text, ' ') AS toks,

@@ -58,6 +58,55 @@ SELECT node, rank FROM r{_N_ITER}
 """.strip()
 
 
+def pagerank(
+    edges: DataFrame, rounds: int = 3, checkpoint_every: int | None = None
+) -> DataFrame:
+    """Integer-unit PageRank over an (src, dst) edge frame: rank₀ =
+    1e6 per node, each round ``new = 150000 + floor(0.85 · Σ
+    floor(rank/degree))`` — pure int math, so the fixed point is
+    engine- and partitioning-independent (see graph_pagerank below).
+
+    ``checkpoint_every=None`` (default) unrolls all rounds into ONE
+    lazy job — ReuseExchange computes the edge subtree once, and for
+    shallow fixed-round runs this measured FASTER than eager
+    checkpointing (3.7 s lazy vs 4.5 s checkpointed at 3 rounds,
+    sf0.1).  But the unrolled plan doubles in depth every round:
+    analysis/optimization cost grows superlinearly and deep plans blow
+    past codegen limits — so for N ≳ 5 pass ``checkpoint_every=k`` to
+    localCheckpoint the rank frame every k rounds (components.py's
+    iterative hygiene: truncate lineage, keep the frame materialized).
+    The edge-with-degree frame is persisted in that mode because each
+    checkpoint action would otherwise recompute it from the scan.
+    Measured at 1M synthetic edges (SCALE.md §Iterative): N=10 lazy is
+    plan-explosion-bound, N=10 with k=3 stays flat per round; results
+    are bit-identical on either path."""
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    edges_deg = edges.join(deg, "src")
+    if checkpoint_every:
+        edges_deg = edges_deg.persist()
+    ranks = deg.select(
+        F.col("src").alias("node"), F.lit(1_000_000).cast("bigint").alias("rank")
+    )
+    for i in range(rounds):
+        contrib = edges_deg.join(ranks, edges_deg.src == ranks.node).select(
+            "dst",
+            F.floor(F.col("rank") / F.col("deg")).cast("bigint").alias("c"),
+        )
+        ranks = (
+            contrib.groupBy("dst")
+            .agg(F.sum("c").alias("s"))
+            .select(
+                F.col("dst").alias("node"),
+                (F.lit(150000) + F.floor(F.lit(85) * F.col("s") / F.lit(100)))
+                .cast("bigint")
+                .alias("rank"),
+            )
+        )
+        if checkpoint_every and (i + 1) % checkpoint_every == 0 and (i + 1) < rounds:
+            ranks = ranks.localCheckpoint(eager=True)
+    return ranks
+
+
 @register("graph_pagerank", oracle=_PR_ORACLE, tags=("graph", "iterative"), bench=True)
 def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank ({_N_ITER} rounds, damping 0.85) over the undirected
@@ -74,8 +123,14 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     DataFrame (with degrees attached) is computed once and reused, so a
     1000-executor run shuffles the edge list once per round, exactly
     like the reference would chain N MapReduce jobs (design.md:74).
-    At 100 TB you'd checkpoint ranks every few rounds to cut lineage
-    depth (operators/components.py applies the same truncation)."""
+    At N=3 rounds the loop runs fully lazy (checkpoint_every=None —
+    deliberately NO persist/localCheckpoint: a fixed-round unrolled
+    loop is ONE job, and ReuseExchange computes the identical edge
+    subtree once within it; adding eager checkpoints only inserts job
+    barriers, measured 3.7 s lazy vs 4.5 s checkpointed at sf0.1).  At
+    deeper N the same :func:`pagerank` takes ``checkpoint_every=k`` —
+    see its docstring and SCALE.md §Iterative for the measured N=10
+    curve."""
     o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     edges0 = (
@@ -89,34 +144,4 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = edges0.unionByName(
         edges0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-    # Attach degree once; every round references this same (src, dst,
-    # deg) subtree.  Deliberately NO persist/localCheckpoint here: a
-    # fixed-round unrolled loop is ONE job, and ReuseExchange computes
-    # the identical edge subtree once within it — adding eager
-    # checkpoints only inserts job barriers (measured 3.7s lazy vs 4.5s
-    # checkpointed at sf0.1).  Materialization hygiene pays off only
-    # when each round runs its own ACTION (convergence checks —
-    # operators/components.py), which is exactly where this repo does
-    # persist+localCheckpoint.
-    edges_deg = edges.join(deg, "src")
-    ranks = deg.select(F.col("src").alias("node"), F.lit(1_000_000).cast("bigint").alias("rank"))
-    for _ in range(_N_ITER):
-        contrib = (
-            edges_deg.join(ranks, edges_deg.src == ranks.node)
-            .select(
-                "dst",
-                F.floor(F.col("rank") / F.col("deg")).cast("bigint").alias("c"),
-            )
-        )
-        ranks = (
-            contrib.groupBy("dst")
-            .agg(F.sum("c").alias("s"))
-            .select(
-                F.col("dst").alias("node"),
-                (F.lit(150000) + F.floor(F.lit(85) * F.col("s") / F.lit(100)))
-                .cast("bigint")
-                .alias("rank"),
-            )
-        )
-    return ranks
+    return pagerank(edges, rounds=_N_ITER, checkpoint_every=None)

@@ -392,6 +392,63 @@ def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "join_adaptive_skew",
+    # The oracle is the PLAIN join on the same skewed key — adaptive
+    # salting must be answer-invariant; only the exchange layout
+    # changes.
+    oracle="""
+WITH b AS (
+  SELECT CASE WHEN o_custkey % 4 = 0 THEN 1 ELSE o_custkey END AS c_custkey,
+         o_totalprice
+  FROM orders
+)
+SELECT c_mktsegment,
+       count(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM b JOIN customer USING (c_custkey)
+GROUP BY c_mktsegment
+""".strip(),
+    tags=("join", "skew", "adaptive"),
+)
+def join_adaptive_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adaptive (histogram-driven) skew join: a deterministic hot key —
+    every 4th order remapped to custkey 1, so ~25% of the fact side
+    lands on one key — joined against the customer dim through
+    operators/salting.py:adaptive_salted_join.  The per-key salt factor
+    comes from the measured key histogram (profile_heavy_hitters'
+    scan), so the hot key gets ceil(count/rows_per_salt) salts and
+    every cold key pays nothing: at sf0.01 the hot key gets ~4 salts,
+    at sf0.1 ~38 — same call, scale-proportional spreading, which is
+    the point of wiring the profile INTO the join instead of guessing
+    a global S.  The merge hint keeps the dim from broadcasting (a
+    broadcast join has no exchange to de-skew — at real scale the dim
+    side exceeds the threshold)."""
+    from mapreduce_framework_spark.operators.salting import adaptive_salted_join
+
+    big = table(spark, sf_dir, "orders").select(
+        F.when(F.col("o_custkey") % 4 == 0, F.lit(1))
+        .otherwise(F.col("o_custkey"))
+        .alias("c_custkey"),
+        "o_totalprice",
+        F.col("o_orderkey").alias("_rowkey"),
+    )
+    dim = table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    joined = adaptive_salted_join(
+        big,
+        dim.hint("merge"),
+        on="c_custkey",
+        salt_source=F.col("_rowkey"),
+        rows_per_salt=1000,
+    )
+    return joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("revenue"),
+    )
+
+
+@register(
     "join_interval_overlap",
     oracle="""
 WITH w AS (

@@ -167,6 +167,64 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def curation_funnel_frame(d: DataFrame) -> DataFrame:
+    """The curation funnel over a (doc_id, source, text) frame — the
+    reusable core of corpus_curation_funnel, shared with
+    tools/scale_probe.py so the probe times the real pipeline."""
+    toks = F.split("text", " ")
+    base = d.select(
+        "doc_id",
+        "source",
+        F.size(toks).alias("tok_cnt"),
+        F.length("text").alias("n_chars"),
+        F.sha2(F.lower(F.trim(F.col("text"))), 256).alias("h"),
+        F.md5(F.concat_ws(" ", F.slice(toks, 1, 12))).alias("pfx"),
+        (
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) < F.lit("2")
+        ).alias("is_eval"),
+    )
+    flagged = base.withColumn(
+        "qual",
+        F.col("tok_cnt").between(5, 5000)
+        & (F.col("n_chars").cast("double") / F.col("tok_cnt")).between(2, 20),
+    )
+    train_doc = F.when(F.col("qual") & ~F.col("is_eval"), F.col("doc_id"))
+    staged = flagged.select(
+        "*",
+        (
+            F.col("qual")
+            & ~F.col("is_eval")
+            & (F.col("doc_id") == F.min(train_doc).over(Window.partitionBy("h")))
+        ).alias("keep_exact"),
+        F.max(
+            F.when(F.col("qual") & F.col("is_eval"), F.lit(1)).otherwise(F.lit(0))
+        )
+        .over(Window.partitionBy("h"))
+        .alias("eval_hash_seen"),
+    )
+    keep_doc = F.when(F.col("keep_exact"), F.col("doc_id"))
+    staged2 = staged.select(
+        "*",
+        (
+            F.col("keep_exact")
+            & (F.col("doc_id") == F.min(keep_doc).over(Window.partitionBy("pfx")))
+        ).alias("keep_prefix"),
+    )
+
+    def n(cond, name):
+        return F.sum(F.when(cond, 1).otherwise(0)).cast("long").alias(name)
+
+    return staged2.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_raw"),
+        n(F.col("qual"), "n_quality"),
+        n(F.col("qual") & ~F.col("is_eval"), "n_train_pool"),
+        n(F.col("keep_exact"), "n_post_exact"),
+        n(F.col("keep_prefix"), "n_post_prefix"),
+        n(F.col("keep_prefix") & (F.col("eval_hash_seen") == 0), "n_clean"),
+        n(F.col("qual") & F.col("is_eval"), "n_eval_heldout"),
+    )
+
+
 @register(
     "corpus_curation_funnel",
     # End-to-end curation composed as ONE plan; every stage is integer
@@ -243,55 +301,4 @@ def corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup_doc_prefix, contamination_exact, split_train_eval); this is
     their composed, single-plan form."""
     d = table(spark, sf_dir, "documents").select("doc_id", "source", "text")
-    toks = F.split("text", " ")
-    base = d.select(
-        "doc_id",
-        "source",
-        F.size(toks).alias("tok_cnt"),
-        F.length("text").alias("n_chars"),
-        F.sha2(F.lower(F.trim(F.col("text"))), 256).alias("h"),
-        F.md5(F.concat_ws(" ", F.slice(toks, 1, 12))).alias("pfx"),
-        (
-            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) < F.lit("2")
-        ).alias("is_eval"),
-    )
-    flagged = base.withColumn(
-        "qual",
-        F.col("tok_cnt").between(5, 5000)
-        & (F.col("n_chars").cast("double") / F.col("tok_cnt")).between(2, 20),
-    )
-    train_doc = F.when(F.col("qual") & ~F.col("is_eval"), F.col("doc_id"))
-    staged = flagged.select(
-        "*",
-        (
-            F.col("qual")
-            & ~F.col("is_eval")
-            & (F.col("doc_id") == F.min(train_doc).over(Window.partitionBy("h")))
-        ).alias("keep_exact"),
-        F.max(
-            F.when(F.col("qual") & F.col("is_eval"), F.lit(1)).otherwise(F.lit(0))
-        )
-        .over(Window.partitionBy("h"))
-        .alias("eval_hash_seen"),
-    )
-    keep_doc = F.when(F.col("keep_exact"), F.col("doc_id"))
-    staged2 = staged.select(
-        "*",
-        (
-            F.col("keep_exact")
-            & (F.col("doc_id") == F.min(keep_doc).over(Window.partitionBy("pfx")))
-        ).alias("keep_prefix"),
-    )
-
-    def n(cond, name):
-        return F.sum(F.when(cond, 1).otherwise(0)).cast("long").alias(name)
-
-    return staged2.groupBy("source").agg(
-        F.count(F.lit(1)).alias("n_raw"),
-        n(F.col("qual"), "n_quality"),
-        n(F.col("qual") & ~F.col("is_eval"), "n_train_pool"),
-        n(F.col("keep_exact"), "n_post_exact"),
-        n(F.col("keep_prefix"), "n_post_prefix"),
-        n(F.col("keep_prefix") & (F.col("eval_hash_seen") == 0), "n_clean"),
-        n(F.col("qual") & F.col("is_eval"), "n_eval_heldout"),
-    )
+    return curation_funnel_frame(d)

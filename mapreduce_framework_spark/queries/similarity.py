@@ -105,6 +105,106 @@ def sim_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# IVF over REAL k-means centroids: stage 1 replicates the
+# embedding_kmeans oracle's first Lloyd round (exact integer-lattice
+# arithmetic) to derive centroids c1; stage 2 replicates the IVF
+# assignment/probing exactly as in sim_search_ivf.  Cosine is
+# scale-invariant, so the integer-lattice centroids drop into the
+# cosine-based IVF unchanged.
+_IVF_KMEANS_ORACLE = """
+WITH e AS (
+  SELECT vec_id,
+         unnest(list_transform(CAST(embedding AS DOUBLE[]),
+                               x -> CAST(round(x * 10000) AS BIGINT))) AS val,
+         unnest(range(len(embedding))) AS pos
+  FROM embeddings
+),
+c0 AS (SELECT CAST(vec_id AS INTEGER) AS cid, pos, val FROM e WHERE vec_id < 8),
+d1 AS (
+  SELECT e.vec_id, c.cid, SUM((e.val - c.val) * (e.val - c.val)) AS dist
+  FROM e JOIN c0 c USING (pos)
+  GROUP BY e.vec_id, c.cid
+),
+a1 AS (
+  SELECT vec_id, cid FROM d1
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) = 1
+),
+c1 AS (
+  SELECT a1.cid, e.pos, SUM(e.val) // count(*) AS val
+  FROM a1 JOIN e ON a1.vec_id = e.vec_id
+  GROUP BY a1.cid, e.pos
+),
+cent AS (
+  SELECT cid AS cell_id, CAST(list(val ORDER BY pos) AS DOUBLE[]) AS cv
+  FROM c1 GROUP BY cid
+),
+ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+q AS (SELECT v AS qv FROM ev WHERE vec_id = 0),
+scored AS (
+  SELECT ev.vec_id, ev.v, cent.cell_id,
+         row_number() OVER (
+           PARTITION BY ev.vec_id
+           ORDER BY list_cosine_similarity(ev.v, cent.cv) DESC, cent.cell_id ASC
+         ) AS rn
+  FROM ev, cent
+  WHERE ev.vec_id <> 0
+),
+assigned AS (SELECT vec_id, v, cell_id FROM scored WHERE rn = 1),
+probes AS (
+  SELECT cell_id FROM (
+    SELECT cent.cell_id,
+           row_number() OVER (
+             ORDER BY list_cosine_similarity(cent.cv, q.qv) DESC, cent.cell_id ASC
+           ) AS rn
+    FROM cent, q
+  ) WHERE rn <= 3
+)
+SELECT a.vec_id, round(list_cosine_similarity(a.v, q.qv), 6) AS cos_sim
+FROM assigned a, q
+WHERE a.cell_id IN (SELECT cell_id FROM probes)
+ORDER BY cos_sim DESC, a.vec_id ASC
+LIMIT 10
+""".strip()
+
+
+@register(
+    "sim_search_ivf_kmeans",
+    oracle=_IVF_KMEANS_ORACLE,
+    tags=("similarity", "ann", "clustering"),
+)
+def sim_search_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-10 probed against REAL k-means centroids — the composed
+    production index-build path (sim_search_ivf's docstring promised
+    the swap; this is it): one exact integer-lattice Lloyd round
+    (operators/kmeans.py — broadcast-assign + integer-mean update, both
+    hash-checkable) produces 8 centroids, which slot into the same
+    broadcast IVF probing as sim_search_ivf (3 of 8 cells).  At 100 TB
+    the centroid build is a side job over a sample, the cell id becomes
+    a partition key, and probing prunes entire files — identical plan
+    shape, real centroids."""
+    from mapreduce_framework_spark.operators.kmeans import assign, update
+    from mapreduce_framework_spark.operators.kmeans import quantize as kquantize
+
+    qvecs = table(spark, sf_dir, "embeddings").select(
+        "vec_id", kquantize(F.col("embedding")).alias("v")
+    )
+    seeds = qvecs.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").cast("int").alias("cid"), F.col("v").alias("c")
+    )
+    centroids = update(assign(qvecs, seeds)).select(
+        F.col("cid").cast("int").alias("cell_id"),
+        F.col("c").cast("array<double>").alias("cv"),
+    )
+    vectors = _vectors(spark, sf_dir)
+    return ivf_topk(
+        vectors.where(F.col("vec_id") != 0).select("vec_id", "v"),
+        centroids,
+        _query_vec(vectors),
+        k=10,
+        n_probe=3,
+    )
+
+
 @register(
     "sim_search_quantized",
     # The whole pipeline is deterministic: quantization codes are

@@ -247,14 +247,20 @@ def stream_exactly_once_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     (workerimpl.cc:319-333)."""
     import glob
     import os
+    import shutil
     import tempfile
-
-    from pyspark.sql import functions as F
 
     from mapreduce_framework_spark.streaming.sinks import idempotent_parquet_writer
 
     ev = table(spark, sf_dir, "events").select("event_id", "ts", "user_id")
-    base = tempfile.mkdtemp(prefix="mfs_eo_sink_")
+    # All runs live under one root so each invocation can sweep the
+    # previous run's directories; the current run's dir must outlive
+    # this function (the returned DataFrame lazily reads sink_dir).
+    tmp_root = os.path.join(tempfile.gettempdir(), "mfs_eo_sink")
+    if os.path.isdir(tmp_root):
+        shutil.rmtree(tmp_root, ignore_errors=True)
+    os.makedirs(tmp_root, exist_ok=True)
+    base = tempfile.mkdtemp(prefix="run_", dir=tmp_root)
     src_dir, sink_dir, ckpt = (
         os.path.join(base, "src"),
         os.path.join(base, "sink"),
@@ -280,8 +286,13 @@ def stream_exactly_once_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     q.awaitTermination()
 
     # Simulated post-crash retry: re-run batch 0's write with its id.
-    sunk = spark.read.parquet(sink_dir)
-    batch0 = sunk.where(F.col("_batch_id") == 0).drop("_batch_id")
+    # Batch 0 is re-derived from the SOURCE (the first part file in the
+    # replay's mtime order — exactly what FileStreamSource fed batch 0),
+    # never from the sink: lazily reading the sink path while
+    # dynamic-overwriting the same path is the self-read-overwrite shape
+    # Spark rejects under non-local committers ("Cannot overwrite a path
+    # that is also being read from").
+    batch0 = spark.read.parquet(part_files[0]).select("event_id", "ts", "user_id")
     write_batch(batch0, 0)
 
     return spark.read.parquet(sink_dir).select("event_id", "ts", "user_id")

@@ -399,6 +399,38 @@ def tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def contamination_frame(d: DataFrame, n: int = 5) -> DataFrame:
+    """Per-eval-doc n-gram contamination from a (doc_id, split, t)
+    frame (t = token array, split ∈ {train, eval}) — the reusable core
+    of contamination_ngram, shared with tools/scale_probe.py so the
+    probe times the real operator."""
+    from mapreduce_framework_spark.functions.tokenize import word_ngrams
+
+    g = (
+        d.select(
+            "doc_id",
+            "split",
+            F.array_distinct(word_ngrams(F.col("t"), n)).alias("grams"),
+        )
+        .select("doc_id", "split", F.explode_outer("grams").alias("gram"))
+        .where(F.col("gram").isNotNull())
+    )
+    train = g.where(F.col("split") == "train").select("gram").distinct()
+    ev = g.where(F.col("split") == "eval").select("doc_id", "gram")
+    hits = ev.join(train, "gram").groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_contaminated")
+    )
+    base = ev.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
+    return base.join(hits, "doc_id", "left").select(
+        "doc_id",
+        "n_grams",
+        F.coalesce("n_contaminated", F.lit(0)).alias("n_contaminated"),
+        (
+            F.coalesce("n_contaminated", F.lit(0)).cast("double") / F.col("n_grams")
+        ).alias("contamination_ratio"),
+    )
+
+
 @register(
     "contamination_ngram",
     bench=True,
@@ -449,8 +481,6 @@ def contamination_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     keys instead of ~40-byte strings) and pre-filter eval grams with a
     bloom filter built from the train side; the string join here keeps
     the oracle exact."""
-    from mapreduce_framework_spark.functions.tokenize import word_ngrams
-
     d = table(spark, sf_dir, "documents").select(
         "doc_id",
         F.when(
@@ -462,29 +492,7 @@ def contamination_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("split"),
         F.split("text", " ").alias("t"),
     )
-    g = (
-        d.select(
-            "doc_id",
-            "split",
-            F.array_distinct(word_ngrams(F.col("t"), 5)).alias("grams"),
-        )
-        .select("doc_id", "split", F.explode_outer("grams").alias("gram"))
-        .where(F.col("gram").isNotNull())
-    )
-    train = g.where(F.col("split") == "train").select("gram").distinct()
-    ev = g.where(F.col("split") == "eval").select("doc_id", "gram")
-    hits = ev.join(train, "gram").groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_contaminated")
-    )
-    base = ev.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
-    return base.join(hits, "doc_id", "left").select(
-        "doc_id",
-        "n_grams",
-        F.coalesce("n_contaminated", F.lit(0)).alias("n_contaminated"),
-        (
-            F.coalesce("n_contaminated", F.lit(0)).cast("double") / F.col("n_grams")
-        ).alias("contamination_ratio"),
-    )
+    return contamination_frame(d, 5)
 
 
 @register(

@@ -221,6 +221,29 @@ def window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sessionize_frame(e: DataFrame) -> DataFrame:
+    """Per-user 30-minute-gap sessions from an (user_id, event_id, ts)
+    frame — the reusable core of window_sessionize, shared with
+    tools/scale_probe.py so the probe times the real operator."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    is_new = F.when(
+        prev.isNull() | (F.col("ts").cast("long") - prev.cast("long") > 1800),
+        1,
+    ).otherwise(0)
+    numbered = e.withColumn(
+        "session_no",
+        F.sum(is_new).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    return numbered.groupBy("user_id", "session_no").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("session_start"),
+        (F.max(F.col("ts").cast("long")) - F.min(F.col("ts").cast("long"))).alias(
+            "duration_s"
+        ),
+    )
+
+
 @register(
     "window_sessionize",
     bench=True,
@@ -263,20 +286,4 @@ def window_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``cast long``) because sub-second interval compares would disagree
     between engines on ns-precision timestamps."""
     e = table(spark, sf_dir, "events").select("user_id", "event_id", "ts")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    prev = F.lag("ts").over(w)
-    is_new = F.when(
-        prev.isNull() | (F.col("ts").cast("long") - prev.cast("long") > 1800),
-        1,
-    ).otherwise(0)
-    numbered = e.withColumn(
-        "session_no",
-        F.sum(is_new).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
-    )
-    return numbered.groupBy("user_id", "session_no").agg(
-        F.count(F.lit(1)).alias("n_events"),
-        F.min("ts").alias("session_start"),
-        (F.max(F.col("ts").cast("long")) - F.min(F.col("ts").cast("long"))).alias(
-            "duration_s"
-        ),
-    )
+    return sessionize_frame(e)

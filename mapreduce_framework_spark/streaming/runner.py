@@ -32,9 +32,16 @@ def run_file_stream(
     n_batches: int = 4,
     order_col: str = "ts",
     state_partitions: int = 8,
+    max_files_per_trigger: int | None = 1,
 ) -> DataFrame:
     """Replay ``source_df`` as ``n_batches`` time-ordered micro-batches
     through ``transform``; return the memory-sink contents.
+
+    ``max_files_per_trigger`` sets how many source files each
+    micro-batch consumes (None → no cap: availableNow processes
+    everything in one batch).  Varying it changes BATCHING only; for
+    complete/update-mode state the final result must be invariant —
+    tests/test_streaming.py pins that across 1, 2, and all-at-once.
 
     ``state_partitions`` bounds the stateful-operator parallelism for
     the run: every micro-batch commits one state-store delta PER
@@ -64,11 +71,10 @@ def run_file_stream(
     for i, f in enumerate(part_files):
         os.utime(f, (base + i * 60, base + i * 60))
 
-    stream = (
-        spark.readStream.schema(source_df.schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(src_dir)
-    )
+    reader = spark.readStream.schema(source_df.schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(src_dir)
     if watermark is not None:
         stream = stream.withWatermark(*watermark)
 

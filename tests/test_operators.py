@@ -79,6 +79,19 @@ def test_ivf_recall_against_brute_force(spark):
     assert recall >= 0.5, f"IVF recall too low: {recall} (exact={exact}, ivf={approx})"
 
 
+def test_ivf_kmeans_recall_against_brute_force(spark):
+    """IVF over real k-means centroids (3/8 cells probed) must recover
+    most of the exact top-10 — and at least as much structure as the
+    seed-centroid variant promises (clustered fixture -> high recall)."""
+    from mapreduce_framework_spark.registry import get_query
+
+    exact = [r.vec_id for r in get_query("sim_search_topk").fn(spark, SF_DIR).collect()]
+    approx = [r.vec_id for r in get_query("sim_search_ivf_kmeans").fn(spark, SF_DIR).collect()]
+    assert len(approx) == 10
+    recall = len(set(exact) & set(approx)) / 10
+    assert recall >= 0.5, f"IVF-kmeans recall too low: {recall} (exact={exact}, ivf={approx})"
+
+
 def test_hash_partition_matches_spark_routing(spark):
     """The observable _pid must equal the partition Spark actually
     routes each row to (spark_partition_id after repartition)."""

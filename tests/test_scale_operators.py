@@ -268,3 +268,147 @@ def test_jaccard_band_is_lossless_exhaustive():
         lo = math.ceil(x * 0.8)
         assert abs(band(x) - band(hi)) <= 2, (x, hi)
         assert abs(band(x) - band(lo)) <= 2, (x, lo)
+
+
+def test_simhash_combo_fallback_matches_base_scheme(spark):
+    """The homogeneity fallback (pair-combination bucket keys) must
+    return EXACTLY the single-chunk scheme's pairs — it changes bucket
+    width, never which pairs qualify.  A low-vocabulary corpus (8-word
+    vocab) concentrates fingerprints, which is the corpus shape that
+    triggers the fallback in production."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_framework_spark.operators.simhash import fingerprints, near_pairs
+
+    vocab = F.array(*[F.lit(w) for w in "aa bb cc dd ee ff gg hh".split()])
+    d = spark.range(400).select(
+        F.col("id").alias("doc_id"),
+        F.transform(
+            F.sequence(F.lit(1), (F.lit(8) + F.pmod("id", F.lit(10))).cast("int")),
+            lambda k: F.element_at(
+                vocab, (F.pmod(F.xxhash64(F.col("id"), k), F.lit(8)) + 1).cast("int")
+            ),
+        ).alias("toks"),
+    )
+    fps = fingerprints(d, "doc_id", "toks")
+    base = near_pairs(
+        fps, "doc_id", "fp", max_distance=3, pair_budget_floor=10**15
+    )  # budget never reached -> single-chunk path
+    combo = near_pairs(
+        fps, "doc_id", "fp", max_distance=3,
+        pair_budget_floor=0, pair_budget_per_doc=0,
+    )  # budget always exceeded -> pair-combination path
+    base_rows = {(r.id_a, r.id_b, r.distance) for r in base.collect()}
+    combo_rows = {(r.id_a, r.id_b, r.distance) for r in combo.collect()}
+    assert base_rows, "low-vocab corpus should produce near pairs"
+    assert base_rows == combo_rows
+
+
+def test_banded_jaccard_cap_overflow_matches_exact(spark):
+    """With block_cap forced to 1, every category overflows to the
+    MinHash tier — the guarded operator must still return exactly the
+    unguarded quadratic join's pairs (clone pairs sit at jaccard
+    ~(n-1)/n >= 0.96, where the 16x4 LSH miss probability is ~1e-13)."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_framework_spark.io import table
+    from mapreduce_framework_spark.operators.minhash import jaccard
+    from mapreduce_framework_spark.queries.dedup import banded_jaccard_pairs
+    from tests.conftest import SF_DIR
+
+    toks = F.array_distinct(F.split("text", " "))
+    base = (
+        table(spark, SF_DIR, "documents")
+        .select("doc_id", "lang", "source", toks.alias("toks"))
+        .where(F.size("toks") >= 30)
+        .limit(120)
+    )
+    clone = base.select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        "lang",
+        "source",
+        F.slice("toks", 1, F.size("toks") - 1).alias("toks"),
+    )
+    d = base.union(clone)
+
+    a = d.select(F.col("doc_id").alias("doc_a"), "lang", "source", F.col("toks").alias("ta"))
+    b = d.select(F.col("doc_id").alias("doc_b"), F.col("lang").alias("lb"),
+                 F.col("source").alias("sb"), F.col("toks").alias("tb"))
+    truth = {
+        (r.doc_a, r.doc_b)
+        for r in a.join(b, (F.col("lang") == F.col("lb")) & (F.col("source") == F.col("sb")))
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .where(jaccard(F.col("ta"), F.col("tb")) >= 0.8)
+        .collect()
+    }
+    assert truth, "clones should create >=0.8-jaccard pairs"
+
+    overflow = {(r.doc_a, r.doc_b) for r in banded_jaccard_pairs(d, 0.8, block_cap=1).collect()}
+    guarded = {(r.doc_a, r.doc_b) for r in banded_jaccard_pairs(d, 0.8, block_cap=10**9).collect()}
+    assert guarded == truth  # cap never trips -> exact tier == plain quadratic
+    assert overflow == truth  # cap always trips -> LSH tier == plain quadratic
+
+
+def test_pagerank_checkpoint_cadence_identical(spark):
+    """pagerank(checkpoint_every=3) must be bit-identical to the fully
+    lazy unroll at N=10 — lineage truncation changes the execution
+    boundaries, never the integer fixed-point arithmetic."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_framework_spark.queries.graphs import pagerank
+
+    edges = spark.range(2000).select(
+        F.pmod(F.xxhash64("id", F.lit(1)), F.lit(300)).alias("src"),
+        F.pmod(F.xxhash64("id", F.lit(2)), F.lit(300)).alias("dst"),
+    )
+    lazy = {(r.node, r.rank) for r in pagerank(edges, rounds=10).collect()}
+    ckpt = {
+        (r.node, r.rank)
+        for r in pagerank(edges, rounds=10, checkpoint_every=3).collect()
+    }
+    assert lazy == ckpt
+    assert len(lazy) > 100
+
+
+def test_adaptive_salted_join_equals_plain_join(spark):
+    """adaptive_salted_join must be answer-invariant vs the plain join,
+    on a frame with one deterministic hot key (~50% of rows)."""
+    from mapreduce_framework_spark.operators.salting import adaptive_salted_join
+
+    big = spark.range(20_000).select(
+        F.when(F.col("id") % 2 == 0, F.lit(7))
+        .otherwise(F.pmod(F.xxhash64("id"), F.lit(500)) + 100)
+        .alias("k"),
+        F.col("id").alias("v"),
+    )
+    small = spark.range(1000).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("attr")
+    )
+    plain = (
+        big.join(small, "k")
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("sv"), F.max("attr").alias("a"))
+    )
+    salted = (
+        adaptive_salted_join(big, small, on="k", salt_source=F.col("v"), rows_per_salt=100)
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("sv"), F.max("attr").alias("a"))
+    )
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+def test_adaptive_salted_join_left_outer(spark):
+    """Left-join semantics survive salting: unmatched big-side rows
+    (hot or cold) appear exactly once with NULL attrs."""
+    from mapreduce_framework_spark.operators.salting import adaptive_salted_join
+
+    big = spark.range(5_000).select(
+        F.when(F.col("id") % 2 == 0, F.lit(99_999)).otherwise(F.col("id")).alias("k"),
+        F.col("id").alias("v"),
+    )
+    small = spark.range(1000).select(F.col("id").alias("k"), F.lit("x").alias("attr"))
+    plain = big.join(small, "k", "left")
+    salted = adaptive_salted_join(
+        big, small, on="k", salt_source=F.col("v"), rows_per_salt=100, how="left"
+    )
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))

@@ -194,3 +194,46 @@ def test_foreach_batch_sink_is_idempotent(spark, events):
         after = spark.read.parquet(sink_path)
         assert after.count() == events.count()  # no duplication
         assert after.where(F.col("_batch_id") == 0).count() == n0
+
+
+def test_batching_invariance_across_trigger_sizes(spark, events):
+    """Rate/size pressure: replaying the same stream with
+    maxFilesPerTrigger = 1, 2, and uncapped (availableNow one-shot)
+    changes only the micro-batch boundaries — complete-mode window
+    state and update-mode custom state must converge to IDENTICAL final
+    results.  This pins in execution what the range-partitioned-replay
+    argument (queries/streaming.py module docstring) argues in prose."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_framework_spark.streaming import run_file_stream, tumbling_counts
+    from mapreduce_framework_spark.streaming.stateful import running_totals
+
+    ev = events.select("ts", "event_type")
+    results = [
+        _as_sets(
+            run_file_stream(
+                spark, ev, tumbling_counts, output_mode="complete",
+                max_files_per_trigger=m,
+            )
+        )
+        for m in (1, 2, None)
+    ]
+    assert results[0] == results[1] == results[2]
+
+    def final_totals(m):
+        ev2 = events.select("ts", "user_id", "value")
+        updates = run_file_stream(
+            spark, ev2, running_totals, output_mode="update",
+            max_files_per_trigger=m,
+        )
+        final = (
+            updates.groupBy("user_id")
+            .agg(F.max(F.struct("n_events", "total_cents")).alias("s"))
+            .select("user_id", "s.n_events", "s.total_cents")
+        )
+        return _as_sets(final)
+
+    # Two variants for the (expensive) stateful path: per-file batches
+    # vs one-shot — the extremes bracket every intermediate batching.
+    stateful = [final_totals(m) for m in (1, None)]
+    assert stateful[0] == stateful[1]

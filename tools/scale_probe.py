@@ -1,19 +1,22 @@
 #!/usr/bin/env python
-"""Empirical scaling probe for the dedup ladder.
+"""Empirical scaling probe for the dedup ladder and the other
+iterative/pipeline families VERDICT r3 asked to measure.
 
-Synthesizes a deterministic document corpus at two sizes (default 50k
-and 500k docs, ~40 tokens each, with planted exact- and near-dup rates)
-and times each dedup tier at both sizes.  The interesting number is the
-RATIO: a linear operator should scale ~Nx when the corpus grows Nx; the
-banded jaccard should stay near-linear (bounded block quadratic), and
+Synthesizes deterministic corpora/streams/graphs at two sizes and
+times each operator family at both.  The interesting number is the
+RATIO: a linear operator should scale ~Nx when the input grows Nx;
 anything super-linear is a scale bug this probe exists to catch before
 a 100 TB run does.
 
     python tools/scale_probe.py [--small 50000] [--big 500000]
+    python tools/scale_probe.py --tiers simhash,banded_overflow
 
-Writes nothing outside /tmp; prints one JSON line per tier plus a
-summary line.  Synthetic corpus: 2% of docs are exact duplicates of a
-neighbor, 2% are near-dups (one appended token).
+Writes nothing outside /tmp; prints one JSON line per (tier, size)
+plus a summary line.  Synthetic doc corpus: 2% of docs are exact
+duplicates of a neighbor, 2% are near-dups (one appended token).
+
+Every tier calls the REAL operator code (queries/ and operators/
+helpers), not a probe-local re-implementation.
 """
 
 from __future__ import annotations
@@ -42,7 +45,9 @@ VOCAB = [
 ][0].split()
 
 
-def synth(spark, n: int) -> DataFrame:
+def synth(
+    spark, n: int, single_category: bool = False, wide_vocab: bool = False
+) -> DataFrame:
     """Deterministic corpus mirroring the testdata's blocking shape:
     (lang, source) categories plus VARIED doc lengths (20-79 tokens —
     uniform lengths would collapse every doc into one token-count band
@@ -51,7 +56,17 @@ def synth(spark, n: int) -> DataFrame:
     first version demonstrated that by hanging).  Text derives from a
     seed id; 2% of docs reuse the previous id's seed (exact dup), 2%
     reuse it and append a token (near dup) — dup partners share
-    (lang, source) like real near-dups share provenance."""
+    (lang, source) like real near-dups share provenance.
+
+    ``single_category=True`` collapses every doc into ONE (lang,
+    source) category — the adversarial shape where block membership
+    grows linearly with the corpus, used to exercise the banded tier's
+    enforced block cap.  ``wide_vocab=True`` draws tokens from a
+    ~100k-token universe instead of the 110-word VOCAB: random-pair
+    set-jaccard drops to ~0 (the metric-healthy real-corpus shape)
+    while planted dup/near-dup pairs stay at j ≈ 1 — the right corpus
+    for measuring candidate-generation cost, because on the tiny VOCAB
+    the 0.8-threshold answer itself degenerates toward Θ(n²)."""
     vocab = F.array(*[F.lit(w) for w in VOCAB])
     d = spark.range(n).select(
         F.col("id").alias("doc_id"),
@@ -61,18 +76,21 @@ def synth(spark, n: int) -> DataFrame:
         .alias("seed"),
         (F.col("id") % 50 == 2).alias("near"),
     )
-    d = d.withColumn("lang", F.concat(F.lit("l"), F.pmod("seed", F.lit(5))))
-    d = d.withColumn("source", F.concat(F.lit("s"), F.pmod("seed", F.lit(20))))
+    if single_category:
+        d = d.withColumn("lang", F.lit("l0")).withColumn("source", F.lit("s0"))
+    else:
+        d = d.withColumn("lang", F.concat(F.lit("l"), F.pmod("seed", F.lit(5))))
+        d = d.withColumn("source", F.concat(F.lit("s"), F.pmod("seed", F.lit(20))))
     n_tok = (F.lit(20) + F.pmod(F.col("seed") * 7, F.lit(60))).cast("int")
-    body = F.concat_ws(
-        " ",
-        F.transform(
-            F.sequence(F.lit(1), n_tok),
-            lambda k: F.element_at(
-                vocab, (F.pmod(F.xxhash64(F.col("seed"), k), F.lit(len(VOCAB))) + 1).cast("int")
-            ),
-        ),
-    )
+    if wide_vocab:
+        tok = lambda k: F.concat(  # noqa: E731
+            F.lit("w"), F.pmod(F.xxhash64(F.col("seed"), k), F.lit(100_000))
+        )
+    else:
+        tok = lambda k: F.element_at(  # noqa: E731
+            vocab, (F.pmod(F.xxhash64(F.col("seed"), k), F.lit(len(VOCAB))) + 1).cast("int")
+        )
+    body = F.concat_ws(" ", F.transform(F.sequence(F.lit(1), n_tok), tok))
     return d.select(
         "doc_id",
         "lang",
@@ -83,67 +101,79 @@ def synth(spark, n: int) -> DataFrame:
     )
 
 
-def tiers(docs: DataFrame) -> dict[str, callable]:
-    from mapreduce_framework_spark.operators.minhash import (
-        candidate_pairs,
-        jaccard,
+def synth_events(spark, n: int) -> DataFrame:
+    """~n/50 users, 30 days of second-resolution activity — enough
+    per-user density that 30-minute-gap sessionization has real work."""
+    n_users = max(n // 50, 1)
+    return spark.range(n).select(
+        F.col("id").alias("event_id"),
+        F.pmod(F.xxhash64("id", F.lit(1)), F.lit(n_users)).alias("user_id"),
+        F.timestamp_seconds(
+            F.lit(1_700_000_000)
+            + F.pmod(F.xxhash64("id", F.lit(2)), F.lit(30 * 86_400))
+        ).alias("ts"),
     )
-    from mapreduce_framework_spark.operators.simhash import fingerprints, near_pairs
 
-    def t_exact() -> int:
+
+def synth_edges(spark, n: int) -> DataFrame:
+    """Random multigraph with n edges over n/10 nodes (mean degree ~10,
+    hash-uniform) — the pagerank growth shape."""
+    nn = max(n // 10, 10)
+    return spark.range(n).select(
+        F.pmod(F.xxhash64("id", F.lit(1)), F.lit(nn)).alias("src"),
+        F.pmod(F.xxhash64("id", F.lit(2)), F.lit(nn)).alias("dst"),
+    )
+
+
+def _doc_tokens(docs: DataFrame) -> DataFrame:
+    return docs.select(
+        "doc_id", "lang", "source", F.array_distinct(F.split("text", " ")).alias("toks")
+    )
+
+
+def build_tiers(spark, small: int, big: int) -> dict[str, dict[int, callable]]:
+    """tier name -> {n_input: thunk}.  Each thunk runs the REAL
+    operator on a (cached) synthetic input of that size and returns a
+    result row count."""
+    from mapreduce_framework_spark.functions.tokenize import word_ngrams
+    from mapreduce_framework_spark.operators.minhash import candidate_pairs
+    from mapreduce_framework_spark.operators.simhash import fingerprints, near_pairs
+    from mapreduce_framework_spark.queries.dedup import banded_jaccard_pairs
+    from mapreduce_framework_spark.queries.graphs import pagerank
+    from mapreduce_framework_spark.queries.pipeline import curation_funnel_frame
+    from mapreduce_framework_spark.queries.textstats import contamination_frame
+    from mapreduce_framework_spark.queries.windows import sessionize_frame
+
+    cache: dict[tuple, DataFrame] = {}
+
+    def corpus(kind: str, n: int) -> DataFrame:
+        key = (kind, n)
+        if key not in cache:
+            df = {
+                "docs": lambda: synth(spark, n),
+                "docs1cat": lambda: synth(
+                    spark, n, single_category=True, wide_vocab=True
+                ),
+                "events": lambda: synth_events(spark, n),
+                "edges": lambda: synth_edges(spark, n),
+            }[kind]()
+            df.persist()
+            df.count()  # materialize synthesis outside the timed region
+            cache[key] = df
+        return cache[key]
+
+    def t_exact(n):
+        docs = corpus("docs", n)
         return (
             docs.select(F.sha2(F.col("text"), 256).alias("h"), "doc_id")
             .groupBy("h")
-            .agg(F.count(F.lit(1)).alias("n"))
-            .where(F.col("n") > 1)
+            .agg(F.count(F.lit(1)).alias("k"))
+            .where(F.col("k") > 1)
             .count()
         )
 
-    def t_banded_jaccard() -> int:
-        import math
-
-        d = docs.select(
-            "doc_id",
-            "lang",
-            "source",
-            F.array_distinct(F.split("text", " ")).alias("toks"),
-        ).withColumn(
-            "band",
-            F.floor(
-                F.log(F.greatest(F.size("toks"), F.lit(1))) / F.lit(math.log(1.25))
-            ).cast("int"),
-        )
-        a = d.select(
-            F.col("doc_id").alias("doc_a"),
-            "lang",
-            "source",
-            F.col("toks").alias("toks_a"),
-            F.explode(F.array(*[F.col("band") + F.lit(i) for i in range(-2, 3)])).alias(
-                "bp"
-            ),
-        )
-        b = d.select(
-            F.col("doc_id").alias("doc_b"),
-            F.col("lang").alias("lang_b"),
-            F.col("source").alias("source_b"),
-            F.col("toks").alias("toks_b"),
-            "band",
-        )
-        return (
-            a.join(
-                b,
-                (F.col("lang") == F.col("lang_b"))
-                & (F.col("source") == F.col("source_b"))
-                & (F.col("bp") == F.col("band")),
-            )
-            .where(F.col("doc_a") < F.col("doc_b"))
-            .where(jaccard(F.col("toks_a"), F.col("toks_b")) >= 0.8)
-            .count()
-        )
-
-    def t_minhash() -> int:
-        from mapreduce_framework_spark.functions.tokenize import word_ngrams
-
+    def t_minhash(n):
+        docs = corpus("docs", n)
         d = (
             docs.select("doc_id", F.split("text", " ").alias("toks"))
             .where(F.size("toks") >= 3)
@@ -151,16 +181,74 @@ def tiers(docs: DataFrame) -> dict[str, callable]:
         )
         return candidate_pairs(d, "doc_id", "sh").count()
 
-    def t_simhash() -> int:
+    def t_simhash(n):
+        docs = corpus("docs", n)
         d = docs.select("doc_id", F.split("text", " ").alias("toks"))
         fps = fingerprints(d, "doc_id", "toks")
         return near_pairs(fps, "doc_id", "fp", max_distance=3).count()
 
+    def t_banded(n):
+        return banded_jaccard_pairs(_doc_tokens(corpus("docs", n)), 0.8).count()
+
+    def t_banded_overflow(n):
+        # Single-category corpus: at the small size every (band) group
+        # stays under block_cap (exact tier); at the big size groups
+        # overflow and the whole category routes to the MinHash tier —
+        # the enforced guard this tier exists to measure.
+        return banded_jaccard_pairs(_doc_tokens(corpus("docs1cat", n)), 0.8).count()
+
+    def t_pagerank(n):
+        return pagerank(corpus("edges", n), rounds=3).count()
+
+    def t_sessionize(n):
+        return sessionize_frame(corpus("events", n)).count()
+
+    def t_funnel(n):
+        return curation_funnel_frame(corpus("docs", n)).count()
+
+    def t_contamination(n):
+        d = corpus("docs", n).select(
+            "doc_id",
+            F.when(
+                F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) < "c",
+                "train",
+            )
+            .otherwise("eval")
+            .alias("split"),
+            F.split("text", " ").alias("t"),
+        )
+        return contamination_frame(d, 5).count()
+
+    # Tier-appropriate sizes: linear tiers run at (small, big); the
+    # banded exact tier runs smaller because its within-cap block work
+    # is deliberately quadratic; the overflow tier brackets the
+    # block_cap=1000 boundary (~7 length bands in one category ⇒
+    # groups of ~n/7: under cap at 3k docs, over it at 12k).
     return {
-        "exact": t_exact,
-        "banded_jaccard": t_banded_jaccard,
-        "minhash_lsh": t_minhash,
-        "simhash": t_simhash,
+        "exact": {small: lambda: t_exact(small), big: lambda: t_exact(big)},
+        "minhash_lsh": {small: lambda: t_minhash(small), big: lambda: t_minhash(big)},
+        "simhash": {small: lambda: t_simhash(small), big: lambda: t_simhash(big)},
+        "banded_jaccard": {
+            max(small // 8, 1000): lambda: t_banded(max(small // 8, 1000)),
+            max(small // 2, 4000): lambda: t_banded(max(small // 2, 4000)),
+        },
+        "banded_overflow": {
+            3000: lambda: t_banded_overflow(3000),
+            12000: lambda: t_banded_overflow(12000),
+        },
+        "pagerank": {
+            2 * small: lambda: t_pagerank(2 * small),
+            2 * big: lambda: t_pagerank(2 * big),
+        },
+        "sessionize": {
+            10 * small: lambda: t_sessionize(10 * small),
+            10 * big: lambda: t_sessionize(10 * big),
+        },
+        "curation_funnel": {small: lambda: t_funnel(small), big: lambda: t_funnel(big)},
+        "contamination_ngram": {
+            small: lambda: t_contamination(small),
+            big: lambda: t_contamination(big),
+        },
     }
 
 
@@ -168,6 +256,7 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--small", type=int, default=50_000)
     ap.add_argument("--big", type=int, default=500_000)
+    ap.add_argument("--tiers", default="", help="comma-separated subset")
     args = ap.parse_args()
 
     from mapreduce_framework_spark.session import get_spark
@@ -176,36 +265,22 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     spark.range(1_000_000).selectExpr("sum(id)").collect()  # warm JVM
 
-    # Tier-appropriate sizes: the linear tiers run at (small, big); the
-    # banded exact-jaccard tier runs at (small/8, small/2) because its
-    # within-block pair count grows QUADRATICALLY once block membership
-    # grows linearly with the corpus (fixed category cardinality) — the
-    # probe exists to measure that, not to wait on it.
-    sizes = {
-        "exact": (args.small, args.big),
-        "minhash_lsh": (args.small, args.big),
-        "simhash": (args.small, args.big),
-        "banded_jaccard": (max(args.small // 8, 1000), max(args.small // 2, 4000)),
-    }
-    cache: dict[int, DataFrame] = {}
+    tiers = build_tiers(spark, args.small, args.big)
+    selected = (
+        {t: tiers[t] for t in args.tiers.split(",") if t} if args.tiers else tiers
+    )
 
-    def corpus(n: int) -> DataFrame:
-        if n not in cache:
-            df = synth(spark, n)
-            df.persist()
-            df.count()  # materialize synthesis outside the timed region
-            cache[n] = df
-        return cache[n]
-
-    report = {}
-    for name in ("exact", "minhash_lsh", "simhash", "banded_jaccard"):
-        for n in sizes[name]:
-            fn = tiers(corpus(n))[name]
+    report: dict[str, dict[int, dict]] = {}
+    for name, runs in selected.items():
+        for n, fn in sorted(runs.items()):
             t0 = time.perf_counter()
             result = fn()
             dt = round(time.perf_counter() - t0, 2)
             report.setdefault(name, {})[n] = {"sec": dt, "result_rows": result}
-            print(json.dumps({"tier": name, "n_docs": n, "sec": dt, "rows": result}), flush=True)
+            print(
+                json.dumps({"tier": name, "n_input": n, "sec": dt, "rows": result}),
+                flush=True,
+            )
 
     summary = {}
     for name, v in report.items():
