@@ -327,7 +327,9 @@ def join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     tag = os.path.basename(sf_dir.rstrip("/"))
-    base = os.path.join(tempfile.gettempdir(), f"mfs_bucketed_{tag}")
+    # pid-suffixed path: table NAMES are per-session catalogs, but the
+    # data path is shared /tmp — a fixed name races concurrent sessions.
+    base = os.path.join(tempfile.gettempdir(), f"mfs_bucketed_{tag}_{os.getpid()}")
     li_t, ord_t = f"li_bucketed_{tag.replace('.', '_')}", f"ord_bucketed_{tag.replace('.', '_')}"
     for name, src, key in (
         (li_t, table(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice"), "l_orderkey"),
@@ -409,6 +411,7 @@ FROM b JOIN customer USING (c_custkey)
 GROUP BY c_mktsegment
 """.strip(),
     tags=("join", "skew", "adaptive"),
+    bench=True,
 )
 def join_adaptive_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Adaptive (histogram-driven) skew join: a deterministic hot key —
@@ -552,3 +555,79 @@ def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("label")
         .agg(F.count(F.lit(1)).alias("n_orders"))
     )
+
+
+BLOOM_JOIN_CONFS = {
+    "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "1GB",
+    "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+    "spark.sql.autoBroadcastJoinThreshold": "-1",
+    "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+}
+
+
+def bloom_join_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The join_bloom_filtered plan, shared with the plan-pin test so
+    the test asserts might_contain on the EXACT frame the query runs."""
+    o = table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    c = (
+        table(spark, sf_dir, "customer")
+        .where(F.col("c_acctbal") > 9000)
+        .select("c_custkey", "c_mktsegment")
+    )
+    return (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum(F.col("o_totalprice")).alias("revenue"),
+        )
+    )
+
+
+@register(
+    "join_bloom_filtered",
+    # Runtime filters must be answer-invariant: the oracle is the plain
+    # selective join, no bloom anywhere.
+    oracle="""
+SELECT c_mktsegment,
+       count(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM orders JOIN customer ON o_custkey = c_custkey
+WHERE c_acctbal > 9000
+GROUP BY c_mktsegment
+""".strip(),
+    tags=("join", "bloom", "runtime-filter"),
+)
+def join_bloom_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime bloom-filter-pruned shuffle join: a selective dim filter
+    (c_acctbal > 9000, ~9% of customers) joined to the fact side with
+    Spark's runtime row-level filtering — the optimizer builds a
+    `bloom_filter_agg` over the filtered dim's join keys and injects
+    `might_contain(...)` into the fact scan, so ~90% of fact rows are
+    dropped BEFORE the join's shuffle instead of after it.  This is the
+    100 TB shape where the dim is too selective to skip but too big to
+    broadcast: the bloom costs one small aggregate, the fact shuffle
+    shrinks by the filter's selectivity.  Plan pinned by
+    tests/test_plans.py::test_bloom_filtered_query_injects_might_contain.
+
+    Materialized eagerly under pinned runtime confs (thresholds sized
+    so the local-mode demo triggers the same plan the defaults produce
+    at cluster scale; broadcast disabled because a broadcast join has
+    no shuffle for a bloom to protect), then read back — runtime confs
+    are read at action time, so returning a lazy frame and restoring
+    the confs would silently re-plan without the bloom."""
+    import tempfile
+
+    prev = {k: spark.conf.get(k, None) for k in BLOOM_JOIN_CONFS}
+    out = tempfile.mkdtemp(prefix="mfs_bloomjoin_")
+    try:
+        for k, v in BLOOM_JOIN_CONFS.items():
+            spark.conf.set(k, v)
+        bloom_join_frame(spark, sf_dir).write.mode("overwrite").parquet(out)
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    return spark.read.parquet(out)

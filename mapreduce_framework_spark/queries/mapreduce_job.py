@@ -37,12 +37,14 @@ def mapreduce_job_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
     text corpus (one doc per line — the reference's file-of-lines input
     model), then mapfunc/reducefunc with R=5 (the graded small run's R,
     w6/docs/workshop9.md:17)."""
-    corpus = os.path.join(
-        tempfile.gettempdir(), f"mfs_mr_corpus_{os.path.basename(sf_dir)}"
-    )
-    out = os.path.join(
-        tempfile.gettempdir(), f"mfs_mr_out_{os.path.basename(sf_dir)}"
-    )
+    # Per-invocation dirs (mkdtemp), NOT fixed names: two sessions on
+    # one host sharing /tmp/mfs_mr_out_<sf> race each other — one
+    # overwrites the directory while the other's lazy re-read is
+    # mid-scan (observed as FAILED_READ_FILE when a bench run and a
+    # verify sweep overlapped).
+    run_dir = tempfile.mkdtemp(prefix=f"mfs_mr_{os.path.basename(sf_dir)}_")
+    corpus = os.path.join(run_dir, "corpus")
+    out = os.path.join(run_dir, "out")
     table(spark, sf_dir, "documents").select("text").write.mode("overwrite").text(
         corpus
     )
@@ -101,10 +103,11 @@ def mapreduce_job_chained(spark: SparkSession, sf_dir: str) -> DataFrame:
     reducer.  The oracle recomputes the composition declaratively from
     the source corpus, so the hash proves the two chained opaque-UDF
     jobs equal one two-level aggregation — chaining loses nothing."""
-    corpus = os.path.join(
-        tempfile.gettempdir(), f"mfs_mrc_corpus_{os.path.basename(sf_dir)}"
-    )
-    mid = os.path.join(tempfile.gettempdir(), f"mfs_mrc_mid_{os.path.basename(sf_dir)}")
+    # Per-invocation dirs for the same two-session race reason as
+    # mapreduce_job_wordcount above.
+    run_dir = tempfile.mkdtemp(prefix=f"mfs_mrc_{os.path.basename(sf_dir)}_")
+    corpus = os.path.join(run_dir, "corpus")
+    mid = os.path.join(run_dir, "mid")
     table(spark, sf_dir, "documents").select("text").write.mode("overwrite").text(
         corpus
     )

@@ -138,8 +138,11 @@ def sink_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     metrics row so the operation itself stays a DataFrame.
     """
     docs = table(spark, sf_dir, "documents").select("doc_id", "lang", "source", "n_chars")
+    # pid-suffixed against the cross-session overwrite race (see
+    # queries/mapreduce_job.py).
     base = os.path.join(
-        tempfile.gettempdir(), f"mfs_compact_{os.path.basename(sf_dir)}"
+        tempfile.gettempdir(),
+        f"mfs_compact_{os.path.basename(sf_dir)}_{os.getpid()}",
     )
     small, compacted = os.path.join(base, "small"), os.path.join(base, "compacted")
     docs.repartition(64).write.mode("overwrite").parquet(small)
@@ -376,4 +379,92 @@ def profile_column_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             -F.sum("term") / F.log(F.col("n_distinct").cast("double")), 6
         ).alias("normalized"),
+    )
+
+
+_CMS_DEPTH = 4
+_CMS_WIDTH = 1024
+
+_CMS_ORACLE = f"""
+WITH ev AS (SELECT user_id FROM events),
+pairs AS (
+  SELECT user_id, d AS depth,
+         CAST(concat('0x', substr(md5('cms' || CAST(d AS VARCHAR) || ':'
+                                      || CAST(user_id AS VARCHAR)), 1, 15))
+              AS BIGINT) % {_CMS_WIDTH} AS bucket
+  FROM ev, (SELECT unnest(range({_CMS_DEPTH})) AS d)
+),
+sketch AS (SELECT depth, bucket, count(*) AS cnt FROM pairs GROUP BY depth, bucket),
+probe AS (SELECT DISTINCT user_id, depth, bucket FROM pairs),
+est AS (
+  SELECT user_id, min(cnt) AS est_count
+  FROM probe JOIN sketch USING (depth, bucket)
+  GROUP BY user_id
+),
+exact AS (SELECT user_id, count(*) AS exact_count FROM ev GROUP BY user_id)
+SELECT est.user_id, est.est_count, exact.exact_count
+FROM est JOIN exact ON est.user_id = exact.user_id
+ORDER BY est.est_count DESC, est.user_id ASC
+LIMIT 10
+""".strip()
+
+
+@register(
+    "profile_countmin_topk",
+    oracle=_CMS_ORACLE,
+    tags=("profiling", "sketch", "skew"),
+)
+def profile_countmin_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min-sketch heavy hitters — the fixed-memory companion
+    profile_heavy_hitters' docstring promises: per-key frequency
+    estimated from a 4x1024 sketch instead of an exact per-key count,
+    with the exact count joined alongside so the CMS guarantee
+    (est >= exact, overcount bounded by collisions) is visible in the
+    result.
+
+    The sketch is built IN-PLAN: each row emits 4 (depth, bucket)
+    cells (bucket = portable 60-bit md5 hash of "cms<d>:<key>" mod
+    1024, the same cross-engine hash family as operators/simhash.py:
+    md5_prefix60, so DuckDB reproduces the sketch bit-for-bit and the
+    estimates themselves are hash-checked — no tolerance column), and
+    `groupBy(depth, bucket)` partial-aggregates map-side, so the
+    shuffle carries at most 4*1024 = 4096 cells per partition
+    REGARDLESS of input size — that fixed-size summary is the whole
+    point at 100 TB, where the exact per-key groupBy's shuffle grows
+    with key cardinality.  Cells are mergeable across partitions, days,
+    or clusters by plain cell-wise SUM (same algebra as
+    agg_partial_merge).  The probe side joins the (broadcast,
+    <= 4096-row) sketch and takes min over depths — no driver
+    round-trip anywhere."""
+    ev = table(spark, sf_dir, "events").select("user_id")
+    key_s = F.col("user_id").cast("string")
+    cells = [
+        F.struct(
+            F.lit(i).alias("depth"),
+            F.pmod(
+                F.conv(
+                    F.substring(F.md5(F.concat(F.lit(f"cms{i}:"), key_s)), 1, 15),
+                    16,
+                    10,
+                ).cast("long"),
+                F.lit(_CMS_WIDTH),
+            ).alias("bucket"),
+        )
+        for i in range(_CMS_DEPTH)
+    ]
+    pairs = ev.select("user_id", F.explode(F.array(*cells)).alias("c")).select(
+        "user_id", F.col("c.depth").alias("depth"), F.col("c.bucket").alias("bucket")
+    )
+    sketch = pairs.groupBy("depth", "bucket").agg(F.count(F.lit(1)).alias("cnt"))
+    probe = pairs.distinct()
+    est = (
+        probe.join(F.broadcast(sketch), ["depth", "bucket"])
+        .groupBy("user_id")
+        .agg(F.min("cnt").alias("est_count"))
+    )
+    exact = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact_count"))
+    return (
+        est.join(exact, "user_id")
+        .orderBy(F.desc("est_count"), F.asc("user_id"))
+        .limit(10)
     )

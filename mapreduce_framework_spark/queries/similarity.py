@@ -171,6 +171,7 @@ LIMIT 10
     "sim_search_ivf_kmeans",
     oracle=_IVF_KMEANS_ORACLE,
     tags=("similarity", "ann", "clustering"),
+    bench=True,
 )
 def sim_search_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF top-10 probed against REAL k-means centroids — the composed

@@ -32,8 +32,13 @@ from mapreduce_framework_spark.registry import register
 
 
 def _tmp(sf_dir: str, tag: str) -> str:
+    # pid-suffixed: a fixed shared name lets two sessions on one host
+    # overwrite each other's roundtrip dirs mid-read (same race class
+    # as queries/mapreduce_job.py's run_dir note).  Within one process
+    # re-runs serialize on the driver, so overwrite is safe.
     return os.path.join(
-        tempfile.gettempdir(), f"mfs_src_{tag}_{os.path.basename(sf_dir)}"
+        tempfile.gettempdir(),
+        f"mfs_src_{tag}_{os.path.basename(sf_dir)}_{os.getpid()}",
     )
 
 

@@ -253,10 +253,12 @@ def stream_exactly_once_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mapreduce_framework_spark.streaming.sinks import idempotent_parquet_writer
 
     ev = table(spark, sf_dir, "events").select("event_id", "ts", "user_id")
-    # All runs live under one root so each invocation can sweep the
-    # previous run's directories; the current run's dir must outlive
-    # this function (the returned DataFrame lazily reads sink_dir).
-    tmp_root = os.path.join(tempfile.gettempdir(), "mfs_eo_sink")
+    # All THIS PROCESS's runs live under one pid-suffixed root so each
+    # invocation can sweep its own previous run's directories without
+    # deleting a concurrent session's live sink; the current run's dir
+    # must outlive this function (the returned DataFrame lazily reads
+    # sink_dir).
+    tmp_root = os.path.join(tempfile.gettempdir(), f"mfs_eo_sink_{os.getpid()}")
     if os.path.isdir(tmp_root):
         shutil.rmtree(tmp_root, ignore_errors=True)
     os.makedirs(tmp_root, exist_ok=True)

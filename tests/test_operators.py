@@ -214,3 +214,41 @@ def test_incremental_probe_finds_planted_near_dups(spark):
     assert (101, 1) in got and (101, 2) in got
     assert all(nid >= 100 and cid < 100 for nid, cid in got)
     assert not any(nid == 102 for nid, _ in got)  # unrelated doc clean
+
+
+def test_countmin_estimate_dominates_exact(spark):
+    """CMS deterministic guarantee: every estimate >= its exact count
+    (min over depths of an overcounting cell can never undercount),
+    and the in-plan sketch respects its fixed 4x1024 cell budget."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_framework_spark.registry import get_query
+
+    rows = get_query("profile_countmin_topk").fn(spark, SF_DIR).collect()
+    assert rows, "empty heavy-hitter result"
+    assert all(r.est_count >= r.exact_count for r in rows)
+    # Sketch bound: rebuild the cell frame the query builds and check
+    # the distinct (depth, bucket) cardinality never exceeds d*w.
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").select("user_id")
+    key_s = F.col("user_id").cast("string")
+    cells = [
+        F.struct(
+            F.lit(i).alias("depth"),
+            F.pmod(
+                F.conv(
+                    F.substring(F.md5(F.concat(F.lit(f"cms{i}:"), key_s)), 1, 15),
+                    16,
+                    10,
+                ).cast("long"),
+                F.lit(1024),
+            ).alias("bucket"),
+        )
+        for i in range(4)
+    ]
+    n_cells = (
+        ev.select(F.explode(F.array(*cells)).alias("c"))
+        .select("c.depth", "c.bucket")
+        .distinct()
+        .count()
+    )
+    assert n_cells <= 4 * 1024

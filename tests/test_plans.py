@@ -395,3 +395,33 @@ def test_incremental_minhash_probe_is_equi_join_on_bands(spark):
     assert "band_hash" in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_bloom_filtered_query_injects_might_contain(spark):
+    """join_bloom_filtered's exact frame (shared helper) must plan a
+    bloom_filter_agg on the filtered dim and a might_contain prefilter
+    on the fact side under the query's pinned confs — the registered
+    query materializes this same frame eagerly."""
+    from mapreduce_framework_spark.queries.joins import (
+        BLOOM_JOIN_CONFS,
+        bloom_join_frame,
+    )
+
+    old = {k: spark.conf.get(k, None) for k in BLOOM_JOIN_CONFS}
+    for k, v in BLOOM_JOIN_CONFS.items():
+        spark.conf.set(k, v)
+    try:
+        plan = (
+            bloom_join_frame(spark, SF_DIR)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "might_contain" in plan, "bloom prefilter missing from fact side"
+        assert "bloom_filter_agg" in plan, "bloom build missing from dim side"
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
