@@ -58,12 +58,13 @@ def main() -> None:
                 while fh.read(1 << 22):
                     pass
 
-    # min of 2 runs per query: this host is a shared box with bursty
+    # min of 3 runs per query: this host is a shared box with bursty
     # neighbors (observed 3-20x swings on identical plans minutes
-    # apart); the min is the reproducible engine cost, the same way
-    # timeit reports best-of-N.
+    # apart; a full same-commit suite re-run moved 80s -> 68s); the min
+    # is the reproducible engine cost, the same way timeit reports
+    # best-of-N.
     timings: dict[str, float] = {}
-    for _ in range(2):
+    for _ in range(3):
         for name, spec in sorted(bench_queries().items()):
             t0 = time.perf_counter()
             df = spec.fn(spark, sf_dir)
