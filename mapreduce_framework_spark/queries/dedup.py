@@ -768,3 +768,103 @@ def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("status"),
         )
     )
+
+
+@register(
+    "dedup_canonical_keep",
+    oracle="""
+WITH RECURSIVE
+d AS (
+  SELECT doc_id, n_chars, list_distinct(string_split(text, ' ')) AS toks,
+         lang, source
+  FROM documents
+),
+p AS (
+  SELECT a.doc_id AS u, b.doc_id AS v
+  FROM d a JOIN d b
+    ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+  WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+          / len(list_distinct(a.toks || b.toks)) >= 0.8
+),
+edges AS (SELECT u, v FROM p UNION SELECT v, u FROM p),
+reach(u, v) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u WHERE e.v <> r.u
+),
+comp AS (SELECT u AS node, least(u, min(v)) AS component FROM reach GROUP BY u),
+member AS (
+  SELECT d.doc_id, d.n_chars, coalesce(c.component, d.doc_id) AS component
+  FROM d LEFT JOIN comp c ON d.doc_id = c.node
+),
+canon AS (
+  SELECT component, doc_id AS canonical_id
+  FROM (SELECT component, doc_id,
+               row_number() OVER (PARTITION BY component
+                                  ORDER BY n_chars DESC, doc_id ASC) AS rn
+        FROM member)
+  WHERE rn = 1
+)
+SELECT m.doc_id, c.canonical_id, m.doc_id = c.canonical_id AS is_kept
+FROM member m JOIN canon c ON m.component = c.component
+""".strip(),
+    tags=("dedup", "iterative", "pipeline"),
+)
+def dedup_canonical_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-document selection — the curation step AFTER cluster
+    detection: every doc maps to exactly one survivor (the longest doc
+    in its near-dup cluster, ties to the lowest doc_id; singletons are
+    their own canonical).  Pair detection and components are the same
+    blocked-Jaccard + min-label-propagation plan as dedup_clusters;
+    the selection itself is one struct-MIN argmax per component (no
+    window, no sort — same trick as agg_mode) plus a map-side
+    broadcastable join back to members.
+
+    Scale: components' iterative hygiene is inherited; the argmax adds
+    ONE skinny (component, best-struct) aggregate over cluster members
+    — at 100 TB the cluster table is orders of magnitude smaller than
+    the corpus, and the final member→canonical join co-locates on the
+    component key the components step already partitioned by."""
+    from mapreduce_framework_spark.operators.components import connected_components
+
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "n_chars",
+        "lang",
+        "source",
+        F.array_distinct(F.split("text", " ")).alias("toks"),
+    )
+    a = d.select(
+        F.col("doc_id").alias("doc_a"), "lang", "source", F.col("toks").alias("toks_a")
+    )
+    b = d.select(
+        F.col("doc_id").alias("doc_b"), "lang", "source", F.col("toks").alias("toks_b")
+    )
+    pairs = (
+        a.join(b, ["lang", "source"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .where(jaccard(F.col("toks_a"), F.col("toks_b")) >= 0.8)
+        .select("doc_a", "doc_b")
+    )
+    comp = connected_components(pairs, "doc_a", "doc_b")
+    member = (
+        d.select("doc_id", "n_chars")
+        .join(comp, F.col("doc_id") == F.col("node"), "left")
+        .select(
+            "doc_id",
+            "n_chars",
+            F.coalesce("component", "doc_id").alias("component"),
+        )
+    )
+    canon = member.groupBy("component").agg(
+        F.min(
+            F.struct(
+                (-F.col("n_chars")).alias("neg_len"), F.col("doc_id").alias("d")
+            )
+        ).alias("best")
+    ).select("component", F.col("best.d").alias("canonical_id"))
+    return member.join(canon, "component").select(
+        "doc_id",
+        "canonical_id",
+        (F.col("doc_id") == F.col("canonical_id")).alias("is_kept"),
+    )

@@ -212,3 +212,53 @@ def scan_dynamic_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("l_quantity"), 2).alias("qty"),
         )
     )
+
+
+_EVOLUTION_ORACLE = """
+WITH u AS (
+  SELECT doc_id, lang, CAST(NULL AS BIGINT) AS n_chars
+  FROM documents WHERE doc_id % 2 = 0
+  UNION ALL
+  SELECT doc_id, lang, n_chars
+  FROM documents WHERE doc_id % 2 = 1
+)
+SELECT lang,
+       count(*) AS n_docs,
+       count(n_chars) AS n_with_chars,
+       CAST(coalesce(sum(n_chars), 0) AS BIGINT) AS total_chars
+FROM u
+GROUP BY lang
+""".strip()
+
+
+@register("source_schema_evolution", oracle=_EVOLUTION_ORACLE, tags=("source",))
+def source_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution read: an early batch written WITHOUT a column a
+    later batch has (n_chars), both read back in one pass with
+    ``mergeSchema`` — the long-lived-table reality where producers add
+    columns over the years and a 100 TB scan must union every vintage
+    without a rewrite.  Missing columns surface as NULLs (count/sum
+    skip them, the oracle replicates via a typed-NULL UNION ALL).
+
+    Scale: mergeSchema pays a footer-read per FILE at planning time to
+    reconcile schemas — at 100 TB pin the merged schema in a table
+    catalog (or pass an explicit read schema, as the other roundtrips
+    here do) and keep per-vintage directories so old files are never
+    rewritten; the read path is then the ordinary vectorized scan with
+    column pruning intact, NULL-filling absent columns for free."""
+    base = _tmp(sf_dir, "evo")
+    d = table(spark, sf_dir, "documents")
+    d.where(F.col("doc_id") % 2 == 0).select("doc_id", "lang").write.mode(
+        "overwrite"
+    ).parquet(os.path.join(base, "v1"))
+    d.where(F.col("doc_id") % 2 == 1).select(
+        "doc_id", "lang", "n_chars"
+    ).write.mode("overwrite").parquet(os.path.join(base, "v2"))
+    back = spark.read.option("mergeSchema", "true").parquet(
+        os.path.join(base, "v1"), os.path.join(base, "v2")
+    )
+    return back.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count("n_chars").alias("n_with_chars"),
+        F.coalesce(F.sum("n_chars"), F.lit(0)).alias("total_chars"),
+    )
