@@ -383,3 +383,43 @@ def test_curation_funnel_is_monotone(spark):
             >= 0
         ), r
         assert r.n_quality == r.n_train_pool + r.n_eval_heldout, r
+
+
+def test_canonical_keep_is_total_idempotent_mapping(spark):
+    """dedup_canonical_keep invariants beyond the oracle: the map is
+    TOTAL (every document appears exactly once), canonicals are FIXED
+    POINTS (every canonical_id maps to itself / is_kept), and applying
+    the map twice changes nothing (canonical(canonical(x)) ==
+    canonical(x)) — the property a curation pipeline relies on when it
+    filters to is_kept."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_framework_spark.registry import get_query
+    from tests.conftest import SF_DIR
+
+    df = get_query("dedup_canonical_keep").fn(spark, SF_DIR).cache()
+    n_docs = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet").select("doc_id").count()
+    )
+    assert df.count() == n_docs
+    assert df.select("doc_id").distinct().count() == n_docs
+    # canonicals are fixed points
+    canon = df.select(F.col("canonical_id").alias("doc_id")).distinct()
+    fixed = df.join(canon, "doc_id").where(
+        (F.col("doc_id") != F.col("canonical_id")) | (~F.col("is_kept"))
+    )
+    assert fixed.count() == 0
+    # idempotence: canonical of canonical is itself
+    twice = (
+        df.select("doc_id", "canonical_id")
+        .join(
+            df.select(
+                F.col("doc_id").alias("canonical_id"),
+                F.col("canonical_id").alias("canonical2"),
+            ),
+            "canonical_id",
+        )
+        .where(F.col("canonical_id") != F.col("canonical2"))
+    )
+    assert twice.count() == 0
+    df.unpersist()
