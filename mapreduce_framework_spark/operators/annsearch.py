@@ -150,3 +150,102 @@ def quantized_topk(
         .orderBy(F.desc("approx_dot"), F.asc(id_col))
         .limit(k)
     )
+
+
+def hyperplane_buckets(
+    vectors: DataFrame,
+    n_tables: int = 4,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+) -> DataFrame:
+    """Random-hyperplane (SimHash-for-cosine) LSH signatures:
+    ``n_tables`` independent hash tables of ``n_planes`` sign bits each
+    → one (id, tbl, bucket) row per table per vector.
+
+    Determinism is the design center: hyperplane component signs come
+    from an LCG parity on the (plane, dim) index and vector components
+    are quantized to integers (round(x·1000)) before the signed sum, so
+    the projection is INTEGER arithmetic — exact, order-independent,
+    and bit-identical across engines (a float projection's sign near 0
+    depends on summation order).  All n_tables·n_planes projections are
+    array folds in ONE codegen'd projection pass — no shuffle, no UDF;
+    the only exchange downstream of this helper is the explode to the
+    skinny (id, tbl, bucket) index.
+
+    At 100 TB the bucket index is written partitioned by (tbl, bucket)
+    so a probe prunes entire files; signatures are recomputed never —
+    new vectors append to the index (same admission shape as
+    dedup_minhash_incremental)."""
+    planes = n_tables * n_planes
+
+    def _proj(p: int):
+        # Signed integer projection for plane p: sign(p,d) from LCG
+        # parity on idx = p*64 + d (64 ≥ embedding dim, keeps plane
+        # patterns disjoint), components quantized to round(x*1000).
+        return F.expr(
+            f"aggregate(zip_with({vec_col}, sequence(0, size({vec_col}) - 1), "
+            f"(x, i) -> CASE WHEN pmod((1103515245L * ({p} * 64 + i) + 12345) "
+            f"DIV 65536, 2) = 0 THEN cast(round(x * 1000) AS BIGINT) "
+            f"ELSE -cast(round(x * 1000) AS BIGINT) END), "
+            f"cast(0 AS BIGINT), (acc, x) -> acc + x)"
+        )
+
+    sig = vectors.select(
+        F.col(id_col),
+        *[(_proj(p) > 0).cast("int").alias(f"_b{p}") for p in range(planes)],
+    )
+    buckets = [
+        sum(
+            (F.col(f"_b{t * n_planes + j}") * F.lit(1 << j))
+            for j in range(n_planes)
+        ).alias(f"_t{t}")
+        for t in range(n_tables)
+    ]
+    wide = sig.select(F.col(id_col), *buckets)
+    tbl_structs = F.array(
+        *[
+            F.struct(F.lit(t).alias("tbl"), F.col(f"_t{t}").alias("bucket"))
+            for t in range(n_tables)
+        ]
+    )
+    return wide.select(
+        F.col(id_col), F.explode(tbl_structs).alias("tb")
+    ).select(id_col, F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket"))
+
+
+def lsh_topk(
+    vectors: DataFrame,
+    query_id: int = 0,
+    k: int = 10,
+    n_tables: int = 4,
+    n_planes: int = 8,
+    hamming_radius: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+) -> DataFrame:
+    """Multi-probe hyperplane-LSH top-k: candidates are vectors whose
+    bucket is within ``hamming_radius`` bits of the query's bucket in
+    ANY table (multi-probe widens recall without growing the index —
+    Lv et al., VLDB'07 shape); exact cosine re-ranks candidates only."""
+    buckets = hyperplane_buckets(vectors, n_tables, n_planes, id_col, vec_col)
+    qb = buckets.where(F.col(id_col) == query_id).select(
+        "tbl", F.col("bucket").alias("qbucket")
+    )
+    cand = (
+        buckets.where(F.col(id_col) != query_id)
+        .join(F.broadcast(qb), "tbl")
+        .where(
+            F.bit_count(
+                F.col("bucket").bitwiseXOR(F.col("qbucket")).cast("bigint")
+            )
+            <= hamming_radius
+        )
+        .select(id_col)
+        .distinct()
+    )
+    query = vectors.where(F.col(id_col) == query_id).select(
+        F.col(vec_col).alias("qv")
+    )
+    pruned = vectors.join(cand, id_col, "left_semi")
+    return brute_force_topk(pruned, query, k=k, id_col=id_col, vec_col=vec_col)

@@ -868,3 +868,69 @@ def dedup_canonical_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
         "canonical_id",
         (F.col("doc_id") == F.col("canonical_id")).alias("is_kept"),
     )
+
+
+@register(
+    "dedup_chunk_exact",
+    oracle="""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+chunks AS (
+  SELECT doc_id,
+         array_to_string(tk[(i.i*16+1):(i.i*16+16)], ' ') AS chunk
+  FROM toks,
+       LATERAL (SELECT unnest(range(CAST(ceil(len(tk)/16.0) AS BIGINT))) AS i) i
+),
+owned AS (
+  SELECT doc_id, chunk, min(doc_id) OVER (PARTITION BY chunk) AS owner
+  FROM chunks
+)
+SELECT doc_id,
+       count(*) AS n_chunks,
+       CAST(SUM(CASE WHEN owner = doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       round(SUM(CASE WHEN owner = doc_id THEN 1 ELSE 0 END) / count(*), 6)
+         AS kept_ratio
+FROM owned
+GROUP BY doc_id
+""".strip(),
+    tags=("dedup", "pipeline"),
+)
+def dedup_chunk_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document (line-level) exact dedup, the C4/RefinedWeb shape:
+    every document is split into spans, each span is kept only by its
+    canonical owner (the lowest doc_id that contains it), and the
+    per-doc output reports how much of the doc survives span dedup.
+    The synthetic corpus is single-line, so deterministic 16-token
+    chunks stand in for newline splits — the PLAN (explode → min-owner
+    window on the span key → per-doc re-aggregate) is exactly the
+    line-dedup plan and is what this key pins.
+
+    Scale: two shuffles — one on the span text (the window), one on
+    doc_id (the re-aggregate).  Span keys are short bounded strings;
+    at 100 TB you shuffle a digest of the span instead (same re-key
+    trick as contamination_ngram) and the explode fan-out is ~n_tokens/
+    16 rows per doc, linear in corpus size.  No pairwise comparison
+    anywhere — exact span equality only, which is why line dedup is
+    the cheapest sub-document tier and runs FIRST in a curation
+    cascade (cf. banded jaccard for the doc-level near-dup tier)."""
+    d = table(spark, sf_dir, "documents")
+    tk = F.split("text", " ")
+    n_chunks = F.ceil(F.size(tk) / F.lit(16.0)).cast("int")
+    chunks = d.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), n_chunks - F.lit(1)),
+                lambda i: F.array_join(F.slice(tk, i * 16 + 1, 16), " "),
+            )
+        ).alias("chunk"),
+    )
+    from pyspark.sql import Window
+
+    owner = F.min("doc_id").over(Window.partitionBy("chunk"))
+    owned = chunks.select("doc_id", owner.alias("owner"))
+    kept = F.sum(F.when(F.col("owner") == F.col("doc_id"), 1).otherwise(0))
+    return owned.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        kept.cast("bigint").alias("n_kept"),
+        F.round(kept / F.count(F.lit(1)), 6).alias("kept_ratio"),
+    )
