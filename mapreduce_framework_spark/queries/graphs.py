@@ -145,3 +145,89 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         edges0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
     return pagerank(edges, rounds=_N_ITER, checkpoint_every=None)
+
+
+@register(
+    "graph_triangle_knn",
+    oracle="""
+WITH co AS (
+  SELECT a.l_suppkey AS s1, b.l_suppkey AS s2,
+         count(DISTINCT a.l_orderkey) AS w
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_suppkey <> b.l_suppkey
+  GROUP BY 1, 2
+),
+knn AS (
+  SELECT s1, s2 FROM (
+    SELECT s1, s2,
+           row_number() OVER (PARTITION BY s1 ORDER BY w DESC, s2 ASC) AS rn
+    FROM co
+  ) WHERE rn <= 5
+),
+edges AS (
+  SELECT least(s1, s2) AS u, greatest(s1, s2) AS v FROM knn GROUP BY 1, 2
+),
+tri AS (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+  FROM edges e1
+  JOIN edges e2 ON e1.v = e2.u
+  JOIN edges e3 ON e1.u = e3.u AND e2.v = e3.v
+)
+SELECT node, count(*) AS n_triangles
+FROM (SELECT a AS node FROM tri
+      UNION ALL SELECT b FROM tri
+      UNION ALL SELECT c FROM tri)
+GROUP BY node
+""".strip(),
+    tags=("graph",),
+)
+def graph_triangle_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k neighbor graph construction + per-node triangle counting —
+    the similarity-graph analytics pair: each supplier keeps its 5
+    strongest co-supply partners (co-occurrence weight = distinct shared
+    orders, ties to the lower partner key), edges are canonicalized
+    undirected, and triangles are enumerated with the ordered (a<b<c)
+    convention so each is found exactly once.
+
+    Why top-k and not a weight threshold: co-occurrence density falls
+    as 1/|suppliers| with scale, so any fixed threshold yields a
+    complete graph at one SF and an empty one at another; a per-node
+    top-k graph has ~k·n edges at EVERY scale — the same reason ANN
+    pipelines build kNN graphs rather than ε-graphs.
+
+    Scale: the co-occurrence self-join is co-partitioned on the order
+    key (one shuffle); the kNN cut is a bounded window per node; the
+    triangle join runs on the k·n-edge skinny table, and the ordered
+    convention is the degree-orientation trick's fixed-order special
+    case — at 100 TB you orient by (degree, id) instead, which bounds
+    the adjacency fan-out per node (cf. Suri & Vassilvitskii WWW'11).
+    """
+    from pyspark.sql import Window
+
+    l = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    a = l.select(F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("s1"))
+    b = l.select(F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("s2"))
+    co = (
+        a.join(b, "ok")
+        .where(F.col("s1") != F.col("s2"))
+        .groupBy("s1", "s2")
+        .agg(F.countDistinct("ok").alias("w"))
+    )
+    w = Window.partitionBy("s1").orderBy(F.desc("w"), F.asc("s2"))
+    knn = (
+        co.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 5)
+        .select("s1", "s2")
+    )
+    edges = knn.select(
+        F.least("s1", "s2").alias("u"), F.greatest("s1", "s2").alias("v")
+    ).distinct()
+    e1 = edges.select(F.col("u").alias("a"), F.col("v").alias("b"))
+    e2 = edges.select(F.col("u").alias("b"), F.col("v").alias("c"))
+    e3 = edges.select(F.col("u").alias("a"), F.col("v").alias("c"))
+    tri = e1.join(e2, "b").join(e3, ["a", "c"])
+    return (
+        tri.select(F.explode(F.array("a", "b", "c")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )

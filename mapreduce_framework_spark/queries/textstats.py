@@ -735,3 +735,60 @@ def doc_mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tokens",
         F.expr("_num div _tot").alias("share_ppm"),
     )
+
+
+@register(
+    "quality_lm_perplexity",
+    oracle="""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+big AS (
+  SELECT doc_id, tk[d.d] AS w1, tk[d.d + 1] AS w2
+  FROM toks, LATERAL (SELECT unnest(range(1, len(tk))) AS d) d
+),
+cnt AS (SELECT w1, w2, count(*) AS c FROM big GROUP BY w1, w2),
+ctx AS (SELECT w1, count(*) AS cw FROM big GROUP BY w1)
+SELECT b.doc_id,
+       count(*) AS n_bigrams,
+       round(avg(log2(ctx.cw / cnt.c)), 6) AS avg_nll_bits
+FROM big b
+JOIN cnt ON b.w1 = cnt.w1 AND b.w2 = cnt.w2
+JOIN ctx ON b.w1 = ctx.w1
+GROUP BY b.doc_id
+""".strip(),
+    tags=("quality", "pipeline"),
+)
+def quality_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained bigram-LM quality score (CCNet-shape filtering):
+    train bigram/context counts over the WHOLE corpus in one pass, then
+    score every document by its mean negative log2 conditional
+    probability — high avg_nll_bits = the doc's word transitions are
+    atypical for the corpus (the perplexity-filter signal; CCNet uses a
+    5-gram KenLM, the plan is identical).  Train and score are the SAME
+    exploded bigram frame, so the corpus is scanned once.
+
+    Scale: the bigram count table is vocabulary-bounded — for a bounded
+    vocab it broadcasts and scoring is map-side; for open vocab both
+    joins are shuffle joins keyed on the bigram, linear in corpus size.
+    Docs with fewer than 2 tokens have no bigrams and are (by contract)
+    absent from the output.  avg is order-insensitive to 1e-15; the
+    round(6) pins the cross-engine value."""
+    d = table(spark, sf_dir, "documents")
+    tk = F.split("text", " ")
+    big = d.select(
+        "doc_id",
+        F.explode(
+            F.arrays_zip(
+                F.slice(tk, 1, F.size(tk) - 1).alias("w1"),
+                F.slice(tk, 2, F.size(tk) - 1).alias("w2"),
+            )
+        ).alias("bg"),
+    ).select("doc_id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    cnt = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c"))
+    ctx = big.groupBy("w1").agg(F.count(F.lit(1)).alias("cw"))
+    scored = big.join(F.broadcast(cnt), ["w1", "w2"]).join(
+        F.broadcast(ctx), "w1"
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.round(F.avg(F.log2(F.col("cw") / F.col("c"))), 6).alias("avg_nll_bits"),
+    )

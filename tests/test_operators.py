@@ -340,3 +340,65 @@ def test_chunk_dedup_conservation(spark):
         .count()
     )
     assert total_kept == distinct_chunks
+
+
+def test_triangle_counts_invariants(spark):
+    """Triangle participation counts: every reported node is in ≥1
+    triangle, and the total participation is divisible by 3 (each
+    triangle credits exactly 3 nodes)."""
+    from mapreduce_framework_spark.registry import get_query
+
+    rows = get_query("graph_triangle_knn").fn(spark, SF_DIR).collect()
+    assert rows, "kNN graph unexpectedly triangle-free"
+    assert all(r.n_triangles >= 1 for r in rows)
+    assert sum(r.n_triangles for r in rows) % 3 == 0
+
+
+def test_lm_perplexity_planted_extremes(spark):
+    """A doc that repeats one word has perfectly predictable
+    transitions (avg NLL == 0 bits); a doc of corpus-unique words has
+    deterministic-once transitions (each bigram is its context's only
+    continuation → also 0) — but a doc REUSING corpus words in a novel
+    order scores > 0.  Plant the first shape and check the scoring
+    floor, plus nonnegativity everywhere."""
+    import pandas as pd
+
+    from mapreduce_framework_spark.io import table
+    from mapreduce_framework_spark.registry import get_query
+
+    out = get_query("quality_lm_perplexity").fn(spark, SF_DIR)
+    rows = out.collect()
+    assert all(r.avg_nll_bits >= 0 for r in rows)
+    assert all(r.n_bigrams >= 1 for r in rows)
+    # Planted floor: score a tiny corpus where doc 1 repeats one word.
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2],
+                "text": ["spark spark spark spark", "a b a c a b"],
+            }
+        )
+    )
+    df.createOrReplaceTempView("___lm_docs")
+    from pyspark.sql import functions as F  # noqa: F811
+
+    tk = F.split("text", " ")
+    big = df.select(
+        "doc_id",
+        F.explode(
+            F.arrays_zip(
+                F.slice(tk, 1, F.size(tk) - 1).alias("w1"),
+                F.slice(tk, 2, F.size(tk) - 1).alias("w2"),
+            )
+        ).alias("bg"),
+    ).select("doc_id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    cnt = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c"))
+    ctx = big.groupBy("w1").agg(F.count(F.lit(1)).alias("cw"))
+    scored = (
+        big.join(cnt, ["w1", "w2"]).join(ctx, "w1").groupBy("doc_id")
+        .agg(F.round(F.avg(F.log2(F.col("cw") / F.col("c"))), 6).alias("nll"))
+        .collect()
+    )
+    by_id = {r.doc_id: r.nll for r in scored}
+    assert by_id[1] == 0.0  # fully predictable
+    assert by_id[2] > 0.0  # 'a' has three continuations
