@@ -912,15 +912,23 @@ def dedup_chunk_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     anywhere — exact span equality only, which is why line dedup is
     the cheapest sub-document tier and runs FIRST in a curation
     cascade (cf. banded jaccard for the doc-level near-dup tier)."""
-    d = table(spark, sf_dir, "documents")
+    return chunk_dedup_frame(table(spark, sf_dir, "documents"))
+
+
+def chunk_dedup_frame(d: DataFrame, span_tokens: int = 16) -> DataFrame:
+    """Span-dedup core over a (doc_id, text) frame — the reusable heart
+    of dedup_chunk_exact, shared with tools/scale_probe.py so the probe
+    times the real operator."""
     tk = F.split("text", " ")
-    n_chunks = F.ceil(F.size(tk) / F.lit(16.0)).cast("int")
+    n_chunks = F.ceil(F.size(tk) / F.lit(float(span_tokens))).cast("int")
     chunks = d.select(
         "doc_id",
         F.explode(
             F.transform(
                 F.sequence(F.lit(0), n_chunks - F.lit(1)),
-                lambda i: F.array_join(F.slice(tk, i * 16 + 1, 16), " "),
+                lambda i: F.array_join(
+                    F.slice(tk, i * span_tokens + 1, span_tokens), " "
+                ),
             )
         ).alias("chunk"),
     )

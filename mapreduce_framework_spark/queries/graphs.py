@@ -202,9 +202,16 @@ def graph_triangle_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     case — at 100 TB you orient by (degree, id) instead, which bounds
     the adjacency fan-out per node (cf. Suri & Vassilvitskii WWW'11).
     """
+    l = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    return triangle_knn_frame(l)
+
+
+def triangle_knn_frame(l: DataFrame, k: int = 5) -> DataFrame:
+    """kNN-graph + triangle core over an (l_orderkey, l_suppkey)
+    membership frame — reusable heart of graph_triangle_knn, shared
+    with tools/scale_probe.py."""
     from pyspark.sql import Window
 
-    l = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     a = l.select(F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("s1"))
     b = l.select(F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("s2"))
     co = (
@@ -216,7 +223,7 @@ def graph_triangle_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("s1").orderBy(F.desc("w"), F.asc("s2"))
     knn = (
         co.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") <= 5)
+        .where(F.col("rn") <= k)
         .select("s1", "s2")
     )
     edges = knn.select(

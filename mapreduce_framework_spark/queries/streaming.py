@@ -298,3 +298,127 @@ def stream_exactly_once_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     write_batch(batch0, 0)
 
     return spark.read.parquet(sink_dir).select("event_id", "ts", "user_id")
+
+
+@register(
+    "stream_cdc_upsert",
+    # Last-writer-wins materialization of the changelog, minus
+    # tombstoned keys — the oracle is the batch window equivalent.
+    oracle="""
+SELECT user_id,
+       ts AS last_ts,
+       event_id AS last_event_id,
+       event_type AS last_event_type,
+       value AS last_value
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY user_id
+                               ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+)
+WHERE rn = 1 AND event_type <> 'error'
+""".strip(),
+    tags=("streaming", "sink", "cdc"),
+)
+def stream_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC upsert materialization: the events table replayed as a
+    keyed changelog (every event upserts its user's state; ``error``
+    events are tombstones), merged per micro-batch into a parquet
+    state snapshot via ``foreachBatch`` — the streaming MERGE INTO
+    pattern on a plain file sink.
+
+    The merge is a PING-PONG: batch b reads snapshot state_{b-1},
+    unions the batch, reduces last-writer-wins (max_by on the unique
+    (ts, event_id) order), and writes state_b to a NEW directory —
+    never overwriting what it reads (the self-read-overwrite shape
+    Spark rejects under non-local committers), and idempotent under
+    Structured Streaming's post-crash batch retry: re-running batch b
+    regenerates state_b from the same inputs.  Tombstones are KEPT in
+    the snapshot (so a later upsert can supersede them) and filtered
+    only in the final read-back.
+
+    Scale: snapshot size is bounded by live-key cardinality, not
+    changelog length; the per-batch reduce shuffles (keys ∪ batch)
+    once on the key.  On a lakehouse deployment the same transform
+    body becomes MERGE INTO on a Delta/Iceberg table (which replaces
+    the ping-pong with ACID row-level rewrite); the plan — in-batch
+    last-wins reduce, then key-colocated merge with the snapshot — is
+    identical.  Time-ordered replay makes the final snapshot equal the
+    batch window (the oracle); out-of-order arrivals are ALSO handled
+    correctly because last-wins compares (ts, event_id), not arrival
+    order — tests/test_streaming.py pins batching-invariance."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    ev = table(spark, sf_dir, "events").select(
+        "ts", "event_id", "user_id", "event_type", "value"
+    )
+    tmp_root = os.path.join(tempfile.gettempdir(), f"mfs_cdc_{os.getpid()}")
+    if os.path.isdir(tmp_root):
+        shutil.rmtree(tmp_root, ignore_errors=True)
+    os.makedirs(tmp_root, exist_ok=True)
+    base = tempfile.mkdtemp(prefix="run_", dir=tmp_root)
+    src_dir, state_root, ckpt = (
+        os.path.join(base, "src"),
+        os.path.join(base, "state"),
+        os.path.join(base, "ckpt"),
+    )
+    os.makedirs(state_root, exist_ok=True)
+    ev.repartitionByRange(4, "ts", "event_id").sortWithinPartitions(
+        "ts", "event_id"
+    ).write.mode("overwrite").parquet(src_dir)
+    part_files = sorted(glob.glob(os.path.join(src_dir, "part-*")))
+    for i, f in enumerate(part_files):
+        os.utime(f, (1_600_000_000 + i * 60, 1_600_000_000 + i * 60))
+
+    def merge(batch: DataFrame, batch_id: int) -> None:
+        from pyspark.sql import functions as F
+
+        prev_dir = os.path.join(state_root, f"state_{batch_id - 1}")
+        out_dir = os.path.join(state_root, f"state_{batch_id}")
+        cur = batch
+        if batch_id > 0 and os.path.isdir(prev_dir):
+            cur = batch.sparkSession.read.parquet(prev_dir).unionByName(batch)
+        (
+            cur.groupBy("user_id")
+            .agg(
+                F.max_by(
+                    F.struct("ts", "event_id", "event_type", "value"),
+                    F.struct("ts", "event_id"),
+                ).alias("s")
+            )
+            .select("user_id", "s.ts", "s.event_id", "s.event_type", "s.value")
+            .write.mode("overwrite")
+            .parquet(out_dir)
+        )
+
+    q = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+        .writeStream.foreachBatch(merge)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    last = max(
+        int(d.rsplit("_", 1)[1])
+        for d in os.listdir(state_root)
+        if d.startswith("state_")
+    )
+    from pyspark.sql import functions as F
+
+    return (
+        spark.read.parquet(os.path.join(state_root, f"state_{last}"))
+        .where(F.col("event_type") != "error")
+        .select(
+            "user_id",
+            F.col("ts").alias("last_ts"),
+            F.col("event_id").alias("last_event_id"),
+            F.col("event_type").alias("last_event_type"),
+            F.col("value").alias("last_value"),
+        )
+    )

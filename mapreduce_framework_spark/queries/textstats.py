@@ -772,7 +772,12 @@ def quality_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     Docs with fewer than 2 tokens have no bigrams and are (by contract)
     absent from the output.  avg is order-insensitive to 1e-15; the
     round(6) pins the cross-engine value."""
-    d = table(spark, sf_dir, "documents")
+    return lm_perplexity_frame(table(spark, sf_dir, "documents"))
+
+
+def lm_perplexity_frame(d: DataFrame) -> DataFrame:
+    """Bigram-LM scoring core over a (doc_id, text) frame — reusable
+    heart of quality_lm_perplexity, shared with tools/scale_probe.py."""
     tk = F.split("text", " ")
     big = d.select(
         "doc_id",

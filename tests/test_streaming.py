@@ -237,3 +237,60 @@ def test_batching_invariance_across_trigger_sizes(spark, events):
     # vs one-shot — the extremes bracket every intermediate batching.
     stateful = [final_totals(m) for m in (1, None)]
     assert stateful[0] == stateful[1]
+
+
+def test_cdc_upsert_tombstone_semantics(spark):
+    """CDC last-writer-wins on a planted changelog: a key whose LAST
+    change is a tombstone is absent from the snapshot; a key upserted
+    AFTER its tombstone is resurrected with the newer value; retrying
+    the final batch (Structured Streaming's post-crash re-run) leaves
+    the snapshot byte-identical."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    rows = [
+        # user 1: upsert → tombstone → upsert  (resurrected, value 30)
+        (dt.datetime(2024, 1, 1, 10, 0), 1, 1, "click", 10.0),
+        (dt.datetime(2024, 1, 1, 11, 0), 2, 1, "error", 0.0),
+        (dt.datetime(2024, 1, 1, 12, 0), 3, 1, "view", 30.0),
+        # user 2: upsert → tombstone  (dead)
+        (dt.datetime(2024, 1, 1, 10, 30), 4, 2, "purchase", 99.0),
+        (dt.datetime(2024, 1, 1, 13, 0), 5, 2, "error", 0.0),
+        # user 3: single upsert
+        (dt.datetime(2024, 1, 1, 9, 0), 6, 3, "signup", 1.0),
+    ]
+    ev = spark.createDataFrame(
+        rows, "ts timestamp, event_id long, user_id long, event_type string, value double"
+    )
+
+    # Batch-split replay: batch 0 = first 3 changes, batch 1 = rest;
+    # ping-pong exactly as the query's merge does — state keeps
+    # (ts, event_id) so later batches can compare against it.
+    b0, b1 = ev.where(F.col("event_id") <= 3), ev.where(F.col("event_id") > 3)
+    state0_full = (
+        b0.groupBy("user_id")
+        .agg(F.max_by(F.struct("ts", "event_id", "event_type", "value"),
+                      F.struct("ts", "event_id")).alias("s"))
+        .select("user_id", "s.ts", "s.event_id", "s.event_type", "s.value")
+    )
+    merged = (
+        state0_full.unionByName(b1.select("user_id", "ts", "event_id", "event_type", "value"))
+        .groupBy("user_id")
+        .agg(F.max_by(F.struct("ts", "event_id", "event_type", "value"),
+                      F.struct("ts", "event_id")).alias("s"))
+        .select("user_id", "s.event_type", "s.value")
+    )
+    live = {r.user_id: (r.event_type, r.value)
+            for r in merged.where(F.col("event_type") != "error").collect()}
+    assert live == {1: ("view", 30.0), 3: ("signup", 1.0)}
+    # Retry idempotence: re-merging batch 1 into state0 again gives the
+    # same snapshot (same inputs → same reduce).
+    merged2 = (
+        state0_full.unionByName(b1.select("user_id", "ts", "event_id", "event_type", "value"))
+        .groupBy("user_id")
+        .agg(F.max_by(F.struct("ts", "event_id", "event_type", "value"),
+                      F.struct("ts", "event_id")).alias("s"))
+        .select("user_id", "s.event_type", "s.value")
+    )
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, merged2.collect()))

@@ -125,6 +125,33 @@ def synth_edges(spark, n: int) -> DataFrame:
     )
 
 
+def synth_membership(spark, n: int) -> DataFrame:
+    """(order, supplier) membership rows: 6 items per order, supplier
+    pool = n/600 (so co-occurrence density stays constant with scale —
+    the triangle-kNN growth shape)."""
+    nsupp = max(n // 600, 20)
+    return spark.range(n).select(
+        (F.col("id") / 6).cast("bigint").alias("l_orderkey"),
+        F.pmod(F.xxhash64("id", F.lit(3)), F.lit(nsupp)).alias("l_suppkey"),
+    )
+
+
+def synth_vectors(spark, n: int, dim: int = 64) -> DataFrame:
+    """n deterministic pseudo-random vectors in [-1, 1]^dim — the
+    hyperplane-LSH growth shape."""
+    return spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda d: (
+                F.pmod(F.xxhash64((F.col("id") * dim + d).cast("string")), F.lit(2001))
+                - F.lit(1000)
+            )
+            / F.lit(1000.0),
+        ).alias("v"),
+    )
+
+
 def _doc_tokens(docs: DataFrame) -> DataFrame:
     return docs.select(
         "doc_id", "lang", "source", F.array_distinct(F.split("text", " ")).alias("toks")
@@ -136,12 +163,19 @@ def build_tiers(spark, small: int, big: int) -> dict[str, dict[int, callable]]:
     operator on a (cached) synthetic input of that size and returns a
     result row count."""
     from mapreduce_framework_spark.functions.tokenize import word_ngrams
+    from mapreduce_framework_spark.operators.annsearch import lsh_topk
     from mapreduce_framework_spark.operators.minhash import candidate_pairs
     from mapreduce_framework_spark.operators.simhash import fingerprints, near_pairs
-    from mapreduce_framework_spark.queries.dedup import banded_jaccard_pairs
-    from mapreduce_framework_spark.queries.graphs import pagerank
+    from mapreduce_framework_spark.queries.dedup import (
+        banded_jaccard_pairs,
+        chunk_dedup_frame,
+    )
+    from mapreduce_framework_spark.queries.graphs import pagerank, triangle_knn_frame
     from mapreduce_framework_spark.queries.pipeline import curation_funnel_frame
-    from mapreduce_framework_spark.queries.textstats import contamination_frame
+    from mapreduce_framework_spark.queries.textstats import (
+        contamination_frame,
+        lm_perplexity_frame,
+    )
     from mapreduce_framework_spark.queries.windows import sessionize_frame
 
     cache: dict[tuple, DataFrame] = {}
@@ -156,6 +190,8 @@ def build_tiers(spark, small: int, big: int) -> dict[str, dict[int, callable]]:
                 ),
                 "events": lambda: synth_events(spark, n),
                 "edges": lambda: synth_edges(spark, n),
+                "membership": lambda: synth_membership(spark, n),
+                "vectors": lambda: synth_vectors(spark, n),
             }[kind]()
             df.persist()
             df.count()  # materialize synthesis outside the timed region
@@ -219,6 +255,18 @@ def build_tiers(spark, small: int, big: int) -> dict[str, dict[int, callable]]:
         )
         return contamination_frame(d, 5).count()
 
+    def t_chunk_dedup(n):
+        return chunk_dedup_frame(corpus("docs", n).select("doc_id", "text")).count()
+
+    def t_lm_perplexity(n):
+        return lm_perplexity_frame(corpus("docs", n).select("doc_id", "text")).count()
+
+    def t_triangle(n):
+        return triangle_knn_frame(corpus("membership", n)).count()
+
+    def t_lsh(n):
+        return lsh_topk(corpus("vectors", n), query_id=0, k=10).count()
+
     # Tier-appropriate sizes: linear tiers run at (small, big); the
     # banded exact tier runs smaller because its within-cap block work
     # is deliberately quadratic; the overflow tier brackets the
@@ -248,6 +296,22 @@ def build_tiers(spark, small: int, big: int) -> dict[str, dict[int, callable]]:
         "contamination_ngram": {
             small: lambda: t_contamination(small),
             big: lambda: t_contamination(big),
+        },
+        "chunk_dedup": {
+            small: lambda: t_chunk_dedup(small),
+            big: lambda: t_chunk_dedup(big),
+        },
+        "lm_perplexity": {
+            small: lambda: t_lm_perplexity(small),
+            big: lambda: t_lm_perplexity(big),
+        },
+        "triangle_knn": {
+            10 * small: lambda: t_triangle(10 * small),
+            10 * big: lambda: t_triangle(10 * big),
+        },
+        "lsh_ann": {
+            small: lambda: t_lsh(small),
+            big: lambda: t_lsh(big),
         },
     }
 
