@@ -893,6 +893,7 @@ FROM owned
 GROUP BY doc_id
 """.strip(),
     tags=("dedup", "pipeline"),
+    bench=True,
 )
 def dedup_chunk_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sub-document (line-level) exact dedup, the C4/RefinedWeb shape:

@@ -302,3 +302,170 @@ def corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     their composed, single-plan form."""
     d = table(spark, sf_dir, "documents").select("doc_id", "source", "text")
     return curation_funnel_frame(d)
+
+
+@register(
+    "sample_importance_weighted",
+    # Efraimidis–Spirakis A-Res with a deterministic md5 uniform: every
+    # row's key u^(1/w) is a pure function of doc_id, so the weighted
+    # sample is reproducible AND engine-portable (the DuckDB oracle
+    # computes the identical keys).  Top-20 per language stratum.
+    oracle="""
+WITH d AS (
+  SELECT doc_id, lang, n_chars,
+         (CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+               AS BIGINT) + 1) / 4294967296.0 AS u
+  FROM documents
+),
+p AS (
+  SELECT doc_id, lang, n_chars, pow(u, 1.0 / n_chars) AS pri FROM d
+)
+SELECT lang, doc_id, n_chars, round(pri, 6) AS priority
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY lang
+                               ORDER BY pri DESC, doc_id ASC) AS rn
+  FROM p
+)
+WHERE rn <= 20
+""".strip(),
+    tags=("pipeline", "sample"),
+)
+def sample_importance_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted reservoir sampling (Efraimidis–Spirakis A-Res): each doc
+    draws key u^(1/w) with w = n_chars and u a deterministic md5-based
+    uniform in (0, 1]; the top-20 keys per language ARE a without-
+    replacement sample with inclusion probability proportional to
+    weight.  This is the quality-weighted subsampling step of a
+    curation pipeline, made reproducible: re-runs (and other engines)
+    select byte-identical samples because the randomness is a hash, not
+    a generator state.
+
+    Scale: one scan computes keys codegen-side; per-stratum top-k is a
+    bounded window (rank ≤ 20) — at 100 TB this is the same
+    TakeOrdered-per-key shape as window_rank, no global sort, no
+    sampling state on the driver (contrast: Spark's `sampleBy` needs a
+    fractions dict and gives only Bernoulli, not weighted-k).  The
+    float pow keys are compared, never summed — cross-engine libm
+    differences are ~1 ulp, selection boundaries sit far wider."""
+    from pyspark.sql import Window
+
+    d = table(spark, sf_dir, "documents")
+    h8 = F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 8)
+    u = (F.conv(h8, 16, 10).cast("double") + F.lit(1)) / F.lit(4294967296.0)
+    p = d.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.pow(u, F.lit(1.0) / F.col("n_chars")).alias("pri"),
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("pri"), F.asc("doc_id"))
+    return (
+        p.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 20)
+        .select("lang", "doc_id", "n_chars", F.round("pri", 6).alias("priority"))
+    )
+
+
+@register(
+    "pipeline_mix_rebalance",
+    # Hash-thresholded downsampling toward a target language mix:
+    # rates are min(1, target/actual) from one aggregate, applied as a
+    # deterministic per-doc keep test — replicated exactly in SQL.
+    oracle="""
+WITH tgt(t_lang, share) AS (
+  SELECT * FROM (VALUES ('en', 0.30), ('de', 0.175), ('es', 0.175),
+                        ('fr', 0.175), ('zh', 0.175))
+),
+act AS (
+  SELECT lang, count(*) AS n_docs,
+         count(*) / CAST((SELECT count(*) FROM documents) AS DOUBLE)
+           AS actual_share
+  FROM documents GROUP BY lang
+),
+rates AS (
+  SELECT a.lang, a.n_docs,
+         least(1.0, t.share / a.actual_share) AS keep_rate
+  FROM act a JOIN tgt t ON a.lang = t.t_lang
+),
+kept AS (
+  SELECT d.lang,
+         CASE WHEN (CAST(concat('0x', substr(md5(concat('mix-', CAST(d.doc_id AS VARCHAR))), 1, 8))
+                    AS BIGINT) + 1) / 4294967296.0 <= r.keep_rate
+              THEN 1 ELSE 0 END AS keep
+  FROM documents d JOIN rates r ON d.lang = r.lang
+)
+SELECT r.lang,
+       r.n_docs AS n_before,
+       CAST(SUM(k.keep) AS BIGINT) AS n_after,
+       round(r.keep_rate, 6) AS keep_rate,
+       round(SUM(k.keep) / CAST((SELECT SUM(keep) FROM kept) AS DOUBLE), 6)
+         AS share_after
+FROM kept k JOIN rates r ON k.lang = r.lang
+GROUP BY r.lang, r.n_docs, r.keep_rate
+""".strip(),
+    tags=("pipeline", "mix"),
+)
+def pipeline_mix_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-mix rebalancing — the data-mixing step of a training
+    pipeline: compute each language's actual share, derive a keep-rate
+    min(1, target/actual) toward a declared target mix, and apply it as
+    a DETERMINISTIC hash threshold per doc (salted md5 uniform), so the
+    rebalanced corpus is reproducible and incrementally stable (a doc's
+    keep decision never depends on other docs' arrival).
+
+    Scale: one aggregate produces the 5-row rates table (broadcast
+    back), the keep test is codegen scan-side, and the report is a
+    second skinny aggregate — the corpus shuffles zero times; at 100 TB
+    the same two-phase shape computes rates on day-1 statistics and
+    applies them as a map-only filter during ingestion."""
+    d = table(spark, sf_dir, "documents")
+    tgt = spark.createDataFrame(
+        [("en", 0.30), ("de", 0.175), ("es", 0.175), ("fr", 0.175), ("zh", 0.175)],
+        "t_lang string, share double",
+    )
+    total = d.agg(F.count(F.lit(1)).cast("double").alias("n_total"))
+    act = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    rates = (
+        act.crossJoin(F.broadcast(total))
+        .join(F.broadcast(tgt), act.lang == tgt.t_lang)
+        .select(
+            "lang",
+            "n_docs",
+            F.least(
+                F.lit(1.0),
+                F.col("share") / (F.col("n_docs") / F.col("n_total")),
+            ).alias("keep_rate"),
+        )
+    )
+    h8 = F.substring(
+        F.md5(F.concat(F.lit("mix-"), F.col("doc_id").cast("string")).cast("binary")),
+        1,
+        8,
+    )
+    u = (F.conv(h8, 16, 10).cast("double") + F.lit(1)) / F.lit(4294967296.0)
+    kept = (
+        d.select("lang", "doc_id")
+        .join(F.broadcast(rates), "lang")
+        .select(
+            "lang",
+            "n_docs",
+            "keep_rate",
+            F.when(u <= F.col("keep_rate"), 1).otherwise(0).alias("keep"),
+        )
+    )
+    agg = kept.groupBy("lang", "n_docs", "keep_rate").agg(
+        F.sum("keep").cast("bigint").alias("n_after")
+    )
+    total_after = agg.agg(F.sum("n_after").alias("ta")).select("ta")
+    return (
+        agg.crossJoin(F.broadcast(total_after))
+        .select(
+            "lang",
+            F.col("n_docs").alias("n_before"),
+            "n_after",
+            F.round("keep_rate", 6).alias("keep_rate"),
+            F.round(F.col("n_after") / F.col("ta").cast("double"), 6).alias(
+                "share_after"
+            ),
+        )
+    )

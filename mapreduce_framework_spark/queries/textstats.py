@@ -756,6 +756,7 @@ JOIN ctx ON b.w1 = ctx.w1
 GROUP BY b.doc_id
 """.strip(),
     tags=("quality", "pipeline"),
+    bench=True,
 )
 def quality_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-trained bigram-LM quality score (CCNet-shape filtering):

@@ -402,3 +402,51 @@ def test_lm_perplexity_planted_extremes(spark):
     by_id = {r.doc_id: r.nll for r in scored}
     assert by_id[1] == 0.0  # fully predictable
     assert by_id[2] > 0.0  # 'a' has three continuations
+
+
+def test_weighted_sample_favors_heavy_docs(spark):
+    """E-S sampling with w = n_chars must overrepresent long docs.
+    A 20-doc stratum is a small sample, so a single stratum can land
+    below the mean by chance; the assertions are (a) the OVERALL
+    sampled mean exceeds the corpus mean and (b) a majority of strata
+    tilt heavy.  Deterministic fixture → fixed facts, not flaky."""
+    from mapreduce_framework_spark.io import table
+    from mapreduce_framework_spark.registry import get_query
+
+    sample = get_query("sample_importance_weighted").fn(spark, SF_DIR)
+    s = {
+        r.lang: r.avg
+        for r in sample.groupBy("lang").agg(F.avg("n_chars").alias("avg")).collect()
+    }
+    corpus = {
+        r.lang: r.avg
+        for r in table(spark, SF_DIR, "documents")
+        .groupBy("lang")
+        .agg(F.avg("n_chars").alias("avg"))
+        .collect()
+    }
+    assert set(s) == set(corpus)
+    overall_s = sample.agg(F.avg("n_chars")).collect()[0][0]
+    overall_c = (
+        table(spark, SF_DIR, "documents").agg(F.avg("n_chars")).collect()[0][0]
+    )
+    assert overall_s > overall_c, f"sample mean {overall_s} <= corpus {overall_c}"
+    better = [lang for lang in s if s[lang] > corpus[lang]]
+    assert len(better) * 2 > len(s), f"not weight-tilted: sample={s} corpus={corpus}"
+
+
+def test_mix_rebalance_moves_toward_target(spark):
+    """Rebalanced shares must be closer to the declared target than the
+    raw corpus shares, language by language; under-represented languages
+    keep everything (rate 1)."""
+    from mapreduce_framework_spark.registry import get_query
+
+    rows = {r.lang: r for r in get_query("pipeline_mix_rebalance").fn(spark, SF_DIR).collect()}
+    target = {"en": 0.30, "de": 0.175, "es": 0.175, "fr": 0.175, "zh": 0.175}
+    n_total_before = sum(r.n_before for r in rows.values())
+    for lang, r in rows.items():
+        before_share = r.n_before / n_total_before
+        assert abs(r.share_after - target[lang]) <= abs(before_share - target[lang]) + 0.02
+        if before_share < target[lang]:
+            assert r.keep_rate == 1.0
+        assert r.n_after <= r.n_before
