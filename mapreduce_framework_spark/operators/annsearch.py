@@ -247,5 +247,9 @@ def lsh_topk(
     query = vectors.where(F.col(id_col) == query_id).select(
         F.col(vec_col).alias("qv")
     )
-    pruned = vectors.join(cand, id_col, "left_semi")
+    # Candidate ids are the PRUNED set (a bounded fraction of the
+    # corpus) — broadcast the semi join so the vector table is never
+    # re-shuffled just to be filtered.  Past the broadcast threshold
+    # Spark falls back to a shuffle join on the skinny id column.
+    pruned = vectors.join(F.broadcast(cand), id_col, "left_semi")
     return brute_force_topk(pruned, query, k=k, id_col=id_col, vec_col=vec_col)

@@ -425,3 +425,49 @@ def test_bloom_filtered_query_injects_might_contain(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_chunk_dedup_is_two_exchanges(spark):
+    """Span dedup = explode → window on chunk (1 shuffle) → re-agg on
+    doc_id (1 shuffle).  A third exchange would mean the plan re-keyed
+    somewhere it shouldn't."""
+    from mapreduce_framework_spark.plans import count_exchanges
+
+    assert count_exchanges(_q(spark, "dedup_chunk_exact")) == 2
+
+
+def test_lsh_signatures_have_no_shuffle(spark):
+    """Hyperplane signatures are ONE codegen projection pass: the only
+    exchanges in sim_search_lsh sit downstream of the bucket explode
+    (candidate distinct + final top-k), never under the signature
+    computation — and the query-bucket side broadcasts."""
+    from mapreduce_framework_spark.plans import formatted_plan
+
+    df = _q(spark, "sim_search_lsh")
+    plan = formatted_plan(df)
+    # query-bucket join AND candidate semi join both broadcast
+    assert plan.count("BroadcastHashJoin") >= 2
+    # the vector table is never sort-merge-joined
+    assert "SortMergeJoin" not in plan
+
+
+def test_lm_perplexity_count_joins_broadcast(spark):
+    """Both count tables (bigram, context) must broadcast back onto the
+    exploded frame — scoring is map-side for a bounded vocabulary."""
+    from mapreduce_framework_spark.plans import formatted_plan
+
+    plan = formatted_plan(_q(spark, "quality_lm_perplexity"))
+    assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_mix_rebalance_corpus_never_shuffles_rows(spark):
+    """The rates table broadcasts; every exchange in the plan carries
+    skinny aggregate rows (per-lang counts), never the corpus: with the
+    keep test map-side, no exchange may sit between the documents scan
+    and the first partial aggregate."""
+    from mapreduce_framework_spark.plans import formatted_plan
+
+    plan = formatted_plan(_q(spark, "pipeline_mix_rebalance"))
+    assert "BroadcastHashJoin" in plan
+    # corpus-side join of rates must not be a SortMergeJoin
+    assert "SortMergeJoin" not in plan
