@@ -631,3 +631,102 @@ def join_bloom_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
             else:
                 spark.conf.set(k, v)
     return spark.read.parquet(out)
+
+
+@register(
+    "join_grid_proximity",
+    # DuckDB evaluates the range predicates with its IEJoin; the Spark
+    # side uses grid blocking — same result set, different physical
+    # strategy, which is exactly what the oracle should prove.
+    oracle="""
+WITH e AS (
+  SELECT event_id, event_type, value,
+         epoch_us(ts) // 1000000 AS sec
+  FROM events
+)
+SELECT a.event_type,
+       a.event_id AS id_a,
+       b.event_id AS id_b,
+       round(abs(a.value - b.value), 6) AS dv,
+       abs(a.sec - b.sec) AS dt_s
+FROM e a JOIN e b
+  ON a.event_type = b.event_type
+ AND a.event_id < b.event_id
+ AND abs(a.value - b.value) <= 2.0
+ AND abs(a.sec - b.sec) <= 3600
+""".strip(),
+    tags=("join", "grid"),
+)
+def join_grid_proximity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D proximity self-join via GRID BLOCKING — the spatial-join
+    pattern: pairs of same-type events within ε_v = 2.0 in value AND
+    ε_t = 1 h in time.  Each event lands in one (value-cell, hour-cell)
+    bucket sized exactly ε, the probe side explodes its 3×3 neighbor
+    cells, and the equi-join on (type, cell_x, cell_t) finds every
+    qualifying pair EXACTLY once (|Δ| ≤ ε ⇒ cells differ by ≤ 1, and a
+    pair matches only at the single offset equal to its cell delta);
+    the exact ε predicate then filters false grid neighbors.
+
+    Scale: turns an inequality join (nested-loop territory) into ONE
+    hash shuffle per side keyed by (type, cell) with bounded ×9 probe
+    amplification — the same blocked-equi-join rewrite as
+    join_interval_overlap, lifted to two dimensions.  Hot cells are the
+    skew case: refine the grid (smaller ε per cell, more offsets) or
+    salt the heavy cells exactly as join_salted_skew does.  The oracle
+    computes the identical pair set with DuckDB's IEJoin — two engines,
+    two physical strategies, one result."""
+    e = table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        "value",
+        F.col("ts").cast("long").alias("sec"),
+    )
+    with_cells = e.select(
+        "*",
+        F.floor(F.col("value") / F.lit(2.0)).cast("long").alias("cx"),
+        F.floor(F.col("sec") / F.lit(3600)).cast("long").alias("ct"),
+    )
+    offsets = [(dx, dt) for dx in (-1, 0, 1) for dt in (-1, 0, 1)]
+    probe = with_cells.select(
+        F.col("event_id").alias("id_a"),
+        "event_type",
+        F.col("value").alias("v_a"),
+        F.col("sec").alias("s_a"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        (F.col("cx") + F.lit(dx)).alias("cx"),
+                        (F.col("ct") + F.lit(dt)).alias("ct"),
+                    )
+                    for dx, dt in offsets
+                ]
+            )
+        ).alias("cell"),
+    ).select("id_a", "event_type", "v_a", "s_a", "cell.cx", "cell.ct")
+    build = with_cells.select(
+        F.col("event_id").alias("id_b"),
+        F.col("event_type").alias("type_b"),
+        F.col("value").alias("v_b"),
+        F.col("sec").alias("s_b"),
+        "cx",
+        "ct",
+    )
+    return (
+        probe.join(
+            build,
+            (probe.event_type == build.type_b)
+            & (probe.cx == build.cx)
+            & (probe.ct == build.ct),
+        )
+        .where(F.col("id_a") < F.col("id_b"))
+        .where(F.abs(F.col("v_a") - F.col("v_b")) <= 2.0)
+        .where(F.abs(F.col("s_a") - F.col("s_b")) <= 3600)
+        .select(
+            "event_type",
+            "id_a",
+            "id_b",
+            F.round(F.abs(F.col("v_a") - F.col("v_b")), 6).alias("dv"),
+            F.abs(F.col("s_a") - F.col("s_b")).alias("dt_s"),
+        )
+    )

@@ -471,3 +471,14 @@ def test_mix_rebalance_corpus_never_shuffles_rows(spark):
     assert "BroadcastHashJoin" in plan
     # corpus-side join of rates must not be a SortMergeJoin
     assert "SortMergeJoin" not in plan
+
+
+def test_grid_proximity_is_equi_join_not_nested_loop(spark):
+    """Grid blocking must turn the 2-D range predicate into a hash
+    equi-join on (type, cell); a BroadcastNestedLoopJoin/CartesianProduct
+    would mean the rewrite regressed to comparing everything."""
+    from mapreduce_framework_spark.plans import formatted_plan
+
+    plan = formatted_plan(_q(spark, "join_grid_proximity"))
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
