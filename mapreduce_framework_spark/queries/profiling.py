@@ -468,3 +468,107 @@ def profile_countmin_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("est_count"), F.asc("user_id"))
         .limit(10)
     )
+
+
+@register(
+    "profile_drift_ks",
+    oracle="""
+WITH e AS (
+  SELECT event_type, value,
+         CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00' THEN 1 ELSE 2 END AS grp
+  FROM events
+),
+tot AS (
+  SELECT event_type,
+         SUM(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS n1,
+         SUM(CASE WHEN grp = 2 THEN 1 ELSE 0 END) AS n2
+  FROM e GROUP BY event_type
+),
+pv AS (
+  SELECT event_type, value,
+         SUM(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS c1,
+         SUM(CASE WHEN grp = 2 THEN 1 ELSE 0 END) AS c2
+  FROM e GROUP BY event_type, value
+),
+cdf AS (
+  SELECT event_type, value,
+         SUM(c1) OVER (PARTITION BY event_type ORDER BY value
+                       ROWS UNBOUNDED PRECEDING) AS a1,
+         SUM(c2) OVER (PARTITION BY event_type ORDER BY value
+                       ROWS UNBOUNDED PRECEDING) AS a2
+  FROM pv
+)
+SELECT c.event_type,
+       t.n1 AS n_first, t.n2 AS n_second,
+       round(max(abs(CAST(c.a1 AS DOUBLE) / t.n1
+                     - CAST(c.a2 AS DOUBLE) / t.n2)), 6) AS ks_stat
+FROM cdf c JOIN tot t ON c.event_type = t.event_type
+GROUP BY c.event_type, t.n1, t.n2
+""".strip(),
+    tags=("profile", "drift"),
+)
+def profile_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift monitor: the EXACT two-sample Kolmogorov–
+    Smirnov statistic per event type between the first and second half
+    of the month — sup over the merged support of |F̂₁(x) − F̂₂(x)|.
+    The production data-quality check that catches a metric's
+    distribution shifting even when its mean doesn't.
+
+    Shape: per-(type, value) counts pivot both samples into one row
+    (one aggregate), cumulative sums over the value ordering turn them
+    into both empirical CDFs in a single window pass, and the sup is a
+    final skinny max — no sorting of raw rows, no cross join of the two
+    samples.  Scale: the only corpus-sized shuffle is the (type, value)
+    aggregate; the window runs over DISTINCT values per type.  The CDF
+    divisions are single double ops on exact integer counts, round(6)-
+    pinned; the window's ROWS frame over the distinct-value ordering is
+    deterministic because value is the ordering key itself (ties
+    collapsed by the aggregate)."""
+    e = table(spark, sf_dir, "events").select(
+        "event_type",
+        "value",
+        F.when(
+            F.col("ts") < F.lit("2024-01-16 00:00:00").cast("timestamp"), 1
+        )
+        .otherwise(2)
+        .alias("grp"),
+    )
+    tot = e.groupBy("event_type").agg(
+        F.sum(F.when(F.col("grp") == 1, 1).otherwise(0)).alias("n1"),
+        F.sum(F.when(F.col("grp") == 2, 1).otherwise(0)).alias("n2"),
+    )
+    pv = e.groupBy("event_type", "value").agg(
+        F.sum(F.when(F.col("grp") == 1, 1).otherwise(0)).alias("c1"),
+        F.sum(F.when(F.col("grp") == 2, 1).otherwise(0)).alias("c2"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cdf = pv.select(
+        "event_type",
+        F.sum("c1").over(w).alias("a1"),
+        F.sum("c2").over(w).alias("a2"),
+    )
+    return (
+        cdf.join(F.broadcast(tot), "event_type")
+        .groupBy("event_type", "n1", "n2")
+        .agg(
+            F.round(
+                F.max(
+                    F.abs(
+                        F.col("a1").cast("double") / F.col("n1")
+                        - F.col("a2").cast("double") / F.col("n2")
+                    )
+                ),
+                6,
+            ).alias("ks_stat")
+        )
+        .select(
+            "event_type",
+            F.col("n1").alias("n_first"),
+            F.col("n2").alias("n_second"),
+            "ks_stat",
+        )
+    )

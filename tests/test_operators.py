@@ -450,3 +450,65 @@ def test_mix_rebalance_moves_toward_target(spark):
         if before_share < target[lang]:
             assert r.keep_rate == 1.0
         assert r.n_after <= r.n_before
+
+
+def test_ks_drift_detects_planted_shift(spark):
+    """KS sanity on planted samples: identical samples → ks 0; a
+    disjoint-support shift → ks 1; a half-shifted sample sits strictly
+    between.  Computed through the registered query's frame logic via a
+    temp events-shaped frame."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F  # noqa: F811
+
+    def ks(rows):
+        df = spark.createDataFrame(
+            rows, "ts timestamp, event_type string, value double"
+        )
+        e = df.select(
+            "event_type",
+            "value",
+            F.when(F.col("ts") < F.lit("2024-01-16").cast("timestamp"), 1)
+            .otherwise(2)
+            .alias("grp"),
+        )
+        from pyspark.sql import Window
+
+        tot = e.groupBy("event_type").agg(
+            F.sum(F.when(F.col("grp") == 1, 1).otherwise(0)).alias("n1"),
+            F.sum(F.when(F.col("grp") == 2, 1).otherwise(0)).alias("n2"),
+        )
+        pv = e.groupBy("event_type", "value").agg(
+            F.sum(F.when(F.col("grp") == 1, 1).otherwise(0)).alias("c1"),
+            F.sum(F.when(F.col("grp") == 2, 1).otherwise(0)).alias("c2"),
+        )
+        w = (
+            Window.partitionBy("event_type")
+            .orderBy("value")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        cdf = pv.select(
+            "event_type", F.sum("c1").over(w).alias("a1"), F.sum("c2").over(w).alias("a2")
+        )
+        out = (
+            cdf.join(tot, "event_type")
+            .groupBy("event_type")
+            .agg(F.max(F.abs(F.col("a1") / F.col("n1") - F.col("a2") / F.col("n2"))).alias("ks"))
+            .collect()
+        )
+        return {r.event_type: r.ks for r in out}
+
+    d1 = dt.datetime(2024, 1, 5)
+    d2 = dt.datetime(2024, 1, 25)
+    same = [(d1, "x", float(v)) for v in range(10)] + [
+        (d2, "x", float(v)) for v in range(10)
+    ]
+    disjoint = [(d1, "x", float(v)) for v in range(10)] + [
+        (d2, "x", float(v + 100)) for v in range(10)
+    ]
+    half = [(d1, "x", float(v)) for v in range(10)] + [
+        (d2, "x", float(v + 5)) for v in range(10)
+    ]
+    assert ks(same)["x"] == 0.0
+    assert ks(disjoint)["x"] == 1.0
+    assert 0.0 < ks(half)["x"] < 1.0
