@@ -81,3 +81,40 @@ def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
 def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     big, urgent = _segments(spark, sf_dir)
     return big.exceptAll(urgent).distinct()
+
+
+@register(
+    "set_multiset_ops",
+    # Multiset (bag) semantics: EXCEPT ALL subtracts multiplicities,
+    # INTERSECT ALL takes their min — duplicates are data here, which
+    # the distinct-based set ops above deliberately erase.
+    oracle="""
+WITH o1 AS (SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'),
+o2 AS (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+SELECT 'except_all' AS op, o_custkey FROM (
+  SELECT o_custkey FROM o1 EXCEPT ALL SELECT o_custkey FROM o2
+)
+UNION ALL
+SELECT 'intersect_all' AS op, o_custkey FROM (
+  SELECT o_custkey FROM o1 INTERSECT ALL SELECT o_custkey FROM o2
+)
+""".strip(),
+    tags=("setop",),
+)
+def set_multiset_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag-semantics set ops over per-status order streams: a customer
+    with 3 open and 1 final order contributes 2 rows to EXCEPT ALL
+    (3−1) and 1 to INTERSECT ALL (min(3,1)) — the multiplicity
+    arithmetic `distinct`-based set ops destroy.  Spark plans both as
+    one hash aggregate counting per-side multiplicities then a
+    generator re-expanding the difference/min — same single-shuffle
+    cost as the distinct variants, the multiplicity column rides along
+    free."""
+    o = table(spark, sf_dir, "orders")
+    o1 = o.where(F.col("o_orderstatus") == "O").select("o_custkey")
+    o2 = o.where(F.col("o_orderstatus") == "F").select("o_custkey")
+    ex = o1.exceptAll(o2).select(F.lit("except_all").alias("op"), "o_custkey")
+    it = o1.intersectAll(o2).select(
+        F.lit("intersect_all").alias("op"), "o_custkey"
+    )
+    return ex.unionByName(it)
