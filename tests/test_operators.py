@@ -512,3 +512,37 @@ def test_ks_drift_detects_planted_shift(spark):
     assert ks(same)["x"] == 0.0
     assert ks(disjoint)["x"] == 1.0
     assert 0.0 < ks(half)["x"] < 1.0
+
+
+def test_farthest_seeds_are_pairwise_distant(spark):
+    """k-center greedy guarantees each new seed's reported distance is
+    the CURRENT max-min — so reported sq_dist is non-increasing with
+    rank, seeds are distinct, and every seed's distance to all prior
+    seeds is ≥ its reported min-distance (it was the farthest point)."""
+    from mapreduce_framework_spark.operators.kmeans import _sq_l2, quantize
+    from mapreduce_framework_spark.io import table
+    from mapreduce_framework_spark.registry import get_query
+
+    rows = sorted(
+        get_query("embedding_seed_farthest").fn(spark, SF_DIR).collect(),
+        key=lambda r: r.seed_rank,
+    )
+    assert [r.seed_rank for r in rows] == [0, 1, 2, 3]
+    ids = [r.vec_id for r in rows]
+    assert len(set(ids)) == 4
+    dists = [r.sq_dist for r in rows[1:]]
+    assert dists == sorted(dists, reverse=True)
+
+    vecs = {
+        r.vec_id: r.qv
+        for r in table(spark, SF_DIR, "embeddings")
+        .where(F.col("vec_id").isin(ids))
+        .select("vec_id", quantize(F.col("embedding")).alias("qv"))
+        .collect()
+    }
+    for i in range(1, 4):
+        mind = min(
+            sum((a - b) ** 2 for a, b in zip(vecs[ids[i]], vecs[ids[j]]))
+            for j in range(i)
+        )
+        assert mind == rows[i].sq_dist
