@@ -236,3 +236,32 @@ def resize_images(payloads: DataFrame, max_side: int = 64) -> DataFrame:
     """payloads(doc_id, payload binary) → resized-thumbnail rows
     (binary out column — sinks back to parquet losslessly)."""
     return payloads.mapInPandas(make_fake_resizer(max_side), schema=RESIZE_SCHEMA)
+
+
+FINGERPRINT_SCHEMA = "doc_id long, fp60 long"
+
+
+def fingerprint_payloads(payloads: DataFrame) -> DataFrame:
+    """Content fingerprint over the binary lane: 60-bit digest of the
+    raw payload bytes, computed batch-wise in the Arrow path — the seam
+    where a REAL perceptual hash (resize→DCT→sign bits) plugs in; the
+    stand-in is a cryptographic digest, so equal fingerprints mean
+    equal payloads (exact-duplicate tier only — Hamming neighborhoods
+    are deliberately NOT faked, random digest bits would make them
+    meaningless).  Closure ships by value; executors never import this
+    package."""
+    import hashlib
+
+    from collections.abc import Iterator as _It
+
+    import pandas as _pd
+
+    def fp_batches(batches: _It[_pd.DataFrame]) -> _It[_pd.DataFrame]:
+        for pdf in batches:
+            fps = [
+                int(hashlib.md5(bytes(p)).hexdigest()[:15], 16)
+                for p in pdf["payload"]
+            ]
+            yield _pd.DataFrame({"doc_id": pdf["doc_id"], "fp60": fps})
+
+    return payloads.mapInPandas(fp_batches, schema=FINGERPRINT_SCHEMA)

@@ -147,3 +147,43 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "out_height",
         F.length("thumb").cast("int").alias("thumb_bytes"),
     )
+
+
+@register(
+    "multimodal_payload_dedup",
+    # 60-bit md5 prefix matches DuckDB's identical arithmetic (same
+    # convention as operators/simhash.py md5_prefix60); text is ASCII
+    # so md5(text) == md5 of its UTF-8 payload bytes.
+    oracle="""
+SELECT CAST(concat('0x', substr(md5(text), 1, 15)) AS BIGINT) AS fp60,
+       min(doc_id) AS canonical_doc_id,
+       count(*) AS n_copies
+FROM documents
+GROUP BY 1
+""".strip(),
+    tags=("multimodal", "dedup"),
+)
+def multimodal_payload_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate detection over the BINARY lane: payload bytes →
+    Arrow-batched fingerprint stage (mapInPandas; the seam where a real
+    perceptual hash plugs in) → hash-groupBy fingerprint groups with a
+    canonical owner (n_copies counts exact payload duplicates; this
+    fixture corpus has none, so every group is a singleton — the dup
+    filter is the caller's one-line WHERE).  This is dedup_exact's plan running on opaque
+    blobs instead of text columns — at 100 TB image/audio dedup
+    shuffles one (fp60, doc_id) pair per payload, never the bytes; the
+    fingerprint stage is the only part that touches payload bytes and
+    it is embarrassingly parallel."""
+    from mapreduce_framework_spark.multimodal.decode import fingerprint_payloads
+
+    payloads = table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
+    )
+    fps = fingerprint_payloads(payloads)
+    return (
+        fps.groupBy("fp60")
+        .agg(
+            F.min("doc_id").alias("canonical_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )

@@ -546,3 +546,28 @@ def test_farthest_seeds_are_pairwise_distant(spark):
             for j in range(i)
         )
         assert mind == rows[i].sq_dist
+
+
+def test_payload_fingerprint_groups_planted_duplicate(spark):
+    """A byte-identical payload clone must land in its original's
+    fingerprint group (n_copies 2, canonical = lower doc_id) — the
+    planted-duplicate guarantee of the binary dedup lane."""
+    from mapreduce_framework_spark.io import table
+    from mapreduce_framework_spark.multimodal.decode import fingerprint_payloads
+
+    base = (
+        table(spark, SF_DIR, "documents")
+        .select("doc_id", F.encode(F.col("text"), "UTF-8").alias("payload"))
+        .limit(20)
+    )
+    clone = base.select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "payload"
+    )
+    groups = (
+        fingerprint_payloads(base.unionByName(clone))
+        .groupBy("fp60")
+        .agg(F.min("doc_id").alias("canon"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    assert all(r.n == 2 for r in groups)
+    assert all(r.canon < 1_000_000 for r in groups)
