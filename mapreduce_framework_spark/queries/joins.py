@@ -730,3 +730,111 @@ def join_grid_proximity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.abs(F.col("s_a") - F.col("s_b")).alias("dt_s"),
         )
     )
+
+
+@register(
+    "join_asof_nearest",
+    # Nearest-direction as-of: DuckDB has no NEAREST variant, so the
+    # oracle derives it as an argmin over the user-blocked join (fine
+    # at oracle SF); the Spark side is two window passes.  Distances in
+    # exact integer microseconds; |Δ| ties break to the EARLIER
+    # purchase (== the backward match, since bts ≤ cts ≤ fts).
+    oracle="""
+WITH clicks AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+),
+purchases AS (
+  SELECT user_id, ts, max(value) AS pval
+  FROM events WHERE event_type = 'purchase'
+  GROUP BY user_id, ts
+),
+j AS (
+  SELECT c.event_id, c.user_id, c.ts, p.pval,
+         epoch_us(p.ts) - epoch_us(c.ts) AS dt_us,
+         row_number() OVER (
+           PARTITION BY c.event_id
+           ORDER BY abs(epoch_us(p.ts) - epoch_us(c.ts)), epoch_us(p.ts)
+         ) AS rn
+  FROM clicks c LEFT JOIN purchases p USING (user_id)
+)
+SELECT event_id, user_id, ts,
+       pval AS nearest_purchase_value,
+       dt_us
+FROM j WHERE rn = 1
+""".strip(),
+    tags=("join", "asof"),
+)
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAREST-direction as-of join: each click gets the purchase
+    closest in time in EITHER direction (backward as-of answers "state
+    at the time"; nearest answers "which reading belongs to this
+    event" — sensor alignment semantics).  Plan: one union of the two
+    streams, ONE hash exchange on user_id, two window passes over it —
+    a backward pass (last purchase at or before, purchases sorted
+    before clicks on time ties) and a forward pass (first purchase at
+    or after, clicks sorted first on ties) — then a codegen CASE picks
+    the smaller |Δ|, ties to the earlier (backward) purchase.
+
+    Scale: identical cost shape to join_asof (no pair blowup, no range
+    join); the second window adds one extra in-partition sort, not an
+    exchange — both windows share the user_id partitioning.  Distances
+    are exact integer microseconds, so the choice is engine-exact."""
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("pval"))
+    )
+    u = clicks.select(
+        "user_id",
+        F.unix_micros("ts").alias("t"),
+        F.lit(1).alias("is_click"),
+        "event_id",
+        "ts",
+        F.lit(None).cast("double").alias("p_pval"),
+        F.lit(None).cast("bigint").alias("p_t"),
+    ).unionByName(
+        purchases.select(
+            "user_id",
+            F.unix_micros("ts").alias("t"),
+            F.lit(0).alias("is_click"),
+            F.lit(None).cast("bigint").alias("event_id"),
+            F.lit(None).cast("timestamp").alias("ts"),
+            F.col("pval").alias("p_pval"),
+            F.unix_micros("ts").alias("p_t"),
+        )
+    )
+    wb = (
+        Window.partitionBy("user_id")
+        .orderBy(F.asc("t"), F.asc("is_click"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy(F.asc("t"), F.desc("is_click"))
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    scored = u.select(
+        "*",
+        F.last("p_pval", ignorenulls=True).over(wb).alias("b_pval"),
+        F.last("p_t", ignorenulls=True).over(wb).alias("b_t"),
+        F.first("p_pval", ignorenulls=True).over(wf).alias("f_pval"),
+        F.first("p_t", ignorenulls=True).over(wf).alias("f_t"),
+    ).where(F.col("is_click") == 1)
+    bd = F.col("t") - F.col("b_t")
+    fd = F.col("f_t") - F.col("t")
+    use_b = F.col("b_t").isNotNull() & (F.col("f_t").isNull() | (bd <= fd))
+    return scored.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(use_b, F.col("b_pval"))
+        .otherwise(F.col("f_pval"))
+        .alias("nearest_purchase_value"),
+        F.when(use_b, -bd).otherwise(fd).alias("dt_us"),
+    )

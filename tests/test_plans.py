@@ -482,3 +482,14 @@ def test_grid_proximity_is_equi_join_not_nested_loop(spark):
     plan = formatted_plan(_q(spark, "join_grid_proximity"))
     assert "NestedLoop" not in plan and "CartesianProduct" not in plan
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_asof_nearest_shares_one_exchange(spark):
+    """Both direction windows must reuse the single user_id hash
+    partitioning: one exchange for the union'd stream (plus at most
+    one per union input), never a nested loop."""
+    from mapreduce_framework_spark.plans import count_exchanges, formatted_plan
+
+    df = _q(spark, "join_asof_nearest")
+    assert "NestedLoop" not in formatted_plan(df)
+    assert count_exchanges(df) <= 2
