@@ -287,3 +287,57 @@ def window_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     between engines on ns-precision timestamps."""
     e = table(spark, sf_dir, "events").select("user_id", "event_id", "ts")
     return sessionize_frame(e)
+
+
+@register(
+    "window_activity_streaks",
+    oracle="""
+WITH days AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+),
+isl AS (
+  SELECT user_id, d,
+         d - CAST(row_number() OVER (PARTITION BY user_id ORDER BY d)
+                  AS INTEGER) AS anchor
+  FROM days
+),
+streaks AS (
+  SELECT user_id, anchor, count(*) AS len
+  FROM isl GROUP BY user_id, anchor
+)
+SELECT user_id,
+       count(*) AS n_streaks,
+       max(len) AS longest_streak_days,
+       CAST(SUM(len) AS BIGINT) AS active_days
+FROM streaks GROUP BY user_id
+""".strip(),
+    tags=("window", "islands"),
+)
+def window_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: per-user consecutive-day activity streaks via
+    the date-minus-row_number anchor trick — consecutive days share one
+    anchor, so islands fall out of a plain groupBy with no self-join or
+    recursive walk.  The engagement-streak shape (and the general
+    contiguous-run detector: sequence gaps, sensor dropouts, retention
+    runs).
+
+    Scale: the distinct (user, day) frame is tiny relative to events;
+    the window and both aggregates all share the user_id hash
+    partitioning, so the event stream shuffles once and everything
+    downstream is exchange-free."""
+    d = (
+        table(spark, sf_dir, "events")
+        .select("user_id", F.col("ts").cast("date").alias("d"))
+        .distinct()
+    )
+    w = Window.partitionBy("user_id").orderBy("d")
+    isl = d.select(
+        "user_id",
+        F.date_sub(F.col("d"), F.row_number().over(w)).alias("anchor"),
+    )
+    streaks = isl.groupBy("user_id", "anchor").agg(F.count(F.lit(1)).alias("len"))
+    return streaks.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_streaks"),
+        F.max("len").alias("longest_streak_days"),
+        F.sum("len").cast("bigint").alias("active_days"),
+    )

@@ -571,3 +571,27 @@ def test_payload_fingerprint_groups_planted_duplicate(spark):
     )
     assert all(r.n == 2 for r in groups)
     assert all(r.canon < 1_000_000 for r in groups)
+
+
+def test_streaks_on_planted_pattern(spark):
+    """Planted day pattern: days {1,2,3, 7, 9,10} → 3 streaks, longest
+    3, active 6 — the anchor trick must count exactly these."""
+    import datetime as dt
+
+    from pyspark.sql import Window
+
+    days = [1, 2, 3, 7, 9, 10]
+    df = spark.createDataFrame(
+        [(1, dt.date(2024, 1, d)) for d in days], "user_id long, d date"
+    )
+    w = Window.partitionBy("user_id").orderBy("d")
+    isl = df.select(
+        "user_id", F.date_sub(F.col("d"), F.row_number().over(w)).alias("a")
+    )
+    streaks = isl.groupBy("user_id", "a").agg(F.count(F.lit(1)).alias("len"))
+    out = streaks.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.max("len").alias("mx"),
+        F.sum("len").alias("tot"),
+    ).collect()[0]
+    assert (out.n, out.mx, out.tot) == (3, 3, 6)
