@@ -854,3 +854,60 @@ def agg_hll_partial_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= F.greatest(F.lit(3.0), 0.08 * F.col("exact_users"))
         ).alias("within_tol"),
     )
+
+
+@register(
+    "events_markov_transitions",
+    oracle="""
+WITH seq AS (
+  SELECT user_id, event_type,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS next_type
+  FROM events
+),
+t AS (
+  SELECT event_type AS from_type, next_type AS to_type, count(*) AS n
+  FROM seq WHERE next_type IS NOT NULL
+  GROUP BY 1, 2
+)
+SELECT from_type, to_type, n,
+       round(n / CAST(SUM(n) OVER (PARTITION BY from_type) AS DOUBLE), 6)
+         AS prob
+FROM t
+""".strip(),
+    tags=("agg", "sequence"),
+)
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order behavioral transition matrix: per-user event
+    sequences (ordered by (ts, event_id) — unique tie-break) yield
+    (from → to) counts and row-normalized transition probabilities —
+    the Markov-chain fit behind next-action prediction and
+    anomalous-session scoring.
+
+    Scale: the lead() window shuffles events once on user_id; the
+    transition count aggregate and the per-from normalization window
+    both run on the tiny |types|² frame.  Counts are exact integers;
+    the single probability division is round(6)-pinned."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.lead("event_type").over(w).alias("next_type"),
+    )
+    t = (
+        seq.where(F.col("next_type").isNotNull())
+        .groupBy(
+            F.col("event_type").alias("from_type"),
+            F.col("next_type").alias("to_type"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    wn = Window.partitionBy("from_type")
+    return t.select(
+        "from_type",
+        "to_type",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(wn).cast("double"), 6).alias("prob"),
+    )
