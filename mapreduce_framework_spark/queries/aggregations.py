@@ -911,3 +911,82 @@ def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.round(F.col("n") / F.sum("n").over(wn).cast("double"), 6).alias("prob"),
     )
+
+
+@register(
+    "events_rfm_segmentation",
+    oracle="""
+WITH rfm AS (
+  SELECT user_id,
+         max(epoch_us(ts)) AS last_us,
+         count(*) AS frequency,
+         CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+           AS monetary_cents
+  FROM events WHERE event_type = 'purchase'
+  GROUP BY user_id
+),
+scored AS (
+  SELECT user_id, frequency, monetary_cents,
+         ntile(4) OVER (ORDER BY last_us DESC, user_id ASC) AS r_score,
+         ntile(4) OVER (ORDER BY frequency DESC, user_id ASC) AS f_score,
+         ntile(4) OVER (ORDER BY monetary_cents DESC, user_id ASC) AS m_score
+  FROM rfm
+)
+SELECT user_id, frequency, monetary_cents, r_score, f_score, m_score,
+       CASE WHEN r_score = 1 AND f_score = 1 THEN 'champion'
+            WHEN r_score >= 3 AND f_score <= 2 THEN 'at_risk'
+            WHEN r_score = 1 THEN 'recent'
+            ELSE 'regular' END AS segment
+FROM scored
+""".strip(),
+    tags=("agg", "segmentation"),
+)
+def events_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation over the purchase stream: one
+    aggregate computes recency (last purchase instant, exact micros),
+    frequency, and monetary value (integer cents — float sums would be
+    order-dependent), then three quartile windows score each dimension
+    (unique user_id tie-breaks keep ntile deterministic) and a CASE
+    maps scores to named segments.
+
+    Scale: the per-user aggregate shuffles purchases once; the scoring
+    windows run over the USER-level frame (orders of magnitude smaller
+    than events).  The unpartitioned ntile windows are the documented
+    single-partition risk at extreme user counts — production shards
+    them by a coarse user bucket and unions, same trick as
+    agg_salted_skew; at the declared scale the user frame fits one
+    partition comfortably."""
+    from pyspark.sql import Window
+
+    rfm = (
+        table(spark, sf_dir, "events")
+        .where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.max(F.unix_micros("ts")).alias("last_us"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.sum(F.round(F.col("value") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("monetary_cents"),
+        )
+    )
+    r = F.ntile(4).over(Window.orderBy(F.desc("last_us"), F.asc("user_id")))
+    f = F.ntile(4).over(Window.orderBy(F.desc("frequency"), F.asc("user_id")))
+    m = F.ntile(4).over(
+        Window.orderBy(F.desc("monetary_cents"), F.asc("user_id"))
+    )
+    scored = rfm.select(
+        "user_id",
+        "frequency",
+        "monetary_cents",
+        r.alias("r_score"),
+        f.alias("f_score"),
+        m.alias("m_score"),
+    )
+    seg = (
+        F.when((F.col("r_score") == 1) & (F.col("f_score") == 1), "champion")
+        .when((F.col("r_score") >= 3) & (F.col("f_score") <= 2), "at_risk")
+        .when(F.col("r_score") == 1, "recent")
+        .otherwise("regular")
+    )
+    return scored.select("*", seg.alias("segment"))

@@ -943,3 +943,77 @@ def chunk_dedup_frame(d: DataFrame, span_tokens: int = 16) -> DataFrame:
         kept.cast("bigint").alias("n_kept"),
         F.round(kept / F.count(F.lit(1)), 6).alias("kept_ratio"),
     )
+
+
+@register(
+    "dedup_containment",
+    oracle="""
+WITH d AS (
+  SELECT doc_id, lang, source,
+         list_distinct(string_split(text, ' ')) AS toks
+  FROM documents
+)
+SELECT a.doc_id AS contained_doc,
+       b.doc_id AS container_doc,
+       round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+             / len(a.toks), 6) AS containment
+FROM d a JOIN d b
+  ON a.lang = b.lang AND a.source = b.source AND a.doc_id <> b.doc_id
+WHERE len(a.toks) <= len(b.toks)
+  AND CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+      / len(a.toks) >= 0.9
+""".strip(),
+    tags=("dedup",),
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASYMMETRIC near-dup detection: token-set containment
+    |A∩B| / |A| ≥ 0.9 with |A| ≤ |B| — doc A substantially contained
+    in a larger doc B.  Jaccard misses exactly this case (a short doc
+    quoted inside a long one has low union-normalized similarity but
+    containment ≈ 1), which is why curation pipelines (RefinedWeb
+    shape) run a containment tier besides the symmetric one.
+
+    Scale: same (lang, source) blocking as dedup_ngram_jaccard, with
+    the |A| ≤ |B| orientation halving the candidate space; unlike
+    Jaccard there is NO lossless length band for containment (a tiny
+    doc can be contained in any larger doc), so at 100 TB the
+    candidate step is MinHash over the CONTAINED side's token set
+    probing the container index — the banded_jaccard_pairs overflow
+    shape with one-sided normalization.  The fixture blocks are small
+    enough for the exact tier, which is what the oracle pins."""
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        "source",
+        F.array_distinct(F.split("text", " ")).alias("toks"),
+    )
+    a = d.select(
+        F.col("doc_id").alias("contained_doc"),
+        "lang",
+        "source",
+        F.col("toks").alias("toks_a"),
+    )
+    b = d.select(
+        F.col("doc_id").alias("container_doc"),
+        F.col("lang").alias("lang_b"),
+        F.col("source").alias("source_b"),
+        F.col("toks").alias("toks_b"),
+    )
+    containment = F.size(F.array_intersect("toks_a", "toks_b")).cast(
+        "double"
+    ) / F.size("toks_a")
+    return (
+        a.join(
+            b,
+            (F.col("lang") == F.col("lang_b"))
+            & (F.col("source") == F.col("source_b")),
+        )
+        .where(F.col("contained_doc") != F.col("container_doc"))
+        .where(F.size("toks_a") <= F.size("toks_b"))
+        .where(containment >= 0.9)
+        .select(
+            "contained_doc",
+            "container_doc",
+            F.round(containment, 6).alias("containment"),
+        )
+    )
