@@ -990,3 +990,75 @@ def events_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("regular")
     )
     return scored.select("*", seg.alias("segment"))
+
+
+@register(
+    "agg_weighted_percentile",
+    # Weighted median: first price whose cumulative quantity weight
+    # reaches half the group's total — pure integer cumsums and an
+    # argmin, no float aggregation anywhere.
+    oracle="""
+WITH w AS (
+  SELECT l_returnflag,
+         l_extendedprice AS price,
+         CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+  FROM lineitem
+  GROUP BY l_returnflag, l_extendedprice
+),
+c AS (
+  SELECT l_returnflag, price, qty,
+         SUM(qty) OVER (PARTITION BY l_returnflag ORDER BY price
+                        ROWS UNBOUNDED PRECEDING) AS cum,
+         SUM(qty) OVER (PARTITION BY l_returnflag) AS total
+  FROM w
+)
+SELECT l_returnflag,
+       min(price) AS weighted_median_price,
+       CAST(min(total) AS BIGINT) AS total_weight
+FROM c
+WHERE 2 * cum >= total
+GROUP BY l_returnflag
+""".strip(),
+    tags=("agg", "percentile"),
+)
+def agg_weighted_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEIGHTED median (50th percentile by l_quantity weight, not row
+    count) per return flag — the importance-weighted statistic for
+    corpora where rows carry unequal mass (token counts, sampling
+    weights).  The plan pre-aggregates to one row per (group, price)
+    with integer weights, takes a cumulative-weight window over the
+    price ordering, and picks the first price whose doubled cumulative
+    weight reaches the total: every comparison is integer-exact, prices
+    are selected (never summed), so the result is engine-identical.
+
+    Scale: the only corpus-sized shuffle is the (group, price) partial
+    aggregate; the window runs over distinct prices per group.  Spark's
+    percentile_approx offers the approximate path; this key pins the
+    EXACT weighted semantics that approx sketches can't express."""
+    from pyspark.sql import Window
+
+    w = (
+        table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag", F.col("l_extendedprice").alias("price"))
+        .agg(F.sum(F.col("l_quantity").cast("bigint")).cast("bigint").alias("qty"))
+    )
+    wc = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("price")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wt = Window.partitionBy("l_returnflag")
+    c = w.select(
+        "l_returnflag",
+        "price",
+        F.sum("qty").over(wc).alias("cum"),
+        F.sum("qty").over(wt).alias("total"),
+    )
+    return (
+        c.where(2 * F.col("cum") >= F.col("total"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.min("price").alias("weighted_median_price"),
+            F.min("total").cast("bigint").alias("total_weight"),
+        )
+    )

@@ -262,3 +262,74 @@ def source_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("n_chars").alias("n_with_chars"),
         F.coalesce(F.sum("n_chars"), F.lit(0)).alias("total_chars"),
     )
+
+
+@register(
+    "source_csv_malformed",
+    # Every doc_id % 10 == 0 line is planted malformed (non-numeric
+    # n_chars field), so the oracle knows exactly which rows PERMISSIVE
+    # parsing must null out and flag.
+    oracle="""
+SELECT doc_id,
+       CASE WHEN doc_id % 10 = 0 THEN NULL ELSE n_chars END AS n_chars,
+       doc_id % 10 = 0 AS is_corrupt
+FROM documents
+""".strip(),
+    tags=("source", "robustness"),
+)
+def source_csv_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Malformed-input accounting — the operational reality of 100 TB
+    CSV ingestion: a corpus is staged as CSV lines with a deterministic
+    10% planted corruption (non-numeric numeric field), read back in
+    PERMISSIVE mode with an explicit schema and a corrupt-record
+    column, and every row is classified instead of failing the task
+    (FAILFAST) or silently vanishing (DROPMALFORMED).
+
+    The plan: parseable fields of a bad row are still populated, the
+    broken field nulls out, and `_corrupt_record` holds the raw line —
+    the quarantine column a production pipeline writes to a dead-letter
+    sink.  Scale: parsing is scan-side per-split; the corruption rate
+    is observable via observe()-style counters with zero extra passes."""
+    import os
+    import tempfile
+
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"mfs_badcsv_{os.path.basename(sf_dir)}_{os.getpid()}",
+    )
+    d = table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    lines = d.select(
+        F.concat_ws(
+            ",",
+            F.col("doc_id").cast("string"),
+            F.when(F.col("doc_id") % 10 == 0, F.lit("###bad###")).otherwise(
+                F.col("n_chars").cast("string")
+            ),
+        ).alias("value")
+    )
+    lines.write.mode("overwrite").text(path)
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("n_chars", LongType()),
+            StructField("_corrupt_record", StringType()),
+        ]
+    )
+    parsed = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(path)
+    )
+    return parsed.select(
+        "doc_id",
+        "n_chars",
+        F.col("_corrupt_record").isNotNull().alias("is_corrupt"),
+    )

@@ -341,3 +341,58 @@ def window_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("len").alias("longest_streak_days"),
         F.sum("len").cast("bigint").alias("active_days"),
     )
+
+
+@register(
+    "window_cumulative_distinct",
+    # Running COUNT(DISTINCT) has no direct window form in either
+    # engine; both sides derive it from the first-occurrence flag —
+    # rank 1 per (user, type) — summed cumulatively.
+    oracle="""
+WITH flagged AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN row_number() OVER (PARTITION BY user_id, event_type
+                                      ORDER BY ts, event_id) = 1
+              THEN 1 ELSE 0 END AS first_seen
+  FROM events
+)
+SELECT user_id, event_id,
+       CAST(SUM(first_seen) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         AS types_seen
+FROM flagged
+""".strip(),
+    tags=("window", "distinct"),
+)
+def window_cumulative_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running distinct-count per user (how many distinct event types
+    has this user produced up to and including each event) — the
+    coverage-accumulation shape (features seen, endpoints exercised,
+    vocab acquired).  Neither engine has COUNT(DISTINCT) OVER a running
+    frame; the standard rewrite flags each (user, type)'s FIRST
+    occurrence with one window and cumulatively sums the flags with a
+    second — both windows share the user_id hash partitioning (the
+    first adds event_type to the partition key, which hash-routes to
+    the same exchange only when partitioned by the prefix; Spark plans
+    one exchange per distinct partitioning, so this costs two
+    user-keyed shuffles of the skinny (ids, type) projection).
+    Deterministic via the unique (ts, event_id) ordering."""
+    ev = table(spark, sf_dir, "events").select("user_id", "event_id", "ts", "event_type")
+    w1 = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    flagged = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.when(F.row_number().over(w1) == 1, 1).otherwise(0).alias("first_seen"),
+    )
+    w2 = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return flagged.select(
+        "user_id",
+        "event_id",
+        F.sum("first_seen").over(w2).cast("bigint").alias("types_seen"),
+    )
