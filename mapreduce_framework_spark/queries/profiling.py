@@ -572,3 +572,131 @@ def profile_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ks_stat",
         )
     )
+
+
+@register(
+    "window_outlier_mad",
+    # Exact interpolated medians in both engines (Spark percentile ≡
+    # DuckDB median/quantile_cont: same sort, same (a+b)/2 midpoint),
+    # deviations compared, never summed.
+    oracle="""
+WITH med AS (
+  SELECT event_type, median(value) AS med FROM events GROUP BY event_type
+),
+mad AS (
+  SELECT e.event_type, median(abs(e.value - m.med)) AS mad
+  FROM events e JOIN med m USING (event_type)
+  GROUP BY e.event_type
+)
+SELECT e.event_type,
+       count(*) AS n,
+       round(min(m.med), 6) AS median_value,
+       round(min(d.mad), 6) AS mad_value,
+       CAST(SUM(CASE WHEN abs(e.value - m.med) > 3 * d.mad
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+FROM events e
+JOIN med m USING (event_type)
+JOIN mad d USING (event_type)
+GROUP BY e.event_type
+""".strip(),
+    tags=("profiling", "quality"),
+)
+def window_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection per event type: median absolute
+    deviation (MAD) flags |x − median| > 3·MAD — the robust sibling of
+    events_anomaly_exact's z-score (mean/std are themselves dragged by
+    the outliers they're meant to find; median/MAD have a 50%
+    breakdown point).
+
+    Plan: two exact-median aggregates (value, then absolute deviation
+    — the second NEEDS the first, an inherently two-pass statistic)
+    with the 5-row median frames broadcast back between passes, then
+    one counting aggregate.  Exact medians sort per group — the
+    documented cost; the approx path swaps in percentile_approx
+    per-pass unchanged.  Every comparison operates on IEEE-identical
+    doubles (same sort, same midpoint average), so the outlier COUNTS
+    are engine-exact."""
+    ev = table(spark, sf_dir, "events").select("event_type", "value")
+    med = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5D)").alias("med")
+    )
+    with_med = ev.join(F.broadcast(med), "event_type")
+    mad = with_med.groupBy("event_type").agg(
+        F.expr("percentile(abs(value - med), 0.5D)").alias("mad")
+    )
+    scored = with_med.join(F.broadcast(mad), "event_type")
+    return scored.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.min("med"), 6).alias("median_value"),
+        F.round(F.min("mad"), 6).alias("mad_value"),
+        F.sum(
+            F.when(F.abs(F.col("value") - F.col("med")) > 3 * F.col("mad"), 1)
+            .otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_outliers"),
+    )
+
+
+@register(
+    "profile_drift_categorical",
+    oracle="""
+WITH halves AS (
+  SELECT event_type,
+         SUM(CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00'
+                  THEN 1 ELSE 0 END) AS n1,
+         SUM(CASE WHEN ts >= TIMESTAMP '2024-01-16 00:00:00'
+                  THEN 1 ELSE 0 END) AS n2
+  FROM events GROUP BY event_type
+),
+tot AS (SELECT SUM(n1) AS t1, SUM(n2) AS t2 FROM halves)
+SELECT h.event_type,
+       CAST(h.n1 AS BIGINT) AS n_first,
+       CAST(h.n2 AS BIGINT) AS n_second,
+       round(h.n1 / CAST(t.t1 AS DOUBLE), 6) AS share_first,
+       round(h.n2 / CAST(t.t2 AS DOUBLE), 6) AS share_second,
+       round(pow(h.n1 / CAST(t.t1 AS DOUBLE) - h.n2 / CAST(t.t2 AS DOUBLE), 2)
+             / (h.n1 / CAST(t.t1 AS DOUBLE) + h.n2 / CAST(t.t2 AS DOUBLE)), 6)
+         AS drift_contrib
+FROM halves h, tot t
+""".strip(),
+    tags=("profiling", "drift"),
+)
+def profile_drift_categorical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Categorical frequency drift between the two half-months — the
+    discrete sibling of profile_drift_ks: per event type, both period
+    shares and its χ²-style contribution (Δshare)²/(share₁+share₂).
+    A category mix shifting (new bot traffic, a collector dropping one
+    event type) moves this even when every continuous metric is stable.
+
+    Plan: ONE conditional aggregate pivots both halves wide per type
+    (corpus shuffles once), the totals row broadcasts back, and every
+    output is a round(6)-pinned single division on exact integer
+    counts."""
+    e = table(spark, sf_dir, "events").select(
+        "event_type",
+        F.when(
+            F.col("ts") < F.lit("2024-01-16 00:00:00").cast("timestamp"), 1
+        )
+        .otherwise(0)
+        .alias("in_first"),
+    )
+    halves = e.groupBy("event_type").agg(
+        F.sum("in_first").alias("n1"),
+        F.sum(1 - F.col("in_first")).alias("n2"),
+    )
+    tot = halves.agg(
+        F.sum("n1").cast("double").alias("t1"),
+        F.sum("n2").cast("double").alias("t2"),
+    )
+    j = halves.crossJoin(F.broadcast(tot))
+    s1 = F.col("n1") / F.col("t1")
+    s2 = F.col("n2") / F.col("t2")
+    return j.select(
+        "event_type",
+        F.col("n1").cast("bigint").alias("n_first"),
+        F.col("n2").cast("bigint").alias("n_second"),
+        F.round(s1, 6).alias("share_first"),
+        F.round(s2, 6).alias("share_second"),
+        F.round(F.pow(s1 - s2, 2) / (s1 + s2), 6).alias("drift_contrib"),
+    )
