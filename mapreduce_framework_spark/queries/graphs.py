@@ -238,3 +238,70 @@ def triangle_knn_frame(l: DataFrame, k: int = 5) -> DataFrame:
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("n_triangles"))
     )
+
+
+@register(
+    "graph_degree_distribution",
+    oracle="""
+WITH co AS (
+  SELECT a.l_suppkey AS s1, b.l_suppkey AS s2,
+         count(DISTINCT a.l_orderkey) AS w
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_suppkey <> b.l_suppkey
+  GROUP BY 1, 2
+),
+knn AS (
+  SELECT s1, s2 FROM (
+    SELECT s1, s2,
+           row_number() OVER (PARTITION BY s1 ORDER BY w DESC, s2 ASC) AS rn
+    FROM co
+  ) WHERE rn <= 5
+),
+edges AS (
+  SELECT least(s1, s2) AS u, greatest(s1, s2) AS v FROM knn GROUP BY 1, 2
+),
+deg AS (
+  SELECT node, count(*) AS degree
+  FROM (SELECT u AS node FROM edges UNION ALL SELECT v FROM edges)
+  GROUP BY node
+)
+SELECT degree, count(*) AS n_nodes
+FROM deg GROUP BY degree
+""".strip(),
+    tags=("graph",),
+)
+def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the mutualized top-5 co-supply graph —
+    the first diagnostic run on any production graph (a heavy-tailed
+    histogram predicts skewed joins and hot partitions before any
+    algorithm runs; the kNN cut bounds max degree near 2k, which this
+    histogram verifies).  Same edge derivation as graph_triangle_knn,
+    then two skinny aggregates; the corpus-sized work is the one
+    co-occurrence shuffle shared with the triangle key."""
+    l = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    from pyspark.sql import Window
+
+    a = l.select(F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("s1"))
+    b = l.select(F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("s2"))
+    co = (
+        a.join(b, "ok")
+        .where(F.col("s1") != F.col("s2"))
+        .groupBy("s1", "s2")
+        .agg(F.countDistinct("ok").alias("w"))
+    )
+    w = Window.partitionBy("s1").orderBy(F.desc("w"), F.asc("s2"))
+    knn = (
+        co.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 5)
+        .select("s1", "s2")
+    )
+    edges = knn.select(
+        F.least("s1", "s2").alias("u"), F.greatest("s1", "s2").alias("v")
+    ).distinct()
+    deg = (
+        edges.select(F.col("u").alias("node"))
+        .unionByName(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    return deg.groupBy("degree").agg(F.count(F.lit(1)).alias("n_nodes"))

@@ -154,3 +154,37 @@ def sql_q18_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
     the quantity sums go through DECIMAL for order-insensitive totals."""
     _views(spark, sf_dir, ("customer", "orders", "lineitem"))
     return spark.sql(_Q18)
+
+
+# TPC-H Q7 shape (volume shipping between two nations by year).
+_Q7 = """
+SELECT supp_nation, cust_nation, l_year,
+       CAST(SUM(CAST(volume AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+FROM (
+  SELECT n1.n_name AS supp_nation,
+         n2.n_name AS cust_nation,
+         year(l_shipdate) AS l_year,
+         l_extendedprice * (1 - l_discount) AS volume
+  FROM supplier
+  JOIN lineitem ON s_suppkey = l_suppkey
+  JOIN orders   ON o_orderkey = l_orderkey
+  JOIN customer ON c_custkey = o_custkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  WHERE ((n1.n_name = 'FRANCE' AND n2.n_name = 'GERMANY')
+      OR (n1.n_name = 'GERMANY' AND n2.n_name = 'FRANCE'))
+) shipping
+GROUP BY supp_nation, cust_nation, l_year
+""".strip()
+
+
+@register("sql_q7_shape", oracle=_Q7, tags=("sql", "join"))
+def sql_q7_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape (bidirectional two-nation trade volume by ship
+    year) submitted as SQL text — exercises the nation dimension joined
+    TWICE under aliases with a disjunctive cross-filter, the pattern
+    that forces an optimizer to keep both broadcast copies distinct.
+    Decimal-summed, double-emitted like the other q* shapes; the
+    oracle runs the identical string."""
+    _views(spark, sf_dir, ("supplier", "lineitem", "orders", "customer", "nation"))
+    return spark.sql(_Q7)
