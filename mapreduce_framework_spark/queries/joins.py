@@ -681,6 +681,13 @@ def join_grid_proximity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value",
         F.col("ts").cast("long").alias("sec"),
     )
+    return grid_proximity_frame(e)
+
+
+def grid_proximity_frame(e: DataFrame) -> DataFrame:
+    """Grid-blocked 2-D proximity core over an (event_id, event_type,
+    value, sec) frame — reusable heart of join_grid_proximity, shared
+    with tools/scale_probe.py."""
     with_cells = e.select(
         "*",
         F.floor(F.col("value") / F.lit(2.0)).cast("long").alias("cx"),

@@ -533,6 +533,13 @@ def profile_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(2)
         .alias("grp"),
     )
+    return ks_drift_frame(e)
+
+
+def ks_drift_frame(e):
+    """Two-sample KS core over an (event_type, value, grp in {1,2})
+    frame — reusable heart of profile_drift_ks, shared with
+    tools/scale_probe.py."""
     tot = e.groupBy("event_type").agg(
         F.sum(F.when(F.col("grp") == 1, 1).otherwise(0)).alias("n1"),
         F.sum(F.when(F.col("grp") == 2, 1).otherwise(0)).alias("n2"),

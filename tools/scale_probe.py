@@ -255,6 +255,27 @@ def build_tiers(spark, small: int, big: int) -> dict[str, dict[int, callable]]:
         )
         return contamination_frame(d, 5).count()
 
+    def t_ks_drift(n):
+        from mapreduce_framework_spark.queries.profiling import ks_drift_frame
+
+        e = corpus("events", n).select(
+            F.lit("t").alias("event_type"),
+            (F.pmod(F.xxhash64("event_id", F.lit(7)), F.lit(100000)) / 100.0).alias("value"),
+            (F.pmod(F.xxhash64("event_id", F.lit(8)), F.lit(2)) + 1).cast("int").alias("grp"),
+        )
+        return ks_drift_frame(e).count()
+
+    def t_grid_join(n):
+        from mapreduce_framework_spark.queries.joins import grid_proximity_frame
+
+        e = corpus("events", n).select(
+            "event_id",
+            F.lit("t").alias("event_type"),
+            (F.pmod(F.xxhash64("event_id", F.lit(9)), F.lit(2000000)) / 1000.0).alias("value"),
+            F.pmod(F.xxhash64("event_id", F.lit(10)), F.lit(30 * 86400)).alias("sec"),
+        )
+        return grid_proximity_frame(e).count()
+
     def t_chunk_dedup(n):
         return chunk_dedup_frame(corpus("docs", n).select("doc_id", "text")).count()
 
@@ -312,6 +333,14 @@ def build_tiers(spark, small: int, big: int) -> dict[str, dict[int, callable]]:
         "lsh_ann": {
             small: lambda: t_lsh(small),
             big: lambda: t_lsh(big),
+        },
+        "ks_drift": {
+            10 * small: lambda: t_ks_drift(10 * small),
+            10 * big: lambda: t_ks_drift(10 * big),
+        },
+        "grid_join": {
+            10 * small: lambda: t_grid_join(10 * small),
+            10 * big: lambda: t_grid_join(10 * big),
         },
     }
 
