@@ -656,6 +656,7 @@ FROM e a JOIN e b
  AND abs(a.sec - b.sec) <= 3600
 """.strip(),
     tags=("join", "grid"),
+    bench=True,
 )
 def join_grid_proximity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """2-D proximity self-join via GRID BLOCKING — the spatial-join

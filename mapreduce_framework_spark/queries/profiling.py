@@ -506,6 +506,7 @@ FROM cdf c JOIN tot t ON c.event_type = t.event_type
 GROUP BY c.event_type, t.n1, t.n2
 """.strip(),
     tags=("profile", "drift"),
+    bench=True,
 )
 def profile_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distribution-drift monitor: the EXACT two-sample Kolmogorov–

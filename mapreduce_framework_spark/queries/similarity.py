@@ -299,6 +299,7 @@ ORDER BY cos_sim DESC, e.vec_id ASC
 LIMIT 10
 """.strip(),
     tags=("similarity", "ann", "lsh"),
+    bench=True,
 )
 def sim_search_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-probe random-hyperplane LSH top-10 — the third ANN tier
