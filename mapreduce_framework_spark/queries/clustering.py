@@ -122,9 +122,9 @@ d2 AS (
 p3 AS (SELECT vec_id, dist FROM d2
        QUALIFY row_number() OVER (ORDER BY dist DESC, vec_id ASC) = 1)
 SELECT 0 AS seed_rank, CAST(0 AS BIGINT) AS vec_id, CAST(0 AS BIGINT) AS sq_dist
-UNION ALL SELECT 1, vec_id, dist FROM p1
-UNION ALL SELECT 2, vec_id, dist FROM p2
-UNION ALL SELECT 3, vec_id, dist FROM p3
+UNION ALL SELECT 1, vec_id, CAST(dist AS BIGINT) FROM p1
+UNION ALL SELECT 2, vec_id, CAST(dist AS BIGINT) FROM p2
+UNION ALL SELECT 3, vec_id, CAST(dist AS BIGINT) FROM p3
 """.strip(),
     tags=("clustering",),
 )

@@ -212,9 +212,9 @@ _FK_SPECS = (
 _FK_ORACLE = "\nUNION ALL\n".join(
     f"""SELECT '{name}' AS fk,
        count(*) AS n_rows,
-       sum(CASE WHEN {ck} IS NULL THEN 1 ELSE 0 END) AS n_nulls,
-       sum(CASE WHEN {ck} IS NOT NULL AND p.{pk} IS NULL
-                THEN 1 ELSE 0 END) AS n_orphans
+       CAST(sum(CASE WHEN {ck} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+       CAST(sum(CASE WHEN {ck} IS NOT NULL AND p.{pk} IS NULL
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans
 FROM {child} c LEFT JOIN (SELECT DISTINCT {pk} FROM {parent}) p
   ON c.{ck} = p.{pk}"""
     for name, child, ck, parent, pk in _FK_SPECS
@@ -499,7 +499,7 @@ cdf AS (
   FROM pv
 )
 SELECT c.event_type,
-       t.n1 AS n_first, t.n2 AS n_second,
+       CAST(t.n1 AS BIGINT) AS n_first, CAST(t.n2 AS BIGINT) AS n_second,
        round(max(abs(CAST(c.a1 AS DOUBLE) / t.n1
                      - CAST(c.a2 AS DOUBLE) / t.n2)), 6) AS ks_stat
 FROM cdf c JOIN tot t ON c.event_type = t.event_type

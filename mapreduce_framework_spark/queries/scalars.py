@@ -111,7 +111,7 @@ SELECT
   l_orderkey % 32 AS bucket,
   greatest(l_quantity, 25.0) AS qty_hi,
   least(l_quantity, 25.0) AS qty_lo,
-  sign(l_extendedprice - 5000) AS above_5k
+  CAST(sign(l_extendedprice - 5000) AS BIGINT) AS above_5k
 FROM lineitem
 WHERE l_orderkey % 7 = 0
 """.strip(),
@@ -134,7 +134,7 @@ def scalar_math(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_orderkey") % 32).alias("bucket"),
         F.greatest(F.col("l_quantity"), F.lit(25.0)).alias("qty_hi"),
         F.least(F.col("l_quantity"), F.lit(25.0)).alias("qty_lo"),
-        F.signum(F.col("l_extendedprice") - 5000).alias("above_5k"),
+        F.signum(F.col("l_extendedprice") - 5000).cast("bigint").alias("above_5k"),
     )
 
 

@@ -170,7 +170,7 @@ def udf_map_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT l_returnflag,
        count(*) AS n,
-       sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS price_cents
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS price_cents
 FROM lineitem
 GROUP BY l_returnflag
 """.strip(),

@@ -57,6 +57,41 @@ def _norm(v):
     return v
 
 
+_INT_TYPES = {"tinyint", "smallint", "int", "integer", "bigint", "long", "short", "byte"}
+_FLOAT_TYPES = {"float", "double", "real"}
+
+
+def type_category(t: str) -> str:
+    """Coarse cross-engine type category for the driver's pandas-level
+    hash: it distinguishes int from float (DuckDB HUGEINT/DECIMAL coerce
+    to float64 through pandas and then hash-mismatch Spark's int64 even
+    when every cell is numerically equal — the round-4
+    embedding_seed_farthest failure) but not integer widths.  Local
+    value comparison can NOT catch this class (Python 1 == 1.0), so the
+    category check is the only local guard."""
+    t = t.strip().lower()
+    if t.endswith("[]"):
+        return f"array<{type_category(t[:-2])}>"
+    if t.startswith("array<") and t.endswith(">"):
+        return f"array<{type_category(t[6:-1])}>"
+    if t in _INT_TYPES:
+        return "int"
+    if t in _FLOAT_TYPES:
+        return "float"
+    if t in ("varchar", "string"):
+        return "str"
+    if t.startswith("timestamp"):
+        return "timestamp"
+    if t == "date":
+        return "date"
+    if t in ("boolean", "bool"):
+        return "bool"
+    if t.startswith("decimal") or t in ("hugeint", "uhugeint"):
+        # pandas-fragile: .df() coerces these to float64 on the driver.
+        return f"FRAGILE:{t}"
+    return t
+
+
 def rows_normalized(cols, rows):
     """Sort columns by name (driver semantics), normalize, sort rows."""
     order = sorted(range(len(cols)), key=lambda i: cols[i])
@@ -83,6 +118,17 @@ def assert_oracle_parity(spark, duck, name: str, sf_dir: str = SF_DIR):
     assert sorted(s_cols) == sorted(d_cols), (
         f"{name}: column mismatch spark={sorted(s_cols)} duck={sorted(d_cols)}"
     )
+    # Driver-hash type-category parity (see type_category docstring): an
+    # int-vs-float divergence passes the value compare below but fails
+    # the driver's pandas hash, so pin categories per column here.
+    rel = duck.sql(spec.oracle)
+    d_tmap = {c: type_category(str(t)) for c, t in zip(rel.columns, rel.types)}
+    s_tmap = {f.name: type_category(f.dataType.simpleString()) for f in sdf.schema.fields}
+    for col, s_cat in s_tmap.items():
+        assert s_cat == d_tmap[col], (
+            f"{name}.{col}: type category spark={s_cat} duck={d_tmap[col]} "
+            f"— would hash-mismatch on the driver even with equal values"
+        )
     assert len(s_rows) == len(d_rows), (
         f"{name}: row count spark={len(s_rows)} duck={len(d_rows)}"
     )
