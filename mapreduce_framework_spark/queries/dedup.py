@@ -945,6 +945,153 @@ def chunk_dedup_frame(d: DataFrame, span_tokens: int = 16) -> DataFrame:
     )
 
 
+def containment_pairs(
+    d: DataFrame, threshold: float = 0.9, block_cap: int = 1000
+) -> DataFrame:
+    """(contained_doc, container_doc, containment) pairs at
+    |A∩B| / |A| ≥ ``threshold`` with |A| ≤ |B|, from a (doc_id, lang,
+    source, toks) frame of DISTINCT token arrays — EXACT at any scale.
+
+    Two tiers, routed per (lang, source) category exactly like
+    :func:`banded_jaccard_pairs` (round-4 pattern, round-5 ask #3):
+
+    - categories with ≤ ``block_cap`` docs run the plain blocked
+      all-pairs join (bounded ~block_cap² work per category);
+    - oversized categories route WHOLLY to a PREFIX-FILTER tier
+      (Bayardo et al. WWW'07 / PPJoin): if |A∩B| ≥ t·|A|, then any
+      (|A| − ⌈t·|A|⌉ + 1) tokens of A must include one token of B, so
+      the contained side emits only its (1−t)·|A|+1 RAREST tokens
+      (ranked by per-category document frequency — rare tokens minimize
+      candidates) while the container side is the full inverted index.
+      Candidates = one equi-join on (lang, source, token); every
+      candidate is exact-verified, so the tier has NO false positives
+      and — unlike MinHash banding, whose hit probability follows the
+      JACCARD S-curve and hence vanishes for a small doc inside a much
+      larger one (j = c·|A|/|A∪B| → 0 while containment c stays 1) —
+      NO false negatives either.  Category routing keeps each pair in
+      exactly one tier, so the union equals the unguarded all-pairs
+      result bit-for-bit and the oracle stays valid even when a
+      category overflows.
+
+    Scale: the index side is one corpus token explode (linear, the same
+    cost the MinHash signature step already pays); the join key
+    distribution is prefix-dominated — a frequent token enters a prefix
+    only for docs whose OTHER tokens are all even more frequent — and
+    residual hot tokens are AQE-skew-splittable.  Honest limit: on a
+    degenerate low-vocabulary corpus every doc contains every shorter
+    doc and the OUTPUT is Θ(n²) — no exact algorithm beats the answer's
+    own size there (same boundary as banded_jaccard_pairs)."""
+    cat_sizes = d.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("k"))
+    big_cats = cat_sizes.where(F.col("k") > block_cap).select("lang", "source")
+
+    def verified(a: DataFrame, b: DataFrame) -> DataFrame:
+        containment = F.size(F.array_intersect("toks_a", "toks_b")).cast(
+            "double"
+        ) / F.size("toks_a")
+        return (
+            a.join(
+                b,
+                (F.col("lang") == F.col("lang_b"))
+                & (F.col("source") == F.col("source_b")),
+            )
+            .where(F.col("contained_doc") != F.col("container_doc"))
+            .where(F.size("toks_a") <= F.size("toks_b"))
+            .where(containment >= threshold)
+            .select(
+                "contained_doc",
+                "container_doc",
+                F.round(containment, 6).alias("containment"),
+            )
+        )
+
+    small = d.join(F.broadcast(big_cats), ["lang", "source"], "left_anti")
+    exact_tier = verified(
+        small.select(
+            F.col("doc_id").alias("contained_doc"), "lang", "source",
+            F.col("toks").alias("toks_a"),
+        ),
+        small.select(
+            F.col("doc_id").alias("container_doc"),
+            F.col("lang").alias("lang_b"), F.col("source").alias("source_b"),
+            F.col("toks").alias("toks_b"),
+        ),
+    )
+
+    big = d.join(F.broadcast(big_cats), ["lang", "source"], "left_semi")
+    toks = big.select(
+        "doc_id", "lang", "source", F.size("toks").alias("sz"),
+        F.explode("toks").alias("tok"),
+    )
+    tok_df = toks.groupBy("lang", "source", "tok").agg(
+        F.count(F.lit(1)).alias("df")
+    )
+    # Rarest-first prefix of length |A| − ⌈t·|A|⌉ + 1; (df, tok) struct
+    # sort makes the ranking deterministic under any shuffle order.
+    prefix_len = (
+        F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + F.lit(1)
+    ).cast("int")
+    prefixes = (
+        toks.join(tok_df, ["lang", "source", "tok"])
+        .groupBy("doc_id", "lang", "source")
+        .agg(
+            F.first("sz").alias("sz"),
+            F.sort_array(F.collect_list(F.struct("df", "tok"))).alias("ranked"),
+        )
+        .select(
+            F.col("doc_id").alias("contained_doc"), "lang", "source", "sz",
+            F.explode(F.slice("ranked", F.lit(1), prefix_len)).alias("p"),
+        )
+        .select(
+            "contained_doc", "lang", "source", F.col("sz").alias("sz_a"),
+            F.col("p.tok").alias("tok"),
+        )
+    )
+    cands = (
+        prefixes.join(
+            toks.select(
+                F.col("doc_id").alias("container_doc"), "lang", "source",
+                F.col("sz").alias("sz_b"), "tok",
+            ),
+            ["lang", "source", "tok"],
+        )
+        .where(
+            (F.col("contained_doc") != F.col("container_doc"))
+            & (F.col("sz_a") <= F.col("sz_b"))
+        )
+        .select("contained_doc", "container_doc")
+        .distinct()
+    )
+    # Exact per-candidate verify: category, identity, and size
+    # constraints were already enforced at candidate generation, so the
+    # joins here are pure id-equi lookups of the two token arrays.
+    ccontain = F.size(F.array_intersect("toks_a", "toks_b")).cast(
+        "double"
+    ) / F.size("toks_a")
+    overflow_tier = (
+        cands.join(
+            big.select(
+                F.col("doc_id").alias("contained_doc"),
+                F.col("toks").alias("toks_a"),
+            ),
+            "contained_doc",
+        )
+        .join(
+            big.select(
+                F.col("doc_id").alias("container_doc"),
+                F.col("toks").alias("toks_b"),
+            ),
+            "container_doc",
+        )
+        .where(ccontain >= threshold)
+        .select(
+            "contained_doc",
+            "container_doc",
+            F.round(ccontain, 6).alias("containment"),
+        )
+    )
+    return exact_tier.unionByName(overflow_tier)
+
+
 @register(
     "dedup_containment",
     oracle="""
@@ -973,47 +1120,15 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     containment ≈ 1), which is why curation pipelines (RefinedWeb
     shape) run a containment tier besides the symmetric one.
 
-    Scale: same (lang, source) blocking as dedup_ngram_jaccard, with
-    the |A| ≤ |B| orientation halving the candidate space; unlike
-    Jaccard there is NO lossless length band for containment (a tiny
-    doc can be contained in any larger doc), so at 100 TB the
-    candidate step is MinHash over the CONTAINED side's token set
-    probing the container index — the banded_jaccard_pairs overflow
-    shape with one-sided normalization.  The fixture blocks are small
-    enough for the exact tier, which is what the oracle pins."""
+    Guarded by :func:`containment_pairs` (round-5): same enforced
+    ``block_cap`` category routing as dedup_ngram_jaccard, with a
+    LOSSLESS prefix-filter overflow tier instead of MinHash — the
+    result equals the oracle's plain quadratic join at ANY corpus size,
+    overflow or not."""
     d = table(spark, sf_dir, "documents").select(
         "doc_id",
         "lang",
         "source",
         F.array_distinct(F.split("text", " ")).alias("toks"),
     )
-    a = d.select(
-        F.col("doc_id").alias("contained_doc"),
-        "lang",
-        "source",
-        F.col("toks").alias("toks_a"),
-    )
-    b = d.select(
-        F.col("doc_id").alias("container_doc"),
-        F.col("lang").alias("lang_b"),
-        F.col("source").alias("source_b"),
-        F.col("toks").alias("toks_b"),
-    )
-    containment = F.size(F.array_intersect("toks_a", "toks_b")).cast(
-        "double"
-    ) / F.size("toks_a")
-    return (
-        a.join(
-            b,
-            (F.col("lang") == F.col("lang_b"))
-            & (F.col("source") == F.col("source_b")),
-        )
-        .where(F.col("contained_doc") != F.col("container_doc"))
-        .where(F.size("toks_a") <= F.size("toks_b"))
-        .where(containment >= 0.9)
-        .select(
-            "contained_doc",
-            "container_doc",
-            F.round(containment, 6).alias("containment"),
-        )
-    )
+    return containment_pairs(d, threshold=0.9, block_cap=1000)

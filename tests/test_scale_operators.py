@@ -349,6 +349,63 @@ def test_banded_jaccard_cap_overflow_matches_exact(spark):
     assert overflow == truth  # cap always trips -> LSH tier == plain quadratic
 
 
+def test_containment_cap_overflow_matches_exact(spark):
+    """With block_cap forced to 1, every category overflows to the
+    PREFIX-FILTER tier — which is lossless by the prefix theorem
+    (any |A|−⌈t·|A|⌉+1 tokens of A must intersect a ≥t-container), so
+    the guarded operator must equal the unguarded quadratic join
+    EXACTLY, including containment pairs a Jaccard-LSH overflow would
+    miss (a short doc inside a much larger one)."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_framework_spark.io import table
+    from mapreduce_framework_spark.queries.dedup import containment_pairs
+    from tests.conftest import SF_DIR
+
+    toks = F.array_distinct(F.split("text", " "))
+    base = (
+        table(spark, SF_DIR, "documents")
+        .select("doc_id", "lang", "source", toks.alias("toks"))
+        .where(F.size("toks") >= 30)
+        .limit(120)
+    )
+    # Planted contained docs: the first ~35% of each base doc's tokens —
+    # high containment in the parent, low Jaccard (j ≈ 0.35) — exactly
+    # the size-skewed shape that breaks a MinHash-banded overflow.
+    contained = base.select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        "lang",
+        "source",
+        F.slice("toks", 1, F.greatest((F.size("toks") * 35) / 100, F.lit(5)).cast("int")).alias("toks"),
+    )
+    d = base.union(contained)
+
+    a = d.select(F.col("doc_id").alias("ca"), "lang", "source", F.col("toks").alias("ta"))
+    b = d.select(F.col("doc_id").alias("cb"), F.col("lang").alias("lb"),
+                 F.col("source").alias("sb"), F.col("toks").alias("tb"))
+    cont = F.size(F.array_intersect("ta", "tb")).cast("double") / F.size("ta")
+    truth = {
+        (r.ca, r.cb)
+        for r in a.join(b, (F.col("lang") == F.col("lb")) & (F.col("source") == F.col("sb")))
+        .where(F.col("ca") != F.col("cb"))
+        .where(F.size("ta") <= F.size("tb"))
+        .where(cont >= 0.9)
+        .collect()
+    }
+    assert truth, "planted prefixes should create >=0.9-containment pairs"
+
+    overflow = {
+        (r.contained_doc, r.container_doc)
+        for r in containment_pairs(d, 0.9, block_cap=1).collect()
+    }
+    guarded = {
+        (r.contained_doc, r.container_doc)
+        for r in containment_pairs(d, 0.9, block_cap=10**9).collect()
+    }
+    assert guarded == truth  # cap never trips -> exact tier == plain quadratic
+    assert overflow == truth  # cap always trips -> prefix tier == plain quadratic
+
+
 def test_pagerank_checkpoint_cadence_identical(spark):
     """pagerank(checkpoint_every=3) must be bit-identical to the fully
     lazy unroll at N=10 — lineage truncation changes the execution

@@ -169,6 +169,7 @@ def build_tiers(spark, small: int, big: int) -> dict[str, dict[int, callable]]:
     from mapreduce_framework_spark.queries.dedup import (
         banded_jaccard_pairs,
         chunk_dedup_frame,
+        containment_pairs,
     )
     from mapreduce_framework_spark.queries.graphs import pagerank, triangle_knn_frame
     from mapreduce_framework_spark.queries.pipeline import curation_funnel_frame
@@ -232,6 +233,12 @@ def build_tiers(spark, small: int, big: int) -> dict[str, dict[int, callable]]:
         # overflow and the whole category routes to the MinHash tier —
         # the enforced guard this tier exists to measure.
         return banded_jaccard_pairs(_doc_tokens(corpus("docs1cat", n)), 0.8).count()
+
+    def t_containment_overflow(n):
+        # Single-category wide-vocab corpus bracketing the category cap
+        # (1000 docs): under it the exact quadratic tier runs; over it
+        # the whole category routes to the lossless prefix-filter tier.
+        return containment_pairs(_doc_tokens(corpus("docs1cat", n)), 0.9).count()
 
     def t_pagerank(n):
         return pagerank(corpus("edges", n), rounds=3).count()
@@ -304,6 +311,10 @@ def build_tiers(spark, small: int, big: int) -> dict[str, dict[int, callable]]:
         "banded_overflow": {
             3000: lambda: t_banded_overflow(3000),
             12000: lambda: t_banded_overflow(12000),
+        },
+        "containment_overflow": {
+            900: lambda: t_containment_overflow(900),
+            3600: lambda: t_containment_overflow(3600),
         },
         "pagerank": {
             2 * small: lambda: t_pagerank(2 * small),
