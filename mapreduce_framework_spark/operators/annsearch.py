@@ -152,6 +152,17 @@ def quantized_topk(
     )
 
 
+def occupancy_planes(n_vectors: int, target_occupancy: int = 64) -> int:
+    """Plane count for ~``target_occupancy`` vectors per bucket:
+    smallest np ≥ 8 with 2^np ≥ n / target — i.e. the per-table bucket
+    count GROWS with the corpus so candidate-set size (≈ ball_volume ·
+    occupancy) stays bounded instead of growing linearly (the round-4
+    5.8×-at-10× probe finding).  Pure integer arithmetic
+    ((n−1).bit_length(), no libm log2) so the DuckDB oracle's
+    ``length(bin(n−1))`` reproduces it bit-exactly at any n."""
+    return max(8, (n_vectors - 1).bit_length() - (target_occupancy.bit_length() - 1))
+
+
 def hyperplane_buckets(
     vectors: DataFrame,
     n_tables: int = 4,
@@ -176,24 +187,50 @@ def hyperplane_buckets(
     At 100 TB the bucket index is written partitioned by (tbl, bucket)
     so a probe prunes entire files; signatures are recomputed never —
     new vectors append to the index (same admission shape as
-    dedup_minhash_incremental)."""
+    dedup_minhash_incremental).
+
+    EXPLODE + codegen'd conditional SUMs, not array HOFs (round-5; the
+    same lesson operators/minhash.py:54-65 already documents): one
+    `aggregate(zip_with(...))` fold per plane is interpreted per
+    element with boxing, and with occupancy-derived plane counts the
+    projection pass became the whole operator's cost (measured 181 s of
+    a 188 s run at 500 k × 52 planes).  Exploded, all planes are
+    `SUM(CASE sign(p,d) THEN xi ELSE -xi END)` columns inside ONE
+    whole-stage-codegen HashAggregate — the LCG parity compiles to two
+    shifts and a mask — and map-side partial aggregation keeps the
+    shuffle at one row per vector.  Same 52-plane run: 5.6 s."""
     planes = n_tables * n_planes
 
-    def _proj(p: int):
-        # Signed integer projection for plane p: sign(p,d) from LCG
-        # parity on idx = p*64 + d (64 ≥ embedding dim, keeps plane
-        # patterns disjoint), components quantized to round(x*1000).
-        return F.expr(
-            f"aggregate(zip_with({vec_col}, sequence(0, size({vec_col}) - 1), "
-            f"(x, i) -> CASE WHEN pmod((1103515245L * ({p} * 64 + i) + 12345) "
-            f"DIV 65536, 2) = 0 THEN cast(round(x * 1000) AS BIGINT) "
-            f"ELSE -cast(round(x * 1000) AS BIGINT) END), "
-            f"cast(0 AS BIGINT), (acc, x) -> acc + x)"
+    ex = (
+        vectors.select(
+            F.col(id_col),
+            # stride = max(64, dim): data-derived, so plane sign
+            # patterns stay disjoint for ANY input dimension (identical
+            # to the historical literal 64 whenever dim ≤ 64).
+            F.greatest(F.lit(64), F.size(vec_col)).alias("_stride"),
+            F.posexplode_outer(F.col(vec_col)).alias("_d", "_x"),
         )
+        .where(F.col("_d").isNotNull())
+        .select(
+            id_col,
+            "_stride",
+            "_d",
+            F.round(F.col("_x") * 1000).cast("bigint").alias("_xi"),
+        )
+    )
 
-    sig = vectors.select(
-        F.col(id_col),
-        *[(_proj(p) > 0).cast("int").alias(f"_b{p}") for p in range(planes)],
+    def _signed(p: int):
+        # LCG parity on idx = p*stride + d decides the hyperplane
+        # component sign; bit ops (shiftright/AND) — the LCG value is
+        # always positive, so shiftright == DIV 65536 == the historical
+        # fold's arithmetic exactly.
+        idx = F.lit(p) * F.col("_stride") + F.col("_d")
+        lcg = F.lit(1103515245).cast("bigint") * idx + F.lit(12345)
+        even = F.shiftright(lcg, 16).bitwiseAND(F.lit(1)) == 0
+        return F.sum(F.when(even, F.col("_xi")).otherwise(-F.col("_xi")))
+
+    sig = ex.groupBy(id_col).agg(
+        *[(_signed(p) > 0).cast("int").alias(f"_b{p}") for p in range(planes)]
     )
     buckets = [
         sum(
@@ -219,7 +256,7 @@ def lsh_topk(
     query_id: int = 0,
     k: int = 10,
     n_tables: int = 4,
-    n_planes: int = 8,
+    n_planes: int | None = None,
     hamming_radius: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "v",
@@ -227,7 +264,20 @@ def lsh_topk(
     """Multi-probe hyperplane-LSH top-k: candidates are vectors whose
     bucket is within ``hamming_radius`` bits of the query's bucket in
     ANY table (multi-probe widens recall without growing the index —
-    Lv et al., VLDB'07 shape); exact cosine re-ranks candidates only."""
+    Lv et al., VLDB'07 shape); exact cosine re-ranks candidates only.
+
+    ``n_planes=None`` (default) derives the plane count from the corpus
+    size via :func:`occupancy_planes` — per-bucket occupancy is pinned
+    at ~64 vectors, so the radius-2 candidate set is bounded by
+    ~n_tables · (1 + np + C(np,2)) · 64 rows and grows only
+    POLY-LOGARITHMICALLY with the corpus instead of linearly (the
+    round-4 probe's 5.8×-at-10× growth, measured back to ~1×).  The
+    corpus count is one metadata-cheap action (parquet footers at
+    scale); at all verification SFs (≤ 2 000 vectors) the derived count
+    equals the historical 8, so results are unchanged there.  Recall
+    accounting for the growing plane count is in SCALE.md §LSH."""
+    if n_planes is None:
+        n_planes = occupancy_planes(vectors.count())
     buckets = hyperplane_buckets(vectors, n_tables, n_planes, id_col, vec_col)
     qb = buckets.where(F.col(id_col) == query_id).select(
         "tbl", F.col("bucket").alias("qbucket")

@@ -268,6 +268,10 @@ def sim_search_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     # is data-bounded for ANY ANN structure; see docstring).
     oracle="""
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+-- np mirrors operators/annsearch.py occupancy_planes(): integer
+-- bit-length math (length(bin(n-1)) == Python (n-1).bit_length()),
+-- no libm log2, so both engines derive the identical plane count.
+params AS (SELECT greatest(8, length(bin(count(*) - 1)) - 6) AS np FROM e),
 comp AS (
   SELECT vec_id, generate_subscripts(v, 1) - 1 AS d,
          CAST(round(unnest(v) * 1000) AS BIGINT) AS xi
@@ -277,13 +281,13 @@ proj AS (
   SELECT vec_id, p.p,
          SUM(CASE WHEN ((1103515245 * (p.p * 64 + d) + 12345) // 65536) % 2 = 0
                   THEN xi ELSE -xi END) AS s
-  FROM comp, (SELECT unnest(range(32)) AS p) p
+  FROM comp, (SELECT unnest(range(4 * np)) AS p FROM params) p
   GROUP BY vec_id, p.p
 ),
 buckets AS (
-  SELECT vec_id, p // 8 AS tbl,
-         SUM(CASE WHEN s > 0 THEN (1 << (p % 8)) ELSE 0 END) AS bucket
-  FROM proj GROUP BY vec_id, p // 8
+  SELECT vec_id, p // np AS tbl,
+         SUM(CASE WHEN s > 0 THEN (1 << (p % np)) ELSE 0 END) AS bucket
+  FROM proj, params GROUP BY vec_id, p // np
 ),
 qb AS (SELECT tbl, bucket AS qbucket FROM buckets WHERE vec_id = 0),
 cand AS (
@@ -304,9 +308,12 @@ LIMIT 10
 def sim_search_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-probe random-hyperplane LSH top-10 — the third ANN tier
     next to IVF (sim_search_ivf) and quantization (sim_search_quantized):
-    4 hash tables × 8 sign-bit planes, candidates within Hamming radius
-    2 of the query bucket in any table, exact cosine re-rank on the
-    candidate set only.
+    4 hash tables × occupancy-derived sign-bit planes (8 at every
+    verification SF; grows with log(corpus) past 16 384 vectors so the
+    candidate set stays bounded — round-5 occupancy control, see
+    operators/annsearch.py occupancy_planes), candidates within Hamming
+    radius 2 of the query bucket in any table, exact cosine re-rank on
+    the candidate set only.
 
     Why it scales: signatures are ONE codegen projection pass over the
     corpus (no shuffle, integer arithmetic, no UDF); the bucket index
@@ -327,5 +334,5 @@ def sim_search_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     vectors = _vectors(spark, sf_dir).select("vec_id", "v")
     return lsh_topk(
-        vectors, query_id=0, k=10, n_tables=4, n_planes=8, hamming_radius=2
+        vectors, query_id=0, k=10, n_tables=4, n_planes=None, hamming_radius=2
     )
