@@ -24,10 +24,15 @@ from mapreduce_framework_spark.io import table
 from mapreduce_framework_spark.registry import register
 
 _N_ITER = 3
+_N_DEEP = 10
 
-# Unrolled oracle: r0 → c1/r1 → c2/r2 → c3/r3.
-_PR_STEPS = "".join(
-    f""",
+
+def _pr_oracle(n_iter: int) -> str:
+    """Unrolled oracle for n_iter rounds: r0 → c1/r1 → … → cN/rN.
+    The SAME generator serves the shallow (N=3) and deep (N=10) keys,
+    so the two can't silently diverge."""
+    steps = "".join(
+        f""",
 c{i} AS (
   SELECT e.dst AS node,
          SUM(CAST(floor(r.rank / d.deg) AS BIGINT)) AS s
@@ -39,10 +44,9 @@ c{i} AS (
 r{i} AS (
   SELECT node, CAST(150000 + floor(85 * s / 100) AS BIGINT) AS rank FROM c{i}
 )"""
-    for i in range(1, _N_ITER + 1)
-)
-
-_PR_ORACLE = f"""
+        for i in range(1, n_iter + 1)
+    )
+    return f"""
 WITH edges0 AS (
   SELECT DISTINCT 2 * o_custkey AS src, 2 * l_suppkey + 1 AS dst
   FROM orders JOIN lineitem ON o_orderkey = l_orderkey
@@ -53,9 +57,12 @@ edges AS (
   SELECT dst AS src, src AS dst FROM edges0
 ),
 deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
-r0 AS (SELECT src AS node, CAST(1000000 AS BIGINT) AS rank FROM deg){_PR_STEPS}
-SELECT node, rank FROM r{_N_ITER}
+r0 AS (SELECT src AS node, CAST(1000000 AS BIGINT) AS rank FROM deg){steps}
+SELECT node, rank FROM r{n_iter}
 """.strip()
+
+
+_PR_ORACLE = _pr_oracle(_N_ITER)
 
 
 def pagerank(
@@ -131,6 +138,15 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     deeper N the same :func:`pagerank` takes ``checkpoint_every=k`` —
     see its docstring and SCALE.md §Iterative for the measured N=10
     curve."""
+    return pagerank(
+        _customer_supplier_edges(spark, sf_dir), rounds=_N_ITER, checkpoint_every=None
+    )
+
+
+def _customer_supplier_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Undirected customer–supplier transaction graph (distinct pairs
+    from orders⋈lineitem; node ids disambiguated as 2k / 2k+1) — shared
+    by the shallow and deep PageRank keys."""
     o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     edges0 = (
@@ -141,10 +157,31 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    edges = edges0.unionByName(
+    return edges0.unionByName(
         edges0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
-    return pagerank(edges, rounds=_N_ITER, checkpoint_every=None)
+
+
+@register(
+    "graph_pagerank_deep",
+    oracle=_pr_oracle(_N_DEEP),
+    tags=("graph", "iterative"),
+    bench=True,
+)
+def graph_pagerank_deep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank at depth (10 rounds, damping 0.85) over the same graph
+    as graph_pagerank — the key whose EXECUTION path is the lineage-
+    truncated one: ``checkpoint_every=3`` localCheckpoints the rank
+    frame every 3 rounds, so the plan the optimizer sees stays 3 rounds
+    deep no matter how far the iteration runs (round-5; previously the
+    truncation path existed only behind a test).  Results are
+    bit-identical to the fully-lazy unroll (pinned at N=10 by
+    tests/test_scale_operators.py::test_pagerank_checkpoint_cadence_identical);
+    the wall-vs-N curve for both paths, measured from THIS function, is
+    in SCALE.md §Iterative."""
+    return pagerank(
+        _customer_supplier_edges(spark, sf_dir), rounds=_N_DEEP, checkpoint_every=3
+    )
 
 
 @register(
