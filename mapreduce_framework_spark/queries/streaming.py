@@ -345,7 +345,16 @@ def stream_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical.  Time-ordered replay makes the final snapshot equal the
     batch window (the oracle); out-of-order arrivals are ALSO handled
     correctly because last-wins compares (ts, event_id), not arrival
-    order — tests/test_streaming.py pins batching-invariance."""
+    order — tests/test_streaming.py pins batching-invariance.
+
+    Disk lifecycle (round-5): superseded snapshots are pruned inside
+    the merge (state_{b-2} removed once state_b is durable — the retry
+    contract only ever replays the LAST uncommitted batch, which needs
+    state_{b-1}), stale roots left by dead driver pids are swept at
+    start, and the source/checkpoint scratch is removed on completion
+    — so a replay of ANY batch count holds at most two snapshots on
+    disk (pinned by tests/test_streaming.py::
+    test_cdc_merge_disk_stays_bounded)."""
     import glob
     import os
     import shutil
@@ -354,6 +363,7 @@ def stream_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events").select(
         "ts", "event_id", "user_id", "event_type", "value"
     )
+    _sweep_stale_cdc_roots()
     tmp_root = os.path.join(tempfile.gettempdir(), f"mfs_cdc_{os.getpid()}")
     if os.path.isdir(tmp_root):
         shutil.rmtree(tmp_root, ignore_errors=True)
@@ -371,6 +381,55 @@ def stream_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     part_files = sorted(glob.glob(os.path.join(src_dir, "part-*")))
     for i, f in enumerate(part_files):
         os.utime(f, (1_600_000_000 + i * 60, 1_600_000_000 + i * 60))
+
+    q = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+        .writeStream.foreachBatch(cdc_merge(state_root))
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    last = max(
+        int(d.rsplit("_", 1)[1])
+        for d in os.listdir(state_root)
+        if d.startswith("state_")
+    )
+    # The returned frame reads ONLY the final snapshot; everything else
+    # (replayed source, stream checkpoint, the one older snapshot the
+    # retry contract kept) is scratch now.
+    shutil.rmtree(src_dir, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    for d in os.listdir(state_root):
+        if d.startswith("state_") and d != f"state_{last}":
+            shutil.rmtree(os.path.join(state_root, d), ignore_errors=True)
+    from pyspark.sql import functions as F
+
+    return (
+        spark.read.parquet(os.path.join(state_root, f"state_{last}"))
+        .where(F.col("event_type") != "error")
+        .select(
+            "user_id",
+            F.col("ts").alias("last_ts"),
+            F.col("event_id").alias("last_event_id"),
+            F.col("event_type").alias("last_event_type"),
+            F.col("value").alias("last_value"),
+        )
+    )
+
+
+def cdc_merge(state_root: str):
+    """foreachBatch callable for the ping-pong CDC merge: batch b reads
+    state_{b-1}, reduces last-writer-wins, writes state_b, then prunes
+    state_{b-2} — the oldest snapshot a post-crash retry could still
+    need is state_{b-1} (Structured Streaming replays only the last
+    uncommitted batch), so disk holds ≤ 2 snapshots at any batch
+    depth."""
+    import os
+    import shutil
 
     def merge(batch: DataFrame, batch_id: int) -> None:
         from pyspark.sql import functions as F
@@ -392,33 +451,31 @@ def stream_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
             .write.mode("overwrite")
             .parquet(out_dir)
         )
+        superseded = os.path.join(state_root, f"state_{batch_id - 2}")
+        if batch_id > 1 and os.path.isdir(superseded):
+            shutil.rmtree(superseded, ignore_errors=True)
 
-    q = (
-        spark.readStream.schema(ev.schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(src_dir)
-        .writeStream.foreachBatch(merge)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    return merge
 
-    last = max(
-        int(d.rsplit("_", 1)[1])
-        for d in os.listdir(state_root)
-        if d.startswith("state_")
-    )
-    from pyspark.sql import functions as F
 
-    return (
-        spark.read.parquet(os.path.join(state_root, f"state_{last}"))
-        .where(F.col("event_type") != "error")
-        .select(
-            "user_id",
-            F.col("ts").alias("last_ts"),
-            F.col("event_id").alias("last_event_id"),
-            F.col("event_type").alias("last_event_type"),
-            F.col("value").alias("last_value"),
-        )
-    )
+def _sweep_stale_cdc_roots() -> None:
+    """Remove mfs_cdc_<pid> scratch roots whose driver pid is dead —
+    without this, every crashed/killed run leaks its root forever."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    for root in glob.glob(os.path.join(tempfile.gettempdir(), "mfs_cdc_*")):
+        try:
+            pid = int(root.rsplit("_", 1)[1])
+        except ValueError:
+            continue
+        if pid == os.getpid():
+            continue
+        try:
+            os.kill(pid, 0)
+        except ProcessLookupError:
+            shutil.rmtree(root, ignore_errors=True)
+        except PermissionError:
+            pass  # live pid owned by someone else — leave it

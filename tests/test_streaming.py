@@ -239,6 +239,58 @@ def test_batching_invariance_across_trigger_sizes(spark, events):
     assert stateful[0] == stateful[1]
 
 
+def test_cdc_merge_disk_stays_bounded(spark, tmp_path):
+    """Deep-replay disk lifecycle (round-5): driving the REAL
+    foreachBatch merge callable through many batches must never hold
+    more than two snapshot directories (state_b plus the state_{b-1} a
+    post-crash retry of batch b could still need) — before the round-5
+    pruning, a 1000-batch replay accumulated 1000 directories.  Also
+    pins retryability: re-running the last batch against the pruned
+    root regenerates state_b identically."""
+    import datetime as dt
+    import os
+
+    from mapreduce_framework_spark.queries.streaming import cdc_merge
+
+    state_root = str(tmp_path / "state")
+    os.makedirs(state_root)
+    merge = cdc_merge(state_root)
+
+    def batch_df(b):
+        rows = [
+            (dt.datetime(2024, 1, 1, 0, 0, b), b * 2, b % 7, "click", float(b)),
+            (dt.datetime(2024, 1, 1, 0, 0, b), b * 2 + 1, (b + 3) % 7, "view", float(b)),
+        ]
+        return spark.createDataFrame(
+            rows,
+            "ts timestamp, event_id long, user_id long, event_type string, value double",
+        )
+
+    n_batches = 40
+    for b in range(n_batches):
+        merge(batch_df(b), b)
+        dirs = [d for d in os.listdir(state_root) if d.startswith("state_")]
+        assert len(dirs) <= 2, f"batch {b}: snapshots leaked: {sorted(dirs)}"
+
+    final = {
+        tuple(r)
+        for r in spark.read.parquet(
+            os.path.join(state_root, f"state_{n_batches - 1}")
+        ).collect()
+    }
+    # Post-crash retry of the LAST batch: state_{b-1} must still exist
+    # and the regenerated snapshot must be identical.
+    merge(batch_df(n_batches - 1), n_batches - 1)
+    retried = {
+        tuple(r)
+        for r in spark.read.parquet(
+            os.path.join(state_root, f"state_{n_batches - 1}")
+        ).collect()
+    }
+    assert retried == final
+    assert len(final) == 7  # one live row per user key
+
+
 def test_cdc_upsert_tombstone_semantics(spark):
     """CDC last-writer-wins on a planted changelog: a key whose LAST
     change is a tombstone is absent from the snapshot; a key upserted
