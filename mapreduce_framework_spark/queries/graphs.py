@@ -243,10 +243,14 @@ def graph_triangle_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_knn_frame(l)
 
 
-def triangle_knn_frame(l: DataFrame, k: int = 5) -> DataFrame:
-    """kNN-graph + triangle core over an (l_orderkey, l_suppkey)
-    membership frame — reusable heart of graph_triangle_knn, shared
-    with tools/scale_probe.py."""
+def knn_edges_frame(l: DataFrame, k: int = 5) -> DataFrame:
+    """Canonical undirected kNN co-occurrence edges (u < v) from an
+    (l_orderkey, l_suppkey) membership frame: co-occurrence weight =
+    distinct shared orders, per-node top-k cut (ties to the lower
+    partner key), then least/greatest canonicalization — the ONE edge
+    derivation shared by graph_triangle_knn and
+    graph_degree_distribution (and their matching oracle CTEs), so the
+    two keys cannot silently diverge on k or tie-break rules."""
     from pyspark.sql import Window
 
     a = l.select(F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("s1"))
@@ -263,9 +267,16 @@ def triangle_knn_frame(l: DataFrame, k: int = 5) -> DataFrame:
         .where(F.col("rn") <= k)
         .select("s1", "s2")
     )
-    edges = knn.select(
+    return knn.select(
         F.least("s1", "s2").alias("u"), F.greatest("s1", "s2").alias("v")
     ).distinct()
+
+
+def triangle_knn_frame(l: DataFrame, k: int = 5) -> DataFrame:
+    """kNN-graph + triangle core over an (l_orderkey, l_suppkey)
+    membership frame — reusable heart of graph_triangle_knn, shared
+    with tools/scale_probe.py."""
+    edges = knn_edges_frame(l, k)
     e1 = edges.select(F.col("u").alias("a"), F.col("v").alias("b"))
     e2 = edges.select(F.col("u").alias("b"), F.col("v").alias("c"))
     e3 = edges.select(F.col("u").alias("a"), F.col("v").alias("c"))
@@ -316,25 +327,7 @@ def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     then two skinny aggregates; the corpus-sized work is the one
     co-occurrence shuffle shared with the triangle key."""
     l = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    from pyspark.sql import Window
-
-    a = l.select(F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("s1"))
-    b = l.select(F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("s2"))
-    co = (
-        a.join(b, "ok")
-        .where(F.col("s1") != F.col("s2"))
-        .groupBy("s1", "s2")
-        .agg(F.countDistinct("ok").alias("w"))
-    )
-    w = Window.partitionBy("s1").orderBy(F.desc("w"), F.asc("s2"))
-    knn = (
-        co.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") <= 5)
-        .select("s1", "s2")
-    )
-    edges = knn.select(
-        F.least("s1", "s2").alias("u"), F.greatest("s1", "s2").alias("v")
-    ).distinct()
+    edges = knn_edges_frame(l, k=5)
     deg = (
         edges.select(F.col("u").alias("node"))
         .unionByName(edges.select(F.col("v").alias("node")))

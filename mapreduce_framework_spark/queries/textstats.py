@@ -778,7 +778,14 @@ def quality_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def lm_perplexity_frame(d: DataFrame) -> DataFrame:
     """Bigram-LM scoring core over a (doc_id, text) frame — reusable
-    heart of quality_lm_perplexity, shared with tools/scale_probe.py."""
+    heart of quality_lm_perplexity, shared with tools/scale_probe.py.
+
+    The count-table joins carry NO broadcast hint (round-5; a hint
+    bypasses Spark's size threshold, so on an open vocabulary the full
+    bigram table would be collected to the driver — exactly the OOM
+    the docstring's scale note warns about).  AQE sizes the actual
+    exchange: bounded vocab → runtime broadcast, open vocab → shuffle
+    joins keyed on the bigram."""
     tk = F.split("text", " ")
     big = d.select(
         "doc_id",
@@ -791,9 +798,7 @@ def lm_perplexity_frame(d: DataFrame) -> DataFrame:
     ).select("doc_id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
     cnt = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c"))
     ctx = big.groupBy("w1").agg(F.count(F.lit(1)).alias("cw"))
-    scored = big.join(F.broadcast(cnt), ["w1", "w2"]).join(
-        F.broadcast(ctx), "w1"
-    )
+    scored = big.join(cnt, ["w1", "w2"]).join(ctx, "w1")
     return scored.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_bigrams"),
         F.round(F.avg(F.log2(F.col("cw") / F.col("c"))), 6).alias("avg_nll_bits"),

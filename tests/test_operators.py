@@ -379,7 +379,6 @@ def test_lm_perplexity_planted_extremes(spark):
             }
         )
     )
-    df.createOrReplaceTempView("___lm_docs")
     from pyspark.sql import functions as F  # noqa: F811
 
     tk = F.split("text", " ")
