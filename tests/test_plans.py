@@ -451,6 +451,20 @@ def test_lsh_signatures_have_no_shuffle(spark):
     assert "SortMergeJoin" not in plan
 
 
+def test_containment_routing_joins_broadcast(spark):
+    """The block-cap category routing must broadcast: big_cats is a
+    tiny category list, so both the left_anti (exact tier) and
+    left_semi (overflow tier) routing joins against the corpus must be
+    broadcast joins — a shuffle there would move the whole corpus just
+    to split it in two."""
+    from mapreduce_framework_spark.plans import formatted_plan
+
+    plan = formatted_plan(_q(spark, "dedup_containment"))
+    # anti + semi routing both present, both broadcast-side
+    assert "BroadcastHashJoin LeftAnti BuildRight" in plan
+    assert "BroadcastHashJoin LeftSemi BuildRight" in plan
+
+
 def test_lm_perplexity_count_joins_broadcast(spark):
     """BOUNDED-vocab path only (round-5): the joins carry no broadcast
     hint anymore (a hint bypasses the size threshold and would collect
