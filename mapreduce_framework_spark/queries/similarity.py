@@ -44,6 +44,67 @@ def sim_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sim_search_topk_batch",
+    # Both engines rank by the ROUNDED cosine with vec_id tie-break, so
+    # the per-query top-10 lists are deterministic and hash-checkable.
+    oracle="""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 8)
+SELECT query_id, vec_id, cos_sim, CAST(rn AS INT) AS rk
+FROM (
+  SELECT q.query_id, e.vec_id,
+         round(list_cosine_similarity(e.v, q.qv), 6) AS cos_sim,
+         row_number() OVER (
+           PARTITION BY q.query_id
+           ORDER BY round(list_cosine_similarity(e.v, q.qv), 6) DESC,
+                    e.vec_id ASC
+         ) AS rn
+  FROM e, q
+  WHERE e.vec_id <> q.query_id
+)
+WHERE rn <= 10
+""".strip(),
+    tags=("similarity", "batch"),
+)
+def sim_search_topk_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BATCHED exact top-10: the 8 query vectors (vec_id < 8) answered
+    in ONE corpus scan — the production ANN serving shape (a query per
+    ROW, not a query per job; single-query keys amortize nothing).
+
+    Scale: the query set broadcasts (queries ≪ corpus always), scoring
+    is one map-side pass producing skinny (query_id, vec_id, cos) rows,
+    and the per-query top-k is a window over the query_id partitioning
+    — the only shuffle carries |Q|·n skinny rows, never the vectors.
+    At 100 TB with large |Q| the same plan becomes IVF-routed (each
+    query scores only its probed cells, sim_search_ivf's pruning per
+    batch row); brute-force-per-batch here is the recall baseline those
+    variants are measured against."""
+    from pyspark.sql import Window
+
+    from mapreduce_framework_spark.functions.vector import cosine
+
+    vectors = _vectors(spark, sf_dir).select("vec_id", "v")
+    queries = vectors.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    scored = (
+        vectors.crossJoin(F.broadcast(queries))
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(cosine(F.col("v"), F.col("qv")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 10)
+        .select("query_id", "vec_id", "cos_sim", "rk")
+    )
+
+
+@register(
     "sim_search_ivf",
     # The IVF pipeline is deterministic end-to-end (seed centroids =
     # 16 lowest vec_ids, argmax-cosine assignment with lowest-cell-id
