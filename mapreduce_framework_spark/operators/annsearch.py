@@ -92,6 +92,53 @@ def ivf_topk(
     )
 
 
+def ivf_topk_batch(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_probe: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+) -> DataFrame:
+    """Per-query IVF top-k for a whole query SET in one plan.
+    ``queries``: (query_id, qv) rows.  The batch-serving shape: cell
+    assignment runs once for all queries, each query probes only its
+    ``n_probe`` nearest cells (probe rows carry the query vector, so
+    scoring needs no second query join), and the per-query top-k is a
+    window over skinny (query_id, vec_id, cos) rows.  At 100 TB the
+    assigned table is partitioned by cell_id and the broadcast probe
+    join prunes whole files per query — total scan cost is
+    Σ_q probed-cell volume, independent of batch size beyond that."""
+    from pyspark.sql import Window
+
+    assigned = assign_cells(vectors, centroids, id_col, vec_col)
+    qc = queries.crossJoin(F.broadcast(centroids)).select(
+        "query_id", "qv", "cell_id", cosine(F.col("qv"), F.col("cv")).alias("_cs")
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.desc("_cs"), F.asc("cell_id"))
+    probes = (
+        qc.withColumn("_rn", F.row_number().over(wq))
+        .where(F.col("_rn") <= n_probe)
+        .select("query_id", "qv", "cell_id")
+    )
+    scored = (
+        assigned.join(F.broadcast(probes), "cell_id")
+        .where(F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id",
+            id_col,
+            F.round(cosine(F.col(vec_col), F.col("qv")), 6).alias("cos_sim"),
+        )
+    )
+    wk = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc(id_col))
+    return (
+        scored.withColumn("rk", F.row_number().over(wk))
+        .where(F.col("rk") <= k)
+        .select("query_id", id_col, "cos_sim", "rk")
+    )
+
+
 def quantize(
     vectors: DataFrame,
     id_col: str = "vec_id",

@@ -166,6 +166,74 @@ def sim_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "sim_search_ivf_batch",
+    # Deterministic end-to-end (seed centroids, argmax assignment with
+    # lowest-cell tie-break, fixed probes, rounded-cosine ranking with
+    # vec_id tie-break), so the per-query IVF lists are hash-checkable.
+    oracle="""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 8),
+c AS (SELECT vec_id AS cell_id, v AS cv FROM e ORDER BY vec_id LIMIT 16),
+assigned AS (
+  SELECT vec_id, v, cell_id FROM (
+    SELECT e.vec_id, e.v, c.cell_id,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cell_id ASC
+           ) AS rn
+    FROM e, c
+  ) WHERE rn = 1
+),
+probes AS (
+  SELECT query_id, qv, cell_id FROM (
+    SELECT q.query_id, q.qv, c.cell_id,
+           row_number() OVER (
+             PARTITION BY q.query_id
+             ORDER BY list_cosine_similarity(c.cv, q.qv) DESC, c.cell_id ASC
+           ) AS rn
+    FROM q, c
+  ) WHERE rn <= 4
+),
+scored AS (
+  SELECT p.query_id, a.vec_id,
+         round(list_cosine_similarity(a.v, p.qv), 6) AS cos_sim
+  FROM assigned a JOIN probes p ON a.cell_id = p.cell_id
+  WHERE a.vec_id <> p.query_id
+)
+SELECT query_id, vec_id, cos_sim, CAST(rn AS INT) AS rk
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY cos_sim DESC, vec_id ASC
+  ) AS rn FROM scored
+)
+WHERE rn <= 10
+""".strip(),
+    tags=("similarity", "ann", "batch"),
+)
+def sim_search_ivf_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched IVF serving — the composition of sim_search_ivf's
+    scan pruning with sim_search_topk_batch's query-per-row
+    amortization: cell assignment runs ONCE, each of the 8 queries
+    probes only its 4 nearest of the 16 cells, and scoring touches
+    Σ_q probed-cell volume instead of |Q|·corpus.  At 100 TB the
+    assigned table is partitioned by cell_id so each query's probe
+    prunes whole files — this is the plan an online batch ANN endpoint
+    actually runs."""
+    from mapreduce_framework_spark.operators.annsearch import ivf_topk_batch
+
+    vectors = _vectors(spark, sf_dir).select("vec_id", "v")
+    centroids = (
+        vectors.orderBy("vec_id")
+        .limit(16)
+        .select(F.col("vec_id").cast("int").alias("cell_id"), F.col("v").alias("cv"))
+    )
+    queries = vectors.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    return ivf_topk_batch(vectors, centroids, queries, k=10, n_probe=4)
+
+
 # IVF over REAL k-means centroids: stage 1 replicates the
 # embedding_kmeans oracle's first Lloyd round (exact integer-lattice
 # arithmetic) to derive centroids c1; stage 2 replicates the IVF
