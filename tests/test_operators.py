@@ -79,6 +79,35 @@ def test_ivf_recall_against_brute_force(spark):
     assert recall >= 0.5, f"IVF recall too low: {recall} (exact={exact}, ivf={approx})"
 
 
+def test_batch_keys_agree_with_single_query_keys(spark):
+    """Batch serving must be a pure amortization, not a semantics
+    change: query 0's rows in sim_search_topk_batch equal the
+    single-query sim_search_topk list, and every query's IVF-batch
+    recall against its own exact batch top-10 clears the same floor the
+    single-query IVF key promises."""
+    from collections import defaultdict
+
+    from mapreduce_framework_spark.registry import get_query
+
+    exact_single = [
+        r.vec_id for r in get_query("sim_search_topk").fn(spark, SF_DIR).collect()
+    ]
+    batch = get_query("sim_search_topk_batch").fn(spark, SF_DIR).collect()
+    exact_by_q = defaultdict(list)
+    for r in sorted(batch, key=lambda r: (r.query_id, r.rk)):
+        exact_by_q[r.query_id].append(r.vec_id)
+    assert sorted(exact_by_q) == list(range(8))
+    assert exact_by_q[0] == exact_single
+
+    ivf_batch = get_query("sim_search_ivf_batch").fn(spark, SF_DIR).collect()
+    ivf_by_q = defaultdict(set)
+    for r in ivf_batch:
+        ivf_by_q[r.query_id].add(r.vec_id)
+    for q in range(8):
+        recall = len(ivf_by_q[q] & set(exact_by_q[q])) / 10
+        assert recall >= 0.4, f"query {q}: IVF-batch recall {recall}"
+
+
 def test_ivf_kmeans_recall_against_brute_force(spark):
     """IVF over real k-means centroids (3/8 cells probed) must recover
     most of the exact top-10 — and at least as much structure as the
