@@ -111,6 +111,14 @@ def pagerank(
         )
         if checkpoint_every and (i + 1) % checkpoint_every == 0 and (i + 1) < rounds:
             ranks = ranks.localCheckpoint(eager=True)
+    if checkpoint_every:
+        # Final eager checkpoint makes the returned frame independent
+        # of the persisted edge frame, so we can release it here — in
+        # local mode persisted blocks live in the DRIVER's JVM, and a
+        # leak per run is what pushed a long multi-query session into
+        # broadcast OOM (round-5 sf0.1 sweep finding).
+        ranks = ranks.localCheckpoint(eager=True)
+        edges_deg.unpersist()
     return ranks
 
 

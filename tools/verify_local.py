@@ -87,6 +87,15 @@ def main() -> int:
             entry["err"] = f"{type(e).__name__}: {e}"[:300]
         entry["sec"] = round(time.time() - t0, 1)
         report[name] = entry
+        # Release cached/persisted blocks between keys: in local mode
+        # they live in the driver JVM, and 160+ queries of accumulated
+        # storage pushed late keys into broadcast OOM (round-5).  The
+        # per-key check is unchanged — each key still runs on the bare
+        # session with only its own runtime-conf pinning.
+        try:
+            spark.catalog.clearCache()
+        except Exception:
+            pass
         status = (
             "ERR"
             if entry["err"]
