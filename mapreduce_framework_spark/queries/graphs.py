@@ -88,14 +88,23 @@ def pagerank(
     plan-explosion-bound, N=10 with k=3 stays flat per round; results
     are bit-identical on either path."""
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-    edges_deg = edges.join(deg, "src")
+    # In checkpoint mode every per-round join is pinned to shuffle-hash.
+    # Scale-honest: deg and ranks are node-sized — the same magnitude as
+    # the frontier — so at 100 TB neither side broadcasts anyway; and in
+    # local/driver-constrained sessions each eager checkpoint job would
+    # otherwise BUILD a fresh driver-side broadcast per cadence, which is
+    # what OOMed a long 167-key sf0.1 sweep (round-5 finding: broadcast
+    # build needs free driver storage memory the shared session no longer
+    # had).  The shallow lazy path keeps Catalyst/AQE's free choice.
+    edges_deg = edges.join(deg.hint("shuffle_hash") if checkpoint_every else deg, "src")
     if checkpoint_every:
         edges_deg = edges_deg.persist()
     ranks = deg.select(
         F.col("src").alias("node"), F.lit(1_000_000).cast("bigint").alias("rank")
     )
     for i in range(rounds):
-        contrib = edges_deg.join(ranks, edges_deg.src == ranks.node).select(
+        rhs = ranks.hint("shuffle_hash") if checkpoint_every else ranks
+        contrib = edges_deg.join(rhs, edges_deg.src == rhs.node).select(
             "dst",
             F.floor(F.col("rank") / F.col("deg")).cast("bigint").alias("c"),
         )

@@ -94,6 +94,17 @@ def main() -> int:
         # session with only its own runtime-conf pinning.
         try:
             spark.catalog.clearCache()
+            # clearCache drops cached plans but NOT the localCheckpoint
+            # RDD blocks / broadcast pieces earlier keys left behind —
+            # those are freed by the ContextCleaner only after a GC
+            # notices the references are dead.  Force both collectors so
+            # the bare 1g-driver session's storage pool is actually empty
+            # when the next key needs to build a broadcast (round-5
+            # sf0.1 sweep OOM under graph_pagerank_deep).
+            import gc as _gc
+
+            _gc.collect()
+            spark.sparkContext._jvm.System.gc()
         except Exception:
             pass
         status = (
