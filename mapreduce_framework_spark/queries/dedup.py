@@ -425,6 +425,96 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_semantic",
+    oracle="""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         list_transform(CAST(embedding AS DOUBLE[]),
+                        x -> CAST(round(x * 10000) AS BIGINT)) AS q
+  FROM embeddings
+),
+kk AS (SELECT greatest(8, count(*) // 64) AS k FROM e),
+ex AS (SELECT vec_id, unnest(q) AS val, unnest(range(len(q))) AS pos FROM e),
+c0 AS (SELECT CAST(vec_id AS INTEGER) AS cid, pos, val FROM ex
+       WHERE vec_id < (SELECT k FROM kk)),
+d1 AS (
+  SELECT ex.vec_id, c.cid, SUM((ex.val - c.val) * (ex.val - c.val)) AS dist
+  FROM ex JOIN c0 c USING (pos)
+  GROUP BY ex.vec_id, c.cid
+),
+a1 AS (SELECT vec_id, cid FROM d1
+       QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) = 1),
+m AS (SELECT a1.vec_id, a1.cid, e.v FROM a1 JOIN e USING (vec_id)),
+p AS (
+  SELECT b.vec_id
+  FROM m a JOIN m b ON a.cid = b.cid AND a.vec_id < b.vec_id
+  WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.4
+),
+drops AS (SELECT DISTINCT vec_id FROM p)
+SELECT m.vec_id, m.cid AS cluster_id, (d.vec_id IS NULL) AS keep
+FROM m LEFT JOIN drops d ON m.vec_id = d.vec_id
+""".strip(),
+    tags=("dedup", "embedding", "clustering"),
+)
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup (Abbas et al., arXiv:2303.09540):
+    k-means-assign the corpus, compare cosines only WITHIN a cluster,
+    greedily keep the lowest vec_id of each near-dup pair.  This makes
+    `dedup_embedding`'s docstring claim ("at scale the label comes from
+    k-means") an executable, oracle-checked composition: the blocks here
+    ARE the kmeans assignment (`operators/kmeans.py:assign`, integer
+    lattice, struct-min argmin), not a pre-existing column.
+
+    k is derived from corpus size IN-PLAN — ``k = max(8, n // 64)``, the
+    same fixed-occupancy philosophy as `annsearch.occupancy_planes` — so
+    expected cluster occupancy pins at ~64 and the within-cluster pair
+    stage does ~32·n comparisons TOTAL at any corpus size (linear; the
+    quadratic all-pairs term is the thing SemDeDup exists to kill).
+    Honest cost accounting at 100 TB: the assignment step is n·k
+    distance evaluations — flops-heavy but map-side, shuffle-free, and
+    embarrassingly parallel (the paper pays the same bill on GPUs); the
+    levers to cut its constant are coarser k, the int8-quantized
+    distance of `sim_search_quantized`, or a two-level coarse→fine
+    assignment via the IVF machinery (`operators/annsearch.py`).
+    Known recall trade, also the paper's: a near-dup pair straddling a
+    cluster boundary is not compared.  Greedy lowest-id keep (drop any
+    vector with a lower-id qualifying neighbor in its cluster) avoids
+    transitive closure — no iteration, fully deterministic."""
+    from mapreduce_framework_spark.operators.kmeans import assign, quantize
+
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        quantize(F.col("embedding")).alias("qv"),
+        F.col("embedding").cast("array<double>").alias("vd"),
+    )
+    kf = e.agg(F.greatest(F.lit(8), F.expr("count(1) div 64")).alias("k"))
+    seeds = (
+        e.crossJoin(F.broadcast(kf))
+        .where(F.col("vec_id") < F.col("k"))
+        .select(F.col("vec_id").cast("int").alias("cid"), F.col("qv").alias("c"))
+    )
+    assigned = assign(
+        e.select("vec_id", F.col("qv").alias("v")), seeds
+    ).select("vec_id", "cid")
+    m = assigned.join(e.select("vec_id", "vd"), "vec_id")
+    a = m.select(F.col("vec_id").alias("id_a"), "cid", F.col("vd").alias("va"))
+    b = m.select(F.col("vec_id").alias("id_b"), "cid", F.col("vd").alias("vb"))
+    drops = (
+        a.join(b, "cid")
+        .where(F.col("id_a") < F.col("id_b"))
+        .where(F.round(cosine(F.col("va"), F.col("vb")), 6) >= 0.4)
+        .select(F.col("id_b").alias("vec_id"))
+        .distinct()
+        .withColumn("_d", F.lit(1))
+    )
+    return m.join(drops, "vec_id", "left").select(
+        "vec_id",
+        F.col("cid").alias("cluster_id"),
+        F.col("_d").isNull().alias("keep"),
+    )
+
+
+@register(
     "dedup_clusters",
     oracle="""
 WITH RECURSIVE

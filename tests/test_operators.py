@@ -623,3 +623,25 @@ def test_streaks_on_planted_pattern(spark):
         F.sum("len").alias("tot"),
     ).collect()[0]
     assert (out.n, out.mx, out.tot) == (3, 3, 6)
+
+
+def test_semantic_dedup_invariants(spark):
+    """dedup_semantic invariants: one verdict row per corpus vector;
+    the lowest vec_id of every cluster is always kept (greedy drop
+    needs a LOWER-id neighbor in the same cluster, which that vector
+    cannot have).  Cross-engine value correctness is the oracle's job
+    (verify sweeps); this pins the keep-rule semantics."""
+    from mapreduce_framework_spark.registry import get_query
+
+    out = get_query("dedup_semantic").fn(spark, SF_DIR)
+    rows = out.collect()
+    from mapreduce_framework_spark.io import table as _table
+
+    n = _table(spark, SF_DIR, "embeddings").count()
+    assert len(rows) == n
+    by_cluster: dict = {}
+    for r in rows:
+        by_cluster.setdefault(r.cluster_id, []).append(r)
+    for members in by_cluster.values():
+        lowest = min(members, key=lambda r: r.vec_id)
+        assert lowest.keep, f"cluster min id {lowest.vec_id} was dropped"
