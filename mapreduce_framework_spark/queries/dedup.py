@@ -456,6 +456,49 @@ FROM m LEFT JOIN drops d ON m.vec_id = d.vec_id
 """.strip(),
     tags=("dedup", "embedding", "clustering"),
 )
+def semantic_dedup_frame(
+    e: DataFrame, tau: float = 0.4, occupancy: int = 64
+) -> DataFrame:
+    """Frame core of dedup_semantic over ``e = (vec_id, v:
+    array<double>)`` — separated so tools/scale_probe.py can measure
+    growth on synthetic corpora with the REAL operator code.  Returns
+    (vec_id, cluster_id, keep)."""
+    from mapreduce_framework_spark.operators.kmeans import assign, quantize
+
+    base = e.select(
+        "vec_id",
+        quantize(F.col("v")).alias("qv"),
+        F.col("v").cast("array<double>").alias("vd"),
+    )
+    kf = base.agg(
+        F.greatest(F.lit(8), F.expr(f"count(1) div {occupancy}")).alias("k")
+    )
+    seeds = (
+        base.crossJoin(F.broadcast(kf))
+        .where(F.col("vec_id") < F.col("k"))
+        .select(F.col("vec_id").cast("int").alias("cid"), F.col("qv").alias("c"))
+    )
+    assigned = assign(
+        base.select("vec_id", F.col("qv").alias("v")), seeds
+    ).select("vec_id", "cid")
+    m = assigned.join(base.select("vec_id", "vd"), "vec_id")
+    a = m.select(F.col("vec_id").alias("id_a"), "cid", F.col("vd").alias("va"))
+    b = m.select(F.col("vec_id").alias("id_b"), "cid", F.col("vd").alias("vb"))
+    drops = (
+        a.join(b, "cid")
+        .where(F.col("id_a") < F.col("id_b"))
+        .where(F.round(cosine(F.col("va"), F.col("vb")), 6) >= F.lit(tau))
+        .select(F.col("id_b").alias("vec_id"))
+        .distinct()
+        .withColumn("_d", F.lit(1))
+    )
+    return m.join(drops, "vec_id", "left").select(
+        "vec_id",
+        F.col("cid").alias("cluster_id"),
+        F.col("_d").isNull().alias("keep"),
+    )
+
+
 def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style semantic dedup (Abbas et al., arXiv:2303.09540):
     k-means-assign the corpus, compare cosines only WITHIN a cluster,
@@ -480,37 +523,10 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     cluster boundary is not compared.  Greedy lowest-id keep (drop any
     vector with a lower-id qualifying neighbor in its cluster) avoids
     transitive closure — no iteration, fully deterministic."""
-    from mapreduce_framework_spark.operators.kmeans import assign, quantize
-
-    e = table(spark, sf_dir, "embeddings").select(
-        "vec_id",
-        quantize(F.col("embedding")).alias("qv"),
-        F.col("embedding").cast("array<double>").alias("vd"),
-    )
-    kf = e.agg(F.greatest(F.lit(8), F.expr("count(1) div 64")).alias("k"))
-    seeds = (
-        e.crossJoin(F.broadcast(kf))
-        .where(F.col("vec_id") < F.col("k"))
-        .select(F.col("vec_id").cast("int").alias("cid"), F.col("qv").alias("c"))
-    )
-    assigned = assign(
-        e.select("vec_id", F.col("qv").alias("v")), seeds
-    ).select("vec_id", "cid")
-    m = assigned.join(e.select("vec_id", "vd"), "vec_id")
-    a = m.select(F.col("vec_id").alias("id_a"), "cid", F.col("vd").alias("va"))
-    b = m.select(F.col("vec_id").alias("id_b"), "cid", F.col("vd").alias("vb"))
-    drops = (
-        a.join(b, "cid")
-        .where(F.col("id_a") < F.col("id_b"))
-        .where(F.round(cosine(F.col("va"), F.col("vb")), 6) >= 0.4)
-        .select(F.col("id_b").alias("vec_id"))
-        .distinct()
-        .withColumn("_d", F.lit(1))
-    )
-    return m.join(drops, "vec_id", "left").select(
-        "vec_id",
-        F.col("cid").alias("cluster_id"),
-        F.col("_d").isNull().alias("keep"),
+    return semantic_dedup_frame(
+        table(spark, sf_dir, "embeddings").select(
+            "vec_id", F.col("embedding").alias("v")
+        )
     )
 
 

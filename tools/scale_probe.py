@@ -170,6 +170,7 @@ def build_tiers(spark, small: int, big: int) -> dict[str, dict[int, callable]]:
         banded_jaccard_pairs,
         chunk_dedup_frame,
         containment_pairs,
+        semantic_dedup_frame,
     )
     from mapreduce_framework_spark.queries.graphs import pagerank, triangle_knn_frame
     from mapreduce_framework_spark.queries.pipeline import curation_funnel_frame
@@ -295,6 +296,12 @@ def build_tiers(spark, small: int, big: int) -> dict[str, dict[int, callable]]:
     def t_lsh(n):
         return lsh_topk(corpus("vectors", n), query_id=0, k=10).count()
 
+    def t_semantic(n):
+        # SemDeDup frame: occupancy-pinned pair stage (linear by
+        # construction) + n·k map-side assignment (super-linear FLOPS,
+        # zero shuffle growth — priced, see SCALE.md §Semantic dedup).
+        return semantic_dedup_frame(corpus("vectors", n)).count()
+
     # Tier-appropriate sizes: linear tiers run at (small, big); the
     # banded exact tier runs smaller because its within-cap block work
     # is deliberately quadratic; the overflow tier brackets the
@@ -344,6 +351,10 @@ def build_tiers(spark, small: int, big: int) -> dict[str, dict[int, callable]]:
         "lsh_ann": {
             small: lambda: t_lsh(small),
             big: lambda: t_lsh(big),
+        },
+        "semantic_dedup": {
+            4000: lambda: t_semantic(4000),
+            16000: lambda: t_semantic(16000),
         },
         "ks_drift": {
             10 * small: lambda: t_ks_drift(10 * small),
