@@ -424,38 +424,6 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "dedup_semantic",
-    oracle="""
-WITH e AS (
-  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
-         list_transform(CAST(embedding AS DOUBLE[]),
-                        x -> CAST(round(x * 10000) AS BIGINT)) AS q
-  FROM embeddings
-),
-kk AS (SELECT greatest(8, count(*) // 64) AS k FROM e),
-ex AS (SELECT vec_id, unnest(q) AS val, unnest(range(len(q))) AS pos FROM e),
-c0 AS (SELECT CAST(vec_id AS INTEGER) AS cid, pos, val FROM ex
-       WHERE vec_id < (SELECT k FROM kk)),
-d1 AS (
-  SELECT ex.vec_id, c.cid, SUM((ex.val - c.val) * (ex.val - c.val)) AS dist
-  FROM ex JOIN c0 c USING (pos)
-  GROUP BY ex.vec_id, c.cid
-),
-a1 AS (SELECT vec_id, cid FROM d1
-       QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) = 1),
-m AS (SELECT a1.vec_id, a1.cid, e.v FROM a1 JOIN e USING (vec_id)),
-p AS (
-  SELECT b.vec_id
-  FROM m a JOIN m b ON a.cid = b.cid AND a.vec_id < b.vec_id
-  WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.4
-),
-drops AS (SELECT DISTINCT vec_id FROM p)
-SELECT m.vec_id, m.cid AS cluster_id, (d.vec_id IS NULL) AS keep
-FROM m LEFT JOIN drops d ON m.vec_id = d.vec_id
-""".strip(),
-    tags=("dedup", "embedding", "clustering"),
-)
 def semantic_dedup_frame(
     e: DataFrame, tau: float = 0.4, occupancy: int = 64
 ) -> DataFrame:
@@ -499,6 +467,39 @@ def semantic_dedup_frame(
     )
 
 
+@register(
+    "dedup_semantic",
+    oracle="""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         list_transform(CAST(embedding AS DOUBLE[]),
+                        x -> CAST(round(x * 10000) AS BIGINT)) AS q
+  FROM embeddings
+),
+kk AS (SELECT greatest(8, count(*) // 64) AS k FROM e),
+ex AS (SELECT vec_id, unnest(q) AS val, unnest(range(len(q))) AS pos FROM e),
+c0 AS (SELECT CAST(vec_id AS INTEGER) AS cid, pos, val FROM ex
+       WHERE vec_id < (SELECT k FROM kk)),
+d1 AS (
+  SELECT ex.vec_id, c.cid, SUM((ex.val - c.val) * (ex.val - c.val)) AS dist
+  FROM ex JOIN c0 c USING (pos)
+  GROUP BY ex.vec_id, c.cid
+),
+a1 AS (SELECT vec_id, cid FROM d1
+       QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) = 1),
+m AS (SELECT a1.vec_id, a1.cid, e.v FROM a1 JOIN e USING (vec_id)),
+p AS (
+  SELECT b.vec_id
+  FROM m a JOIN m b ON a.cid = b.cid AND a.vec_id < b.vec_id
+  WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.4
+),
+drops AS (SELECT DISTINCT vec_id FROM p)
+SELECT m.vec_id, m.cid AS cluster_id, (d.vec_id IS NULL) AS keep
+FROM m LEFT JOIN drops d ON m.vec_id = d.vec_id
+""".strip(),
+    tags=("dedup", "embedding", "clustering"),
+    bench=True,
+)
 def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style semantic dedup (Abbas et al., arXiv:2303.09540):
     k-means-assign the corpus, compare cosines only WITHIN a cluster,
