@@ -425,12 +425,26 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def semantic_dedup_frame(
-    e: DataFrame, tau: float = 0.4, occupancy: int = 64
+    e: DataFrame, tau: float = 0.4, occupancy: int = 64, cluster_cap: int = 1024
 ) -> DataFrame:
     """Frame core of dedup_semantic over ``e = (vec_id, v:
     array<double>)`` — separated so tools/scale_probe.py can measure
     growth on synthetic corpora with the REAL operator code.  Returns
-    (vec_id, cluster_id, keep)."""
+    (vec_id, cluster_id, keep).
+
+    ``cluster_cap`` is the ENFORCED guard against assignment skew (the
+    round-3/4 lesson: expected-size bounds need an in-plan cap for the
+    adversarial corpus).  k pins EXPECTED occupancy at ~``occupancy``,
+    but a near-identical vector ball can still pile one cluster to
+    O(n); any cluster over the cap is sub-split by the balanced key
+    ``vec_id mod ceil(m_c / cap)``, so pair work per cluster is
+    ≤ ~cap·m_c regardless of skew.  Below the cap (every real corpus
+    here — 16× the expected occupancy) the split is the identity, so
+    semantics are unchanged; above it, cross-sub-block pairs go
+    uncompared — acceptable for the pathological case it guards,
+    because a ball of near-dups still collapses within every sub-block
+    (each keeps ~1 survivor), and EXACT duplicates were already removed
+    by the dedup ladder's earlier tiers."""
     from mapreduce_framework_spark.operators.kmeans import assign, quantize
 
     base = e.select(
@@ -449,11 +463,28 @@ def semantic_dedup_frame(
     assigned = assign(
         base.select("vec_id", F.col("qv").alias("v")), seeds
     ).select("vec_id", "cid")
-    m = assigned.join(base.select("vec_id", "vd"), "vec_id")
-    a = m.select(F.col("vec_id").alias("id_a"), "cid", F.col("vd").alias("va"))
-    b = m.select(F.col("vec_id").alias("id_b"), "cid", F.col("vd").alias("vb"))
+    # k-row cluster-size frame; AQE broadcasts it while it fits and
+    # falls back to a shuffle join at extreme k — no forced hint.
+    counts = assigned.groupBy("cid").agg(F.count(F.lit(1)).alias("_mc"))
+    m = (
+        assigned.join(base.select("vec_id", "vd"), "vec_id")
+        .join(counts, "cid")
+        .withColumn(
+            "_sub",
+            F.pmod(
+                F.col("vec_id"),
+                F.expr(f"(_mc + {cluster_cap - 1}) div {cluster_cap}"),
+            ),
+        )
+    )
+    a = m.select(
+        F.col("vec_id").alias("id_a"), "cid", "_sub", F.col("vd").alias("va")
+    )
+    b = m.select(
+        F.col("vec_id").alias("id_b"), "cid", "_sub", F.col("vd").alias("vb")
+    )
     drops = (
-        a.join(b, "cid")
+        a.join(b, ["cid", "_sub"])
         .where(F.col("id_a") < F.col("id_b"))
         .where(F.round(cosine(F.col("va"), F.col("vb")), 6) >= F.lit(tau))
         .select(F.col("id_b").alias("vec_id"))
@@ -487,10 +518,16 @@ d1 AS (
 ),
 a1 AS (SELECT vec_id, cid FROM d1
        QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) = 1),
-m AS (SELECT a1.vec_id, a1.cid, e.v FROM a1 JOIN e USING (vec_id)),
+mc AS (SELECT cid, count(*) AS mc FROM a1 GROUP BY cid),
+m AS (
+  SELECT a1.vec_id, a1.cid, e.v,
+         a1.vec_id % ((mc.mc + 1023) // 1024) AS sub
+  FROM a1 JOIN e USING (vec_id) JOIN mc USING (cid)
+),
 p AS (
   SELECT b.vec_id
-  FROM m a JOIN m b ON a.cid = b.cid AND a.vec_id < b.vec_id
+  FROM m a JOIN m b
+    ON a.cid = b.cid AND a.sub = b.sub AND a.vec_id < b.vec_id
   WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.4
 ),
 drops AS (SELECT DISTINCT vec_id FROM p)
@@ -523,7 +560,15 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     Known recall trade, also the paper's: a near-dup pair straddling a
     cluster boundary is not compared.  Greedy lowest-id keep (drop any
     vector with a lower-id qualifying neighbor in its cluster) avoids
-    transitive closure — no iteration, fully deterministic."""
+    transitive closure — no iteration, fully deterministic.
+
+    Assignment SKEW is guarded in-plan, not by expectation: clusters
+    over ``cluster_cap`` (1024 = 16× expected occupancy) sub-split on
+    the balanced key ``vec_id mod ceil(m_c/cap)`` — oracle-mirrored,
+    identity below the cap, bounded pair work above it (a planted
+    near-identical ball of n/2 vectors measures 2.9× wall at 4× data,
+    tools/scale_probe.py `semantic_dedup_skew`, and still collapses to
+    one survivor per sub-block)."""
     return semantic_dedup_frame(
         table(spark, sf_dir, "embeddings").select(
             "vec_id", F.col("embedding").alias("v")

@@ -40,6 +40,7 @@ GUARDED_TIERS = {
     "containment_overflow": None,  # fixed 900/3600 in build_tiers
     "lsh_ann": None,
     "chunk_dedup": None,
+    "semantic_dedup_skew": None,   # fixed 4000/16000 in build_tiers (ball cap)
 }
 
 

@@ -152,6 +152,27 @@ def synth_vectors(spark, n: int, dim: int = 64) -> DataFrame:
     )
 
 
+def synth_vectors_skewed(spark, n: int, dim: int = 64) -> DataFrame:
+    """Adversarial assignment-skew corpus for the semantic-dedup cap:
+    the first half is a near-identical ball (one base vector plus a
+    tiny id-dependent perturbation — pairwise cosine ≈ 1, and every
+    member lands in ONE cluster because the seeds are ball members
+    too), the second half is the uniform corpus.  Without the enforced
+    cluster_cap the ball's pair stage is (n/2)²/2 comparisons; with it,
+    ≤ ~cap·n/2."""
+    uniform = synth_vectors(spark, n, dim)
+    ball = spark.range(n // 2).select(
+        (F.col("id") + n).alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda d: F.lit(1.0)
+            + F.when(d == 0, (F.pmod(F.col("id"), F.lit(997))) / F.lit(1e7))
+            .otherwise(F.lit(0.0)),
+        ).alias("v"),
+    )
+    return uniform.unionByName(ball)
+
+
 def _doc_tokens(docs: DataFrame) -> DataFrame:
     return docs.select(
         "doc_id", "lang", "source", F.array_distinct(F.split("text", " ")).alias("toks")
@@ -194,6 +215,7 @@ def build_tiers(spark, small: int, big: int) -> dict[str, dict[int, callable]]:
                 "edges": lambda: synth_edges(spark, n),
                 "membership": lambda: synth_membership(spark, n),
                 "vectors": lambda: synth_vectors(spark, n),
+                "vectors_skewed": lambda: synth_vectors_skewed(spark, n),
             }[kind]()
             df.persist()
             df.count()  # materialize synthesis outside the timed region
@@ -296,6 +318,19 @@ def build_tiers(spark, small: int, big: int) -> dict[str, dict[int, callable]]:
     def t_lsh(n):
         return lsh_topk(corpus("vectors", n), query_id=0, k=10).count()
 
+    def t_semantic_skew(n):
+        # Gate variant: k is held FIXED by scaling `occupancy` with n
+        # (k = 1.5n / (n/8) ~= 12 at every size), which isolates the
+        # quantity the cluster_cap ENFORCES — within-cluster pair
+        # growth under adversarial skew (the n/2 near-identical ball
+        # all lands in one cluster and must sub-split).  The n*k
+        # assignment flops of the production corpus-derived k are a
+        # separate, deliberately-priced term measured by the ungated
+        # `semantic_dedup` tier (SCALE.md #Semantic dedup).
+        return semantic_dedup_frame(
+            corpus("vectors_skewed", n), occupancy=max(64, n // 8)
+        ).count()
+
     def t_semantic(n):
         # SemDeDup frame: occupancy-pinned pair stage (linear by
         # construction) + n·k map-side assignment (super-linear FLOPS,
@@ -355,6 +390,10 @@ def build_tiers(spark, small: int, big: int) -> dict[str, dict[int, callable]]:
         "semantic_dedup": {
             4000: lambda: t_semantic(4000),
             16000: lambda: t_semantic(16000),
+        },
+        "semantic_dedup_skew": {
+            4000: lambda: t_semantic_skew(4000),
+            16000: lambda: t_semantic_skew(16000),
         },
         "ks_drift": {
             10 * small: lambda: t_ks_drift(10 * small),
