@@ -566,13 +566,172 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     over ``cluster_cap`` (1024 = 16× expected occupancy) sub-split on
     the balanced key ``vec_id mod ceil(m_c/cap)`` — oracle-mirrored,
     identity below the cap, bounded pair work above it (a planted
-    near-identical ball of n/2 vectors measures 2.9× wall at 4× data,
-    tools/scale_probe.py `semantic_dedup_skew`, and still collapses to
-    one survivor per sub-block)."""
+    near-identical ball of n/2 vectors measures 1.1× wall at 4× data
+    at fixed k — tools/scale_probe.py `semantic_dedup_skew`, gated in
+    tests/test_scale_gate.py — and still collapses to one survivor per
+    sub-block)."""
     return semantic_dedup_frame(
         table(spark, sf_dir, "embeddings").select(
             "vec_id", F.col("embedding").alias("v")
         )
+    )
+
+
+@register(
+    "dedup_semantic_incremental",
+    oracle="""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         list_transform(CAST(embedding AS DOUBLE[]),
+                        x -> CAST(round(x * 10000) AS BIGINT)) AS q,
+         CASE WHEN substring(md5(CAST(vec_id AS VARCHAR)), 1, 1) < '4'
+              THEN 'new' ELSE 'corpus' END AS split
+  FROM embeddings
+),
+kk AS (SELECT greatest(8, count(*) // 64) AS k FROM e WHERE split = 'corpus'),
+ex AS (SELECT vec_id, unnest(q) AS val, unnest(range(len(q))) AS pos FROM e),
+c0 AS (SELECT CAST(vec_id AS INTEGER) AS cid, pos, val FROM ex
+       WHERE vec_id < (SELECT k FROM kk)),
+d1 AS (
+  SELECT ex.vec_id, c.cid, SUM((ex.val - c.val) * (ex.val - c.val)) AS dist
+  FROM ex JOIN c0 c USING (pos)
+  GROUP BY ex.vec_id, c.cid
+),
+a1 AS (SELECT vec_id, cid FROM d1
+       QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) = 1),
+mc AS (SELECT cid, count(*) AS mc FROM a1 GROUP BY cid),
+m AS (
+  SELECT a1.vec_id, a1.cid, e.v, e.split,
+         a1.vec_id % ((mc.mc + 1023) // 1024) AS sub
+  FROM a1 JOIN e USING (vec_id) JOIN mc USING (cid)
+),
+dup_c AS (
+  SELECT DISTINCT a.vec_id
+  FROM m a JOIN m b
+    ON a.cid = b.cid AND a.sub = b.sub
+   AND a.split = 'new' AND b.split = 'corpus'
+  WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.4
+),
+dup_w AS (
+  SELECT DISTINCT a.vec_id
+  FROM m a JOIN m b
+    ON a.cid = b.cid AND a.sub = b.sub
+   AND a.split = 'new' AND b.split = 'new' AND b.vec_id < a.vec_id
+  WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.4
+)
+SELECT m.cid AS cluster_id,
+       count(*) AS n_new,
+       CAST(sum(CASE WHEN dc.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dup_corpus,
+       CAST(sum(CASE WHEN dc.vec_id IS NULL AND dw.vec_id IS NOT NULL
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_within,
+       CAST(sum(CASE WHEN dc.vec_id IS NULL AND dw.vec_id IS NULL
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_admitted
+FROM m
+LEFT JOIN dup_c dc ON m.vec_id = dc.vec_id
+LEFT JOIN dup_w dw ON m.vec_id = dw.vec_id
+WHERE m.split = 'new'
+GROUP BY m.cid
+""".strip(),
+    tags=("dedup", "embedding", "incremental"),
+)
+def dedup_semantic_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental (batch-vs-corpus) SemDeDup — the production daily
+    shape of `dedup_semantic`, completing the incremental family
+    (`dedup_incremental` exact tier, `dedup_minhash_incremental` LSH
+    tier, this one semantic tier).  The new/corpus split reuses the
+    md5-hexdigit convention of those keys so the family composes.
+
+    New-batch vectors are admitted unless they have (a) a qualifying
+    (cosine ≥ 0.4) corpus neighbor in their cluster → `n_dup_corpus`
+    (upstream re-crawl), or (b) a LOWER-id qualifying neighbor within
+    the batch → `n_dup_within` (ingest overlap; corpus-dup wins when
+    both apply).  Reported per cluster: (cluster_id, n_new,
+    n_dup_corpus, n_dup_within, n_admitted).
+
+    Scale: k derives from the CORPUS size (the centroid set is a
+    maintained artifact in production — the batch assigns against it,
+    nothing re-clusters), so the daily cost is |new|·k assignment flops
+    plus within-cluster comparisons of new rows against co-clustered
+    corpus/new rows — |new|·occupancy pairs, NOT |corpus|²; the corpus
+    is touched only through its cluster members that share a cell with
+    a new vector (at scale: the corpus frame is written partitioned by
+    cluster, so the probe reads matching cells only, the same
+    bucket-probe posture as dedup_minhash_incremental).  The
+    `cluster_cap` sub-split guard applies unchanged."""
+    from mapreduce_framework_spark.operators.kmeans import assign, quantize
+
+    cap = 1024
+    base = table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        quantize(F.col("embedding")).alias("qv"),
+        F.col("embedding").cast("array<double>").alias("vd"),
+        F.when(
+            F.substring(F.md5(F.col("vec_id").cast("string").cast("binary")), 1, 1)
+            < "4",
+            "new",
+        )
+        .otherwise("corpus")
+        .alias("split"),
+    )
+    kf = (
+        base.where(F.col("split") == "corpus")
+        .agg(F.greatest(F.lit(8), F.expr("count(1) div 64")).alias("k"))
+    )
+    seeds = (
+        base.crossJoin(F.broadcast(kf))
+        .where(F.col("vec_id") < F.col("k"))
+        .select(F.col("vec_id").cast("int").alias("cid"), F.col("qv").alias("c"))
+    )
+    assigned = assign(
+        base.select("vec_id", F.col("qv").alias("v")), seeds
+    ).select("vec_id", "cid")
+    counts = assigned.groupBy("cid").agg(F.count(F.lit(1)).alias("_mc"))
+    m = (
+        assigned.join(base.select("vec_id", "vd", "split"), "vec_id")
+        .join(counts, "cid")
+        .withColumn(
+            "_sub",
+            F.pmod(F.col("vec_id"), F.expr(f"(_mc + {cap - 1}) div {cap}")),
+        )
+    )
+    newm = m.where(F.col("split") == "new")
+    corm = m.where(F.col("split") == "corpus")
+    a = newm.select(
+        F.col("vec_id").alias("id_a"), "cid", "_sub", F.col("vd").alias("va")
+    )
+    qual = F.round(cosine(F.col("va"), F.col("vb")), 6) >= 0.4
+    dup_c = (
+        a.join(
+            corm.select("cid", "_sub", F.col("vd").alias("vb")), ["cid", "_sub"]
+        )
+        .where(qual)
+        .select(F.col("id_a").alias("vec_id"))
+        .distinct()
+        .withColumn("_dc", F.lit(1))
+    )
+    dup_w = (
+        a.join(
+            newm.select(
+                F.col("vec_id").alias("id_b"), "cid", "_sub",
+                F.col("vd").alias("vb"),
+            ),
+            ["cid", "_sub"],
+        )
+        .where(F.col("id_b") < F.col("id_a"))
+        .where(qual)
+        .select(F.col("id_a").alias("vec_id"))
+        .distinct()
+        .withColumn("_dw", F.lit(1))
+    )
+    flagged = newm.join(dup_c, "vec_id", "left").join(dup_w, "vec_id", "left")
+    is_dc = F.col("_dc").isNotNull()
+    is_dw = F.col("_dc").isNull() & F.col("_dw").isNotNull()
+    return flagged.groupBy(F.col("cid").alias("cluster_id")).agg(
+        F.count(F.lit(1)).alias("n_new"),
+        F.sum(F.when(is_dc, 1).otherwise(0)).alias("n_dup_corpus"),
+        F.sum(F.when(is_dw, 1).otherwise(0)).alias("n_dup_within"),
+        F.sum(F.when(~is_dc & ~is_dw, 1).otherwise(0)).alias("n_admitted"),
     )
 
 
