@@ -645,3 +645,25 @@ def test_semantic_dedup_invariants(spark):
     for members in by_cluster.values():
         lowest = min(members, key=lambda r: r.vec_id)
         assert lowest.keep, f"cluster min id {lowest.vec_id} was dropped"
+
+
+def test_semantic_dedup_incremental_conserves_counts(spark):
+    """Per-cluster admit/drop counts partition the batch exactly:
+    n_new = n_dup_corpus + n_dup_within + n_admitted in every cluster,
+    and the clusters' n_new sum to the md5-split batch size."""
+    from mapreduce_framework_spark.io import table as _table
+    from mapreduce_framework_spark.registry import get_query
+
+    rows = get_query("dedup_semantic_incremental").fn(spark, SF_DIR).collect()
+    assert rows, "no clusters reported"
+    for r in rows:
+        assert r.n_new == r.n_dup_corpus + r.n_dup_within + r.n_admitted
+    n_new_total = (
+        _table(spark, SF_DIR, "embeddings")
+        .where(
+            F.substring(F.md5(F.col("vec_id").cast("string").cast("binary")), 1, 1)
+            < "4"
+        )
+        .count()
+    )
+    assert sum(r.n_new for r in rows) == n_new_total
