@@ -1443,3 +1443,84 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_distinct(F.split("text", " ")).alias("toks"),
     )
     return containment_pairs(d, threshold=0.9, block_cap=1000)
+
+
+@register(
+    "dedup_ladder_funnel",
+    oracle="""
+WITH d AS (
+  SELECT doc_id, lang, source, md5(lower(trim(text))) AS fp,
+         list_distinct(string_split(text, ' ')) AS toks
+  FROM documents
+),
+k AS (SELECT fp, min(doc_id) AS keep_id FROM d GROUP BY fp),
+s AS (SELECT d.doc_id, d.lang, d.source, d.toks
+      FROM d JOIN k USING (fp) WHERE d.doc_id = k.keep_id),
+p AS (
+  SELECT b.doc_id
+  FROM s a JOIN s b
+    ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+  WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+          / len(list_distinct(a.toks || b.toks)) >= 0.8
+),
+nr AS (SELECT DISTINCT doc_id FROM p)
+SELECT d.lang, d.source,
+       count(*) AS n_docs,
+       CAST(sum(CASE WHEN d.doc_id <> k.keep_id THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_exact_removed,
+       CAST(sum(CASE WHEN d.doc_id = k.keep_id AND nr.doc_id IS NOT NULL
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_near_removed,
+       CAST(sum(CASE WHEN d.doc_id = k.keep_id AND nr.doc_id IS NULL
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+FROM d JOIN k USING (fp)
+LEFT JOIN nr ON d.doc_id = nr.doc_id
+GROUP BY d.lang, d.source
+""".strip(),
+    tags=("dedup", "pipeline"),
+)
+def dedup_ladder_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The module docstring's dedup LADDER as one executable plan: tier
+    1 (exact, global md5-fingerprint groupBy, first-wins) prunes the
+    input of tier 2 (blocked exact Jaccard ≥ 0.8 over tier-1 survivors,
+    via the guarded :func:`banded_jaccard_pairs` — token-count band +
+    enforced block cap), and the funnel reports per-(lang, source)
+    attrition: (n_docs, n_exact_removed, n_near_removed, n_kept).
+    Greedy lowest-id keep at both tiers, same convention as every other
+    dedup key.  On the pinned testdata the corpus contains no exact
+    duplicates (TESTDATA.md), so tier 1 measures 0 — the funnel reports
+    the truth about its input rather than a staged demo.
+
+    Scale: tier 1 is one hash shuffle of (fp, id); tier 2 inherits the
+    banded tier's guards and runs on the ALREADY-PRUNED survivor set —
+    the composition IS the 100 TB strategy (each tier shrinks the next
+    tier's quadratic surface), and at full scale tier 2's overflow
+    categories route to MinHash exactly as in dedup_ngram_jaccard."""
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        "source",
+        F.md5(F.lower(F.trim(F.col("text"))).cast("binary")).alias("fp"),
+        F.array_distinct(F.split("text", " ")).alias("toks"),
+    )
+    keeper = d.groupBy("fp").agg(F.min("doc_id").alias("keep_id"))
+    flagged = d.join(keeper, "fp")
+    surv = flagged.where(F.col("doc_id") == F.col("keep_id")).select(
+        "doc_id", "lang", "source", "toks"
+    )
+    near = (
+        banded_jaccard_pairs(surv, threshold=0.8, block_cap=1000)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+        .withColumn("_nr", F.lit(1))
+    )
+    full = flagged.join(near, "doc_id", "left")
+    is_exact = F.col("doc_id") != F.col("keep_id")
+    is_near = ~is_exact & F.col("_nr").isNotNull()
+    return full.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(is_exact, 1).otherwise(0)).alias("n_exact_removed"),
+        F.sum(F.when(is_near, 1).otherwise(0)).alias("n_near_removed"),
+        F.sum(F.when(~is_exact & F.col("_nr").isNull(), 1).otherwise(0)).alias(
+            "n_kept"
+        ),
+    )
