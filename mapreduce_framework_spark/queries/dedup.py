@@ -634,6 +634,7 @@ WHERE m.split = 'new'
 GROUP BY m.cid
 """.strip(),
     tags=("dedup", "embedding", "incremental"),
+    bench=True,
 )
 def dedup_semantic_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental (batch-vs-corpus) SemDeDup — the production daily
@@ -1477,6 +1478,7 @@ LEFT JOIN nr ON d.doc_id = nr.doc_id
 GROUP BY d.lang, d.source
 """.strip(),
     tags=("dedup", "pipeline"),
+    bench=True,
 )
 def dedup_ladder_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The module docstring's dedup LADDER as one executable plan: tier

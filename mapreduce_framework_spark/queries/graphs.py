@@ -334,6 +334,7 @@ SELECT degree, count(*) AS n_nodes
 FROM deg GROUP BY degree
 """.strip(),
     tags=("graph",),
+    bench=True,
 )
 def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Degree distribution of the mutualized top-5 co-supply graph —

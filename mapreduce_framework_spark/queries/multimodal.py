@@ -162,6 +162,7 @@ FROM documents
 GROUP BY 1
 """.strip(),
     tags=("multimodal", "dedup"),
+    bench=True,
 )
 def multimodal_payload_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate detection over the BINARY lane: payload bytes →

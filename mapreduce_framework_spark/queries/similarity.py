@@ -65,6 +65,7 @@ FROM (
 WHERE rn <= 10
 """.strip(),
     tags=("similarity", "batch"),
+    bench=True,
 )
 def sim_search_topk_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BATCHED exact top-10: the 8 query vectors (vec_id < 8) answered
@@ -210,6 +211,7 @@ FROM (
 WHERE rn <= 10
 """.strip(),
     tags=("similarity", "ann", "batch"),
+    bench=True,
 )
 def sim_search_ivf_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batched IVF serving — the composition of sim_search_ivf's
