@@ -424,27 +424,13 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def semantic_dedup_frame(
-    e: DataFrame, tau: float = 0.4, occupancy: int = 64, cluster_cap: int = 1024
-) -> DataFrame:
-    """Frame core of dedup_semantic over ``e = (vec_id, v:
-    array<double>)`` — separated so tools/scale_probe.py can measure
-    growth on synthetic corpora with the REAL operator code.  Returns
-    (vec_id, cluster_id, keep).
-
-    ``cluster_cap`` is the ENFORCED guard against assignment skew (the
-    round-3/4 lesson: expected-size bounds need an in-plan cap for the
-    adversarial corpus).  k pins EXPECTED occupancy at ~``occupancy``,
-    but a near-identical vector ball can still pile one cluster to
-    O(n); any cluster over the cap is sub-split by the balanced key
-    ``vec_id mod ceil(m_c / cap)``, so pair work per cluster is
-    ≤ ~cap·m_c regardless of skew.  Below the cap (every real corpus
-    here — 16× the expected occupancy) the split is the identity, so
-    semantics are unchanged; above it, cross-sub-block pairs go
-    uncompared — acceptable for the pathological case it guards,
-    because a ball of near-dups still collapses within every sub-block
-    (each keeps ~1 survivor), and EXACT duplicates were already removed
-    by the dedup ladder's earlier tiers."""
+def _semantic_assignment(e: DataFrame, occupancy: int = 64):
+    """Shared k-means assignment for the SemDeDup family: quantized
+    base frame, in-plan seed derivation (k = max(8, n // occupancy),
+    no collect), argmin assignment, and the k-row cluster-size frame.
+    Returns ``(base, assigned, counts)``; both `semantic_dedup_frame`
+    and `dedup_semantic_cap_report` build on it so the accounting key
+    audits the EXACT assignment the dedup key runs."""
     from mapreduce_framework_spark.operators.kmeans import assign, quantize
 
     base = e.select(
@@ -466,6 +452,33 @@ def semantic_dedup_frame(
     # k-row cluster-size frame; AQE broadcasts it while it fits and
     # falls back to a shuffle join at extreme k — no forced hint.
     counts = assigned.groupBy("cid").agg(F.count(F.lit(1)).alias("_mc"))
+    return base, assigned, counts
+
+
+def semantic_dedup_frame(
+    e: DataFrame, tau: float = 0.4, occupancy: int = 64, cluster_cap: int = 1024
+) -> DataFrame:
+    """Frame core of dedup_semantic over ``e = (vec_id, v:
+    array<double>)`` — separated so tools/scale_probe.py can measure
+    growth on synthetic corpora with the REAL operator code.  Returns
+    (vec_id, cluster_id, keep).
+
+    ``cluster_cap`` is the ENFORCED guard against assignment skew (the
+    round-3/4 lesson: expected-size bounds need an in-plan cap for the
+    adversarial corpus).  k pins EXPECTED occupancy at ~``occupancy``,
+    but a near-identical vector ball can still pile one cluster to
+    O(n); any cluster over the cap is sub-split by the balanced key
+    ``vec_id mod ceil(m_c / cap)``, so pair work per cluster is
+    ≤ ~cap·m_c regardless of skew.  Below the cap (every real corpus
+    here — 16× the expected occupancy) the split is the identity, so
+    semantics are unchanged; above it, cross-sub-block pairs go
+    uncompared — acceptable for the pathological case it guards,
+    because a ball of near-dups still collapses within every sub-block
+    (each keeps ~1 survivor), and EXACT duplicates were already removed
+    by the dedup ladder's earlier tiers.  HOW OFTEN the cap engages (and
+    the exact count of pairs it declined to compare) is surfaced by the
+    companion key `dedup_semantic_cap_report`."""
+    base, assigned, counts = _semantic_assignment(e, occupancy)
     m = (
         assigned.join(base.select("vec_id", "vd"), "vec_id")
         .join(counts, "cid")
@@ -574,6 +587,115 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         table(spark, sf_dir, "embeddings").select(
             "vec_id", F.col("embedding").alias("v")
         )
+    )
+
+
+@register(
+    "dedup_semantic_cap_report",
+    # Pure integer arithmetic end-to-end (cluster sizes, pair counts) —
+    # engine-exact, no float tolerance needed.  SUMs cast to BIGINT so
+    # DuckDB's HUGEINT never reaches the driver compare.
+    oracle="""
+WITH e AS (
+  SELECT vec_id,
+         list_transform(CAST(embedding AS DOUBLE[]),
+                        x -> CAST(round(x * 10000) AS BIGINT)) AS q
+  FROM embeddings
+),
+kk AS (SELECT greatest(8, count(*) // 64) AS k FROM e),
+ex AS (SELECT vec_id, unnest(q) AS val, unnest(range(len(q))) AS pos FROM e),
+c0 AS (SELECT CAST(vec_id AS INTEGER) AS cid, pos, val FROM ex
+       WHERE vec_id < (SELECT k FROM kk)),
+d1 AS (
+  SELECT ex.vec_id, c.cid, SUM((ex.val - c.val) * (ex.val - c.val)) AS dist
+  FROM ex JOIN c0 c USING (pos)
+  GROUP BY ex.vec_id, c.cid
+),
+a1 AS (SELECT vec_id, cid FROM d1
+       QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) = 1),
+mc AS (SELECT cid, count(*) AS mc FROM a1 GROUP BY cid),
+caps AS (SELECT * FROM (VALUES (64), (1024)) AS t(cap)),
+sub AS (
+  SELECT caps.cap, a1.cid, mc.mc,
+         a1.vec_id % ((mc.mc + caps.cap - 1) // caps.cap) AS sub_id
+  FROM a1 JOIN mc USING (cid) CROSS JOIN caps
+),
+subcnt AS (
+  SELECT cap, cid, mc, count(*) AS c
+  FROM sub GROUP BY cap, cid, mc, sub_id
+),
+clus AS (
+  SELECT cap, cid, mc, SUM(c * (c - 1) // 2) AS within
+  FROM subcnt GROUP BY cap, cid, mc
+)
+SELECT CAST(cap AS INT) AS cap,
+       CAST(count(*) AS BIGINT) AS n_clusters,
+       CAST(SUM(mc) AS BIGINT) AS n_vectors,
+       CAST(SUM(CASE WHEN mc > cap THEN 1 ELSE 0 END) AS BIGINT)
+         AS capped_clusters,
+       CAST(MAX(mc) AS BIGINT) AS max_cluster_size,
+       CAST(SUM(mc * (mc - 1) // 2) AS BIGINT) AS total_pairs,
+       CAST(SUM(within) AS BIGINT) AS compared_pairs,
+       CAST(SUM(mc * (mc - 1) // 2) - SUM(within) AS BIGINT)
+         AS uncompared_pairs
+FROM clus GROUP BY cap
+""".strip(),
+    tags=("dedup", "embedding", "profiling"),
+)
+def dedup_semantic_cap_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-cap engagement accounting for `dedup_semantic` (round-5
+    verdict ask: the cap must not lower recall SILENTLY).  Runs the
+    exact assignment `dedup_semantic` runs (`_semantic_assignment` is
+    shared code, not a re-derivation) and reports, per cap tier, how
+    the sub-split guard would engage: the production cap (1024) and a
+    stress cap (64 = the expected occupancy, guaranteed to engage on
+    real corpora) so the engagement arithmetic itself is exercised and
+    oracle-checked, ladder-funnel attrition style.
+
+    ``uncompared_pairs`` is EXACT, not a bound: total within-cluster
+    pairs C(m_c,2) minus the pairs that remain co-located after the
+    balanced sub-split ``vec_id mod ceil(m_c/cap)`` (computed from the
+    actual per-sub-block sizes).  At 100 TB this is a k-row aggregate
+    piggy-backing on the assignment the dedup job computes anyway —
+    the corpus-sized frames are touched once, everything after the
+    groupBy(cid) is centroid-cardinality.  A curation pipeline runs it
+    alongside `dedup_semantic` and alerts when capped_clusters > 0,
+    turning the documented recall trade into a measured quantity.
+    Reference provenance: the reference's job counters surface dropped
+    records per stage (w7/src/master/masterimpl.cc task bookkeeping);
+    this is the same observability duty for the semantic tier."""
+    base, assigned, counts = _semantic_assignment(
+        table(spark, sf_dir, "embeddings").select(
+            "vec_id", F.col("embedding").alias("v")
+        )
+    )
+    m = assigned.join(counts, "cid")
+    caps = m.select(
+        "vec_id",
+        "cid",
+        "_mc",
+        F.explode(F.array(F.lit(64), F.lit(1024))).alias("cap"),
+    ).withColumn(
+        "sub_id", F.pmod(F.col("vec_id"), F.expr("(_mc + cap - 1) div cap"))
+    )
+    subcnt = caps.groupBy("cap", "cid", "_mc", "sub_id").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    clus = subcnt.groupBy("cap", "cid", "_mc").agg(
+        F.expr("sum(c * (c - 1) div 2)").alias("within")
+    )
+    return clus.groupBy("cap").agg(
+        F.count(F.lit(1)).alias("n_clusters"),
+        F.sum("_mc").alias("n_vectors"),
+        F.sum(F.when(F.col("_mc") > F.col("cap"), 1).otherwise(0)).alias(
+            "capped_clusters"
+        ),
+        F.max("_mc").alias("max_cluster_size"),
+        F.expr("sum(_mc * (_mc - 1) div 2)").alias("total_pairs"),
+        F.sum("within").alias("compared_pairs"),
+        (
+            F.expr("sum(_mc * (_mc - 1) div 2)") - F.sum("within")
+        ).alias("uncompared_pairs"),
     )
 
 
