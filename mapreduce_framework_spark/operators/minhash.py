@@ -91,24 +91,63 @@ def band_buckets(
     )
 
 
+def persist_band_index(
+    df: DataFrame,
+    id_col: str,
+    tokens_col: str,
+    table_name: str,
+    path: str,
+    n_hashes: int = 64,
+    n_bands: int = 16,
+    n_buckets: int = 8,
+) -> DataFrame:
+    """Materialize the corpus's LSH band rows as a BUCKETED (and
+    bucket-sorted) table on (band_id, band_hash) — the persisted
+    incremental-dedup index the module docstring promises.  Probing it
+    via ``probe_candidates(..., corpus_index=...)`` reads matching
+    buckets directly: the index side of the probe join carries NO
+    exchange (pinned in tests/test_plans.py), so a daily admission job
+    shuffles only the new batch's O(new·bands) rows no matter how
+    large the accumulated corpus index is.  Maintenance is append-only:
+    admitted docs' band rows insert into the same bucket layout.
+    ``n_buckets`` is sized by index volume (corpus_docs · n_bands rows
+    of 3 longs) — at 100 TB use thousands of buckets; the bucket count
+    must then stay fixed across daily appends, which is exactly the
+    bucketing contract `join_bucketed` demonstrates."""
+    (
+        band_buckets(df, id_col, tokens_col, n_hashes, n_bands)
+        .write.mode("overwrite")
+        .option("path", path)
+        .bucketBy(n_buckets, "band_id", "band_hash")
+        .sortBy("band_id", "band_hash")
+        .saveAsTable(table_name)
+    )
+    return df.sparkSession.table(table_name)
+
+
 def probe_candidates(
     new_df: DataFrame,
-    corpus_df: DataFrame,
+    corpus_df: DataFrame | None,
     id_col: str,
     tokens_col: str,
     n_hashes: int = 64,
     n_bands: int = 16,
+    corpus_index: DataFrame | None = None,
 ) -> DataFrame:
     """Distinct (new_id, corpus_id) candidate pairs: new docs probing
     the corpus's banding index.  The incremental-dedup join shape —
     cost is O(new·bands + matched buckets), with NO corpus×corpus pair
-    generation; at scale ``band_buckets(corpus)`` is precomputed and
-    bucketed on (band_id, band_hash) so the probe is a co-located
-    join."""
+    generation.  Pass ``corpus_index`` (band rows persisted by
+    `persist_band_index`, or any precomputed ``(_id, band_id,
+    band_hash)`` frame) to probe without re-scanning corpus text; when
+    the index table is bucketed on (band_id, band_hash) the join reads
+    its buckets in place and only the new side shuffles."""
     nb = band_buckets(new_df, id_col, tokens_col, n_hashes, n_bands).select(
         F.col("_id").alias("new_id"), "band_id", "band_hash"
     )
-    cb = band_buckets(corpus_df, id_col, tokens_col, n_hashes, n_bands).select(
+    if corpus_index is None:
+        corpus_index = band_buckets(corpus_df, id_col, tokens_col, n_hashes, n_bands)
+    cb = corpus_index.select(
         F.col("_id").alias("corpus_id"), "band_id", "band_hash"
     )
     return nb.join(cb, ["band_id", "band_hash"]).select("new_id", "corpus_id").distinct()

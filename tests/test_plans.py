@@ -512,3 +512,53 @@ def test_asof_nearest_shares_one_exchange(spark):
     df = _q(spark, "join_asof_nearest")
     assert "NestedLoop" not in formatted_plan(df)
     assert count_exchanges(df) <= 2
+
+
+def test_band_index_probe_reads_buckets_in_place(spark, tmp_path):
+    """The persisted MinHash band index (persist_band_index: bucketed +
+    bucket-sorted on (band_id, band_hash)) must be probed WITHOUT an
+    exchange on the index side — the daily-admission contract: shuffle
+    cost is O(new batch), independent of accumulated corpus size.  The
+    three exchanges in the plan all belong to the new side (signature
+    groupBy, probe-side join repartition, final distinct); probing the
+    same corpus inline costs two more (its signature groupBy + its join
+    repartition)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from mapreduce_framework_spark.operators.minhash import (
+        persist_band_index,
+        probe_candidates,
+    )
+    from mapreduce_framework_spark.plans import count_exchanges, formatted_plan
+
+    d = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet")).select(
+        "doc_id", F.split("text", " ").alias("toks")
+    )
+    corpus = d.where(F.col("doc_id") % 8 != 0)
+    new = d.where(F.col("doc_id") % 8 == 0)
+    tname = f"band_idx_plan_test_{os.getpid()}"
+    idx = persist_band_index(
+        corpus, "doc_id", "toks", tname, str(tmp_path / "band_idx")
+    )
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        probe = probe_candidates(new, None, "doc_id", "toks", corpus_index=idx)
+        plan = formatted_plan(probe)
+        assert "SortMergeJoin" in plan
+        assert "Bucketed: true" in plan
+        assert "SelectedBucketsCount: 8 out of 8" in plan
+        assert count_exchanges(probe) == 3
+        # The same probe against an inline (unpersisted) corpus pays two
+        # more exchanges — the pair the bucketed layout deletes.
+        inline = probe_candidates(new, corpus, "doc_id", "toks")
+        assert count_exchanges(inline) == 5
+        # And the index path is not a different answer, just a cheaper plan.
+        assert sorted(map(tuple, probe.collect())) == sorted(
+            map(tuple, inline.collect())
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql(f"DROP TABLE IF EXISTS {tname}")
