@@ -562,3 +562,49 @@ def test_band_index_probe_reads_buckets_in_place(spark, tmp_path):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         spark.sql(f"DROP TABLE IF EXISTS {tname}")
+
+
+def test_aqe_native_skew_split_fires_on_planted_hot_key(spark):
+    """The session enables AQE skew-join handling — the first line of
+    defense at 100 TB before any manual salting (`join_salted_skew` is
+    the second).  This pins that Spark's own skew split actually FIRES
+    on a planted hot key: the executed plan (inspected AFTER the
+    action, isFinalPlan=true) must carry the SortMergeJoin(skew=true)
+    marker and a skewed AQEShuffleRead.  Thresholds are lowered to make
+    a test-sized hot partition count as skewed; the detection logic
+    itself is scale-independent."""
+    from pyspark.sql import functions as F
+
+    lowered = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "32KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k) for k in lowered}
+    for k, v in lowered.items():
+        spark.conf.set(k, v)
+    try:
+        assert spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"
+        # ~90% of the big side lands on key 0; pad makes the hot
+        # partition's bytes exceed the lowered threshold.
+        big = spark.range(400_000).select(
+            F.when(F.col("id") % 10 < 9, F.lit(0)).otherwise(F.col("id")).alias("k"),
+            F.sha2(F.col("id").cast("string"), 256).alias("pad"),
+        )
+        right = spark.range(50_000).select(
+            F.col("id").alias("k"), F.col("id").alias("v")
+        )
+        agg = (
+            big.join(right, "k")
+            .select((F.length("pad") + F.col("v")).alias("x"))
+            .agg(F.sum("x").alias("s"))
+        )
+        agg.collect()
+        ep = agg._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in ep
+        assert "SortMergeJoin(skew=true)" in ep
+        assert "AQEShuffleRead coalesced and skewed" in ep
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
