@@ -253,7 +253,9 @@ def hyperplane_buckets(
             F.col(id_col),
             # stride = max(64, dim): data-derived, so plane sign
             # patterns stay disjoint for ANY input dimension (identical
-            # to the historical literal 64 whenever dim ≤ 64).
+            # to the historical literal 64 whenever dim ≤ 64; the
+            # sim_search_lsh oracle mirrors this same greatest(64, len)
+            # stride, so the engines agree at every dimension).
             F.greatest(F.lit(64), F.size(vec_col)).alias("_stride"),
             F.posexplode_outer(F.col(vec_col)).alias("_d", "_x"),
         )
@@ -307,6 +309,7 @@ def lsh_topk(
     hamming_radius: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "v",
+    n_vectors: int | None = None,
 ) -> DataFrame:
     """Multi-probe hyperplane-LSH top-k: candidates are vectors whose
     bucket is within ``hamming_radius`` bits of the query's bucket in
@@ -322,9 +325,18 @@ def lsh_topk(
     corpus count is one metadata-cheap action (parquet footers at
     scale); at all verification SFs (≤ 2 000 vectors) the derived count
     equals the historical 8, so results are unchanged there.  Recall
-    accounting for the growing plane count is in SCALE.md §LSH."""
+    accounting for the growing plane count is in SCALE.md §LSH.
+
+    Callers that already know the corpus size (scale probes, serving
+    layers with catalog statistics) should pass ``n_vectors`` so the
+    derivation stays lazy: without the hint, deriving the plane count
+    runs one eager ``vectors.count()`` — a hidden extra job that
+    re-executes the full upstream lineage when ``vectors`` is an
+    unpersisted derived frame (persist the input first in that case)."""
     if n_planes is None:
-        n_planes = occupancy_planes(vectors.count())
+        n_planes = occupancy_planes(
+            n_vectors if n_vectors is not None else vectors.count()
+        )
     buckets = hyperplane_buckets(vectors, n_tables, n_planes, id_col, vec_col)
     qb = buckets.where(F.col(id_col) == query_id).select(
         "tbl", F.col("bucket").alias("qbucket")

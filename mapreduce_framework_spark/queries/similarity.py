@@ -404,13 +404,17 @@ WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
 -- no libm log2, so both engines derive the identical plane count.
 params AS (SELECT greatest(8, length(bin(count(*) - 1)) - 6) AS np FROM e),
 comp AS (
+  -- stride mirrors operators/annsearch.py hyperplane_buckets exactly:
+  -- greatest(64, dim), so plane sign patterns agree for ANY embedding
+  -- dimension (identical to the historical literal 64 while dim <= 64).
   SELECT vec_id, generate_subscripts(v, 1) - 1 AS d,
+         greatest(64, len(v)) AS stride,
          CAST(round(unnest(v) * 1000) AS BIGINT) AS xi
   FROM e
 ),
 proj AS (
   SELECT vec_id, p.p,
-         SUM(CASE WHEN ((1103515245 * (p.p * 64 + d) + 12345) // 65536) % 2 = 0
+         SUM(CASE WHEN ((1103515245 * (p.p * stride + d) + 12345) // 65536) % 2 = 0
                   THEN xi ELSE -xi END) AS s
   FROM comp, (SELECT unnest(range(4 * np)) AS p FROM params) p
   GROUP BY vec_id, p.p

@@ -22,6 +22,7 @@ while still crossing every guard boundary (block_cap routing at
 
 from __future__ import annotations
 
+import os
 import sys
 import time
 from pathlib import Path
@@ -29,6 +30,16 @@ from pathlib import Path
 import pytest
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
+
+# These tests assert WALL-CLOCK growth ratios and cost minutes of suite
+# time; on a known-bursty CI host set SPARK_GRAFT_SKIP_SCALE_GATE=1 to
+# skip them (they still run by default — the gate is the point).  A
+# tripped bound is re-measured once before failing, so a single noise
+# burst on either size cannot fail the suite by itself.
+pytestmark = pytest.mark.skipif(
+    os.environ.get("SPARK_GRAFT_SKIP_SCALE_GATE") == "1",
+    reason="scale gate disabled via SPARK_GRAFT_SKIP_SCALE_GATE=1",
+)
 
 SMALL, BIG = 20_000, 100_000
 
@@ -51,18 +62,32 @@ def tier_table(spark):
     return build_tiers(spark, SMALL, BIG)
 
 
+def _timed(fn) -> float:
+    t0 = time.perf_counter()
+    fn()
+    return time.perf_counter() - t0
+
+
 @pytest.mark.parametrize("tier", sorted(GUARDED_TIERS))
 def test_guarded_tier_growth_stays_linear(tier_table, tier):
     runs = tier_table[tier]
     (n1, fn1), (n2, fn2) = sorted(runs.items())
-    t0 = time.perf_counter()
-    fn1()
-    small_sec = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    fn2()
-    big_sec = time.perf_counter() - t0
+    small_sec = _timed(fn1)
+    big_sec = _timed(fn2)
     data_ratio = n2 / n1
-    bound = max(small_sec * data_ratio * 1.25, small_sec + 10.0)
+
+    def bound_of(s: float) -> float:
+        return max(s * data_ratio * 1.25, s + 10.0)
+
+    if big_sec > bound_of(small_sec):
+        # One bursty-neighbor window on either measurement can trip the
+        # bound without any code regression (round-5 ADVICE).  Re-measure
+        # both sizes once and judge on the best observation of each — a
+        # REAL super-linear guard regression (the 5.8×/21.6× class this
+        # gate exists for) fails both attempts.
+        small_sec = min(small_sec, _timed(fn1))
+        big_sec = min(big_sec, _timed(fn2))
+    bound = bound_of(small_sec)
     assert big_sec <= bound, (
         f"{tier}: super-linear growth — {small_sec:.1f}s @ n={n1} vs "
         f"{big_sec:.1f}s @ n={n2} (data ×{data_ratio:.0f}, bound {bound:.1f}s). "

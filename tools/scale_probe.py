@@ -316,7 +316,9 @@ def build_tiers(spark, small: int, big: int) -> dict[str, dict[int, callable]]:
         return triangle_knn_frame(corpus("membership", n)).count()
 
     def t_lsh(n):
-        return lsh_topk(corpus("vectors", n), query_id=0, k=10).count()
+        # n is known here — pass the hint so the probe measures the
+        # operator, not an extra count() job over the synthetic corpus.
+        return lsh_topk(corpus("vectors", n), query_id=0, k=10, n_vectors=n).count()
 
     def t_semantic_skew(n):
         # Gate variant: k is held FIXED by scaling `occupancy` with n
