@@ -52,6 +52,10 @@ GUARDED_TIERS = {
     "lsh_ann": None,
     "chunk_dedup": None,
     "semantic_dedup_skew": None,   # fixed 4000/16000 in build_tiers (ball cap)
+    # round 6: post-broadcast-hint-removal the count joins are
+    # AQE-decided; re-probed flat (6.12 s → 6.21 s at 10×) and gated so
+    # an open-vocab shuffle regression can't sneak back in.
+    "lm_perplexity": None,
 }
 
 
