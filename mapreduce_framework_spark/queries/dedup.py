@@ -641,6 +641,7 @@ SELECT CAST(cap AS INT) AS cap,
 FROM clus GROUP BY cap
 """.strip(),
     tags=("dedup", "embedding", "profiling"),
+    bench=True,
 )
 def dedup_semantic_cap_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cluster-cap engagement accounting for `dedup_semantic` (round-5
