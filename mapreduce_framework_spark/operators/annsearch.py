@@ -300,6 +300,69 @@ def hyperplane_buckets(
     ).select(id_col, F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket"))
 
 
+def hamming_ball(bucket: int, n_planes: int, radius: int = 2) -> list[int]:
+    """All bucket codes within ``radius`` bit flips of ``bucket`` over
+    an ``n_planes``-bit code — the multi-probe ball, enumerated
+    driver-side (ball volume is 1 + np + C(np,2) + … — tiny; np ≤ ~20
+    even at 10^9 vectors under occupancy derivation)."""
+    seen = {bucket}
+    frontier = {bucket}
+    for _ in range(radius):
+        nxt = set()
+        for b in frontier:
+            for j in range(n_planes):
+                nxt.add(b ^ (1 << j))
+        frontier = nxt - seen
+        seen |= frontier
+    return sorted(seen)
+
+
+def persist_bucket_index(
+    vectors: DataFrame,
+    path: str,
+    n_tables: int = 4,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+) -> DataFrame:
+    """Materialize the LSH bucket index PARTITIONED by (tbl, bucket) —
+    the layout `hyperplane_buckets`' docstring promises for 100 TB
+    serving, made executable (the same round-6 move as
+    `minhash.persist_band_index`).  A multi-probe lookup against the
+    returned frame prunes to ~n_tables · ball_volume partition
+    directories via partition pruning (PartitionFilters in the scan —
+    pinned in tests/test_plans.py with an inputFiles() count), so probe
+    I/O is independent of corpus size.  Maintenance is append-only:
+    new vectors' (tbl, bucket) rows land in existing directories."""
+    hyperplane_buckets(vectors, n_tables, n_planes, id_col, vec_col).write.mode(
+        "overwrite"
+    ).partitionBy("tbl", "bucket").parquet(path)
+    return vectors.sparkSession.read.parquet(path)
+
+
+def probe_bucket_index(
+    index: DataFrame,
+    query_buckets: list[tuple[int, int]],
+    n_planes: int = 8,
+    hamming_radius: int = 2,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Candidate ids from a persisted bucket index: ``query_buckets``
+    is the serving layer's [(tbl, bucket)] signature of ONE query
+    (computed locally — signing one vector is driver-side arithmetic,
+    not a cluster job).  The ball for each table is enumerated
+    driver-side and expressed as partition-column predicates, so the
+    scan reads only matching partition directories; the returned frame
+    is the pruned candidate id set to re-rank exactly."""
+    cond = None
+    for tbl, qb in query_buckets:
+        c = (F.col("tbl") == tbl) & F.col("bucket").isin(
+            hamming_ball(qb, n_planes, hamming_radius)
+        )
+        cond = c if cond is None else (cond | c)
+    return index.where(cond).select(id_col).distinct()
+
+
 def lsh_topk(
     vectors: DataFrame,
     query_id: int = 0,

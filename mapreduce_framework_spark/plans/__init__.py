@@ -7,6 +7,7 @@ from mapreduce_framework_spark.plans.inspect import (
     has_operator,
     read_schema_columns,
     pushed_filters,
+    scan_files_read,
 )
 
 __all__ = [
@@ -15,4 +16,5 @@ __all__ = [
     "has_operator",
     "read_schema_columns",
     "pushed_filters",
+    "scan_files_read",
 ]

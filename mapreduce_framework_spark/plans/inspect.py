@@ -51,3 +51,33 @@ def pushed_filters(df: DataFrame) -> list[str]:
     for m in re.finditer(r"PushedFilters: \[([^\]]*)\]", plan):
         out.extend(f.strip() for f in m.group(1).split(",") if f.strip())
     return out
+
+
+def scan_files_read(df: DataFrame) -> list[int]:
+    """Per-parquet-scan "number of files read" metric from the EXECUTED
+    plan — runs the query (collect) and walks the final adaptive plan,
+    descending through query stages.  The ground truth for partition-
+    pruning assertions: planning-time strings show the PartitionFilters
+    expression, but only this metric proves how many files the scan
+    actually opened (``DataFrame.inputFiles()`` ignores pruning)."""
+    df.collect()
+    out: list[int] = []
+
+    def walk(node) -> None:
+        name = node.getClass().getSimpleName()
+        if name == "FileSourceScanExec":
+            m = node.metrics()
+            if m.contains("numFiles"):
+                out.append(int(m.apply("numFiles").value()))
+        if name == "AdaptiveSparkPlanExec":
+            walk(node.executedPlan())
+            return
+        if name.endswith("QueryStageExec"):
+            walk(node.plan())
+            return
+        ch = node.children()
+        for i in range(ch.length()):
+            walk(ch.apply(i))
+
+    walk(df._jdf.queryExecution().executedPlan())
+    return out

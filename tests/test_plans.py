@@ -608,3 +608,63 @@ def test_aqe_native_skew_split_fires_on_planted_hot_key(spark):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_lsh_bucket_index_probe_prunes_partitions(spark, tmp_path):
+    """The persisted LSH bucket index (persist_bucket_index: parquet
+    partitioned by (tbl, bucket)) must serve a multi-probe lookup by
+    partition pruning: the probe's scan opens only the ball's partition
+    directories — measured by the executed scan's numFiles metric, NOT
+    the planning string — and returns exactly the candidates the
+    in-plan XOR path (lsh_topk's filter) admits."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from mapreduce_framework_spark.operators.annsearch import (
+        hamming_ball,
+        hyperplane_buckets,
+        persist_bucket_index,
+        probe_bucket_index,
+    )
+    from mapreduce_framework_spark.plans import formatted_plan, scan_files_read
+
+    e = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet")).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    idx = persist_bucket_index(e, str(tmp_path / "lsh_idx"), n_tables=4, n_planes=8)
+    qb = [
+        (r["tbl"], r["bucket"])
+        for r in hyperplane_buckets(
+            e.where(F.col("vec_id") == 0), 4, 8
+        ).collect()
+    ]
+    assert len(qb) == 4
+    cand = probe_bucket_index(idx, qb, n_planes=8, hamming_radius=2)
+    assert "PartitionFilters: [" in formatted_plan(cand)
+
+    [total_files] = scan_files_read(idx.select("vec_id"))
+    probe_files = scan_files_read(cand)
+    assert probe_files and sum(probe_files) < total_files / 2, (
+        f"probe read {probe_files} of {total_files} files — pruning lost"
+    )
+
+    # Same candidate set as the in-plan XOR formulation.
+    buckets = hyperplane_buckets(e, 4, 8)
+    qdf = spark.createDataFrame(qb, "tbl int, qbucket long")
+    xor_cand = {
+        r["vec_id"]
+        for r in buckets.join(F.broadcast(qdf), "tbl")
+        .where(
+            F.bit_count(
+                F.col("bucket").bitwiseXOR(F.col("qbucket")).cast("bigint")
+            )
+            <= 2
+        )
+        .select("vec_id")
+        .distinct()
+        .collect()
+    }
+    assert {r["vec_id"] for r in cand.collect()} == xor_cand
+    # hamming_ball's volume for radius 2 over 8 planes: 1 + 8 + 28.
+    assert len(hamming_ball(0, 8, 2)) == 37
