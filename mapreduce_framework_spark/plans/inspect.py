@@ -59,7 +59,9 @@ def scan_files_read(df: DataFrame) -> list[int]:
     descending through query stages.  The ground truth for partition-
     pruning assertions: planning-time strings show the PartitionFilters
     expression, but only this metric proves how many files the scan
-    actually opened (``DataFrame.inputFiles()`` ignores pruning)."""
+    actually opened (``DataFrame.inputFiles()`` ignores pruning).
+    Plan-diagnostics only (the collect executes the measured query) —
+    never called from any query/operator path."""
     df.collect()
     out: list[int] = []
 
