@@ -937,7 +937,14 @@ def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair — the fixed-length prefix bounds each comparison and the block
     join bounds the pair count, which is what keeps the quadratic
     kernel affordable at corpus scale (same blocked-verify shape as
-    the exact tier of dedup_minhash)."""
+    the exact tier of dedup_minhash).
+
+    Round-6 kernel upgrade, both LOSSLESS: (a) the length band
+    |len_a−len_b| ≤ 24 prunes before any DP (≥ k length delta forces
+    ≥ k edits); (b) the THRESHOLDED levenshtein builtin runs the banded
+    O(threshold·n) DP with early exit instead of the full O(m·n) table
+    (−1 = over threshold, filtered out).  Identical output, measured
+    2.3× at sf0.1 (10.5 → 4.65 s)."""
     d = table(spark, sf_dir, "documents").select(
         "doc_id", "lang", "source", F.substring("text", 1, 96).alias("head")
     )
@@ -950,12 +957,13 @@ def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         a.join(b, ["lang", "source"])
         .where(F.col("doc_a") < F.col("doc_b"))
+        .where(F.abs(F.length("head_a") - F.length("head_b")) <= 24)
         .select(
             "doc_a",
             "doc_b",
-            F.levenshtein("head_a", "head_b").alias("edit_dist"),
+            F.levenshtein("head_a", "head_b", 24).alias("edit_dist"),
         )
-        .where(F.col("edit_dist") <= 24)
+        .where(F.col("edit_dist") >= 0)
     )
 
 
