@@ -24,6 +24,7 @@ the replay is time-ordered: output never depends on batch assignment.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from mapreduce_framework_spark.io import table
 from mapreduce_framework_spark.registry import register
@@ -132,23 +133,77 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "stream_watermark_late",
-    oracle=None,  # real streaming run — behavioral, rows-only by contract
+    # Exact watermark-semantics oracle (round 6; was rows-only): the
+    # explicit batch assignment (batch_col path of run_file_stream) is
+    # pure SQL, so DuckDB replays the watermark progression itself —
+    # batches 1-3 are the non-late rows in ntile(3) time order, batch 4
+    # is the deterministic 5% late set (event_id % 20 = 0).
+    # EMPIRICALLY CALIBRATED detail (pyspark 4.1.2, verified against the
+    # real micro-batch run at all three SFs): the late-data filter for a
+    # batch uses the watermark PUBLISHED ENTERING that batch — i.e. the
+    # one computed from batches up to N-2 — while state eviction at the
+    # batch's end uses the freshly-advanced value.  So a batch-4 late
+    # row is dropped iff its 5-minute window closed before
+    # max(ts of ntile chunks 1-2) - 10 min, and append mode emits
+    # exactly the windows closed by the final watermark
+    # max(all ts) - 10 min.  The filter is on the grouping window's
+    # end, not the row's ts.
+    oracle="""
+WITH e AS (SELECT ts, event_type, event_id FROM events),
+early AS (SELECT ts, event_type,
+                 ntile(3) OVER (ORDER BY ts, event_id) AS tile
+          FROM e WHERE event_id % 20 <> 0),
+late  AS (SELECT ts, event_type FROM e WHERE event_id % 20 = 0),
+wmf AS (SELECT max(ts) - INTERVAL 10 MINUTE AS wm FROM early WHERE tile <= 2),
+fwm AS (SELECT max(ts) - INTERVAL 10 MINUTE AS wm FROM e),
+kept AS (
+  SELECT ts, event_type FROM early
+  UNION ALL
+  SELECT l.ts, l.event_type FROM late l, wmf
+  WHERE time_bucket(INTERVAL 5 MINUTE, l.ts) + INTERVAL 5 MINUTE > wmf.wm
+)
+SELECT time_bucket(INTERVAL 5 MINUTE, ts) AS wstart,
+       time_bucket(INTERVAL 5 MINUTE, ts) + INTERVAL 5 MINUTE AS wend,
+       event_type,
+       count(*) AS cnt
+FROM kept, fwm
+WHERE time_bucket(INTERVAL 5 MINUTE, ts) + INTERVAL 5 MINUTE <= fwm.wm
+GROUP BY 1, 2, 3
+""".strip(),
     tags=("streaming", "watermark"),
 )
 def stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL Structured Streaming run: 4 time-ordered micro-batches,
-    10-minute watermark, append-mode tumbling counts.  Late rows beyond
-    the watermark are dropped and the final in-flight windows stay in
-    state (append emits only finalized windows) — so the result is a
-    strict subset of the batch aggregate; tests assert both properties."""
-    events = table(spark, sf_dir, "events")
+    """REAL Structured Streaming run with DETERMINISTIC late arrivals:
+    the 5% late set (event_id % 20 = 0) is withheld from the
+    time-ordered replay (ntile(3) batches of the rest) and delivered in
+    a final 4th batch, when the watermark has already advanced to
+    max(on-time ts) - 10 min.  Late rows whose 5-minute window closed
+    before that mark are DROPPED by the watermark (the round-5 shape
+    replayed strictly time-ordered ranges, so no row was ever actually
+    late — the drop path went unexercised); late rows for still-open
+    windows are counted.  Append mode emits exactly the windows the
+    final watermark closes; trailing windows stay in state.  The whole
+    progression is SQL-expressible because the batch assignment is an
+    explicit expression (see run_file_stream's batch_col), so this key
+    is hash-checked against a DuckDB replay of the semantics —
+    batching invariance for the complete-mode keys and exactly-once
+    resume stay pinned in tests/test_streaming.py."""
+    from pyspark.sql import Window
+
+    events = table(spark, sf_dir, "events").select("ts", "event_type", "event_id")
+    is_late = F.col("event_id") % 20 == 0
+    early = events.where(~is_late).withColumn(
+        "_b", F.ntile(3).over(Window.orderBy("ts", "event_id"))
+    )
+    late = events.where(is_late).withColumn("_b", F.lit(4))
+    src = early.unionByName(late).drop("event_id")
     return run_file_stream(
         spark,
-        events,
+        src,
         tumbling_counts,
         watermark=("ts", "10 minutes"),
         output_mode="append",
-        n_batches=4,
+        batch_col="_b",
     )
 
 

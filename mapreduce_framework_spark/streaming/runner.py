@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import glob
 import os
+import shutil
 import tempfile
 import uuid
 
@@ -33,6 +34,7 @@ def run_file_stream(
     order_col: str = "ts",
     state_partitions: int = 8,
     max_files_per_trigger: int | None = 1,
+    batch_col: str | None = None,
 ) -> DataFrame:
     """Replay ``source_df`` as ``n_batches`` time-ordered micro-batches
     through ``transform``; return the memory-sink contents.
@@ -51,22 +53,56 @@ def run_file_stream(
     ``spark.sql.shuffle.partitions`` to the stateful stage's key
     cardinality, not the scan width.  The session value is restored
     after the run — streams capture the conf at start().
+
+    ``batch_col``: when set, ``source_df`` carries an EXPLICIT integer
+    batch assignment and the runner writes one file per batch value in
+    ascending order (column dropped before write).  Unlike the default
+    ``repartitionByRange`` path — whose sampled range bounds are not
+    reproducible outside Spark — an explicit assignment is a pure SQL
+    expression, so a DuckDB oracle can replay the exact batch sequence
+    (and therefore the exact watermark progression).  This is how
+    `stream_watermark_late` delivers deterministic LATE arrivals: early
+    rows in time order, a fixed late set in the final batch.
     """
     src_dir = tempfile.mkdtemp(prefix="mfs_stream_src_")
     ckpt_dir = tempfile.mkdtemp(prefix="mfs_stream_ckpt_")
-    # Tie-break the range partitioning with every remaining column:
-    # on order_col alone, equal-timestamp rows land in batch files
-    # nondeterministically (scan task order), which shifts watermark
-    # cutoffs between runs — the replay must be bit-reproducible.
-    tiebreak = [c for c in source_df.columns if c != order_col]
-    source_df.repartitionByRange(
-        n_batches, order_col, *tiebreak
-    ).sortWithinPartitions(order_col, *tiebreak).write.mode("overwrite").parquet(src_dir)
+    if batch_col is not None:
+        from pyspark.sql import functions as F
+
+        tiebreak = [c for c in source_df.columns if c not in (order_col, batch_col)]
+        batch_ids = [
+            r[0]
+            for r in source_df.select(batch_col).distinct().orderBy(batch_col).collect()
+        ]
+        for bi in batch_ids:
+            (
+                source_df.where(F.col(batch_col) == bi)
+                .drop(batch_col)
+                .coalesce(1)
+                .sortWithinPartitions(order_col, *tiebreak)
+                .write.mode("overwrite")
+                .parquet(os.path.join(src_dir, f"_stage_{bi}"))
+            )
+            [pf] = glob.glob(os.path.join(src_dir, f"_stage_{bi}", "part-*"))
+            os.rename(pf, os.path.join(src_dir, f"batch-{bi:05d}.parquet"))
+            shutil.rmtree(os.path.join(src_dir, f"_stage_{bi}"))
+        part_files = sorted(glob.glob(os.path.join(src_dir, "batch-*.parquet")))
+    else:
+        # Tie-break the range partitioning with every remaining column:
+        # on order_col alone, equal-timestamp rows land in batch files
+        # nondeterministically (scan task order), which shifts watermark
+        # cutoffs between runs — the replay must be bit-reproducible.
+        tiebreak = [c for c in source_df.columns if c != order_col]
+        source_df.repartitionByRange(
+            n_batches, order_col, *tiebreak
+        ).sortWithinPartitions(order_col, *tiebreak).write.mode("overwrite").parquet(
+            src_dir
+        )
+        part_files = sorted(glob.glob(os.path.join(src_dir, "part-*")))
     # FileStreamSource replays files in MODIFICATION-TIME order, and the
     # parallel writer tasks finish in racy order — pin mtimes to file-name
     # order so batch sequence (hence watermark progression) is identical
     # across runs.
-    part_files = sorted(glob.glob(os.path.join(src_dir, "part-*")))
     base = 1_600_000_000
     for i, f in enumerate(part_files):
         os.utime(f, (base + i * 60, base + i * 60))

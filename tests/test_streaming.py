@@ -40,8 +40,10 @@ def test_sliding_stream_equals_batch(spark, events):
 
 def test_watermark_drops_or_holds_back_rows(spark, events):
     """Append mode + 10-min watermark: emitted windows are a subset of
-    the batch result, and counts never exceed the batch count (late rows
-    dropped, trailing windows retained in state)."""
+    the batch result, counts never exceed the batch count, and — since
+    the round-6 deterministic late set — at least one late row is
+    ACTUALLY dropped (strictly smaller count somewhere), so the drop
+    path is exercised, not just permitted."""
     from mapreduce_framework_spark.registry import get_query
 
     out = get_query("stream_watermark_late").fn(spark, SF_DIR)
@@ -52,9 +54,15 @@ def test_watermark_drops_or_holds_back_rows(spark, events):
     }
     emitted = out.collect()
     assert 0 < len(emitted) <= len(batch)
+    total_emitted, total_batch_over_emitted = 0, 0
     for r in emitted:
         assert (r["wstart"], r["event_type"]) in batch
         assert r["cnt"] <= batch[(r["wstart"], r["event_type"])]
+        total_emitted += r["cnt"]
+        total_batch_over_emitted += batch[(r["wstart"], r["event_type"])]
+    assert total_emitted < total_batch_over_emitted, (
+        "no late row was dropped — the watermark drop path is unexercised"
+    )
 
 
 def test_streaming_dedup_exactly_once(spark, events):
