@@ -188,6 +188,23 @@ def stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
     is hash-checked against a DuckDB replay of the semantics —
     batching invariance for the complete-mode keys and exactly-once
     resume stay pinned in tests/test_streaming.py."""
+    src = _late_replay_source(spark, sf_dir)
+    return run_file_stream(
+        spark,
+        src,
+        tumbling_counts,
+        watermark=("ts", "10 minutes"),
+        output_mode="append",
+        batch_col="_b",
+    )
+
+
+def _late_replay_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared deterministic late-arrival replay source: non-late rows in
+    ntile(3) time order (batches 1-3), the 5% late set (event_id % 20
+    = 0) withheld to batch 4.  Used by `stream_watermark_late` (the
+    windowed result) and `stream_watermark_drop_report` (the metrics
+    accounting of the same run)."""
     from pyspark.sql import Window
 
     events = table(spark, sf_dir, "events").select("ts", "event_type", "event_id")
@@ -196,14 +213,137 @@ def stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
         "_b", F.ntile(3).over(Window.orderBy("ts", "event_id"))
     )
     late = events.where(is_late).withColumn("_b", F.lit(4))
-    src = early.unionByName(late).drop("event_id")
-    return run_file_stream(
+    return early.unionByName(late).drop("event_id")
+
+
+@register(
+    "stream_watermark_drop_report",
+    # The headline numbers are ENGINE-MEASURED (the state operator's
+    # numRowsDroppedByWatermark metric and the append sink's row
+    # count); the oracle recomputes them from the calibrated watermark
+    # semantics (see stream_watermark_late), so a drift between what
+    # Spark reports dropping and what the semantics say must drop
+    # fails the hash check.  CALIBRATED metric detail: the drop metric
+    # counts POST-partial-aggregation rows — late rows collapse to
+    # (window, event_type) groups map-side before the state operator
+    # sees them — so the oracle pins it to COUNT(DISTINCT group) over
+    # the dropped set (3330 vs 3332 raw at sf0.1: two group
+    # collisions), with the raw-row drop count reported alongside.
+    oracle="""
+WITH e AS (SELECT ts, event_type, event_id FROM events),
+early AS (SELECT ts, event_type,
+                 ntile(3) OVER (ORDER BY ts, event_id) AS tile
+          FROM e WHERE event_id % 20 <> 0),
+late  AS (SELECT ts, event_type FROM e WHERE event_id % 20 = 0),
+wmf AS (SELECT max(ts) - INTERVAL 10 MINUTE AS wm FROM early WHERE tile <= 2),
+fwm AS (SELECT max(ts) - INTERVAL 10 MINUTE AS wm FROM e),
+admitted AS (
+  SELECT l.ts, l.event_type FROM late l, wmf
+  WHERE time_bucket(INTERVAL 5 MINUTE, l.ts) + INTERVAL 5 MINUTE > wmf.wm
+),
+dropped AS (
+  SELECT time_bucket(INTERVAL 5 MINUTE, l.ts) AS ws, l.event_type
+  FROM late l, wmf
+  WHERE time_bucket(INTERVAL 5 MINUTE, l.ts) + INTERVAL 5 MINUTE <= wmf.wm
+),
+kept_windows AS (
+  SELECT DISTINCT time_bucket(INTERVAL 5 MINUTE, ts) AS ws, event_type,
+         time_bucket(INTERVAL 5 MINUTE, ts) + INTERVAL 5 MINUTE AS we
+  FROM (SELECT ts, event_type FROM early
+        UNION ALL SELECT ts, event_type FROM admitted)
+)
+SELECT CAST((SELECT count(*) FROM e) AS BIGINT) AS n_input,
+       CAST((SELECT count(*) FROM late) AS BIGINT) AS n_late,
+       CAST((SELECT count(*) FROM dropped) AS BIGINT) AS n_dropped_rows,
+       CAST((SELECT count(DISTINCT (ws, event_type)) FROM dropped)
+            AS BIGINT) AS n_dropped_groups_metric,
+       CAST((SELECT count(*) FROM kept_windows, fwm WHERE we <= fwm.wm)
+            AS BIGINT) AS n_emitted_windows,
+       CAST((SELECT count(*) FROM kept_windows, fwm WHERE we > fwm.wm)
+            AS BIGINT) AS n_held_windows
+""".strip(),
+    tags=("streaming", "watermark", "profiling"),
+)
+def stream_watermark_drop_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-data accounting for the watermark replay — the streaming
+    twin of `dedup_semantic_cap_report`: an operator that silently
+    drops data must say HOW MUCH.  Runs the same deterministic
+    late-arrival replay as `stream_watermark_late` and reports, in one
+    row, the engine's own numbers: `n_dropped_groups_metric` is Spark's
+    state-operator numRowsDroppedByWatermark summed over micro-batches
+    (not a batch-side recomputation — and calibration showed it counts
+    post-partial-aggregation rows, i.e. dropped (window, type) GROUPS,
+    because late rows collapse map-side before the state operator; the
+    raw-row figure is reported alongside as `n_dropped_rows`) and
+    `n_emitted_windows` is the append sink's actual row count;
+    `n_held_windows` (in state, never emitted) is derived batch-side
+    from the same semantics the oracle uses.  The oracle recomputes
+    every number from the calibrated watermark progression, so the
+    hash check pins engine-reported observability == declared
+    semantics.  The driver-side reads here are the streaming metrics
+    API (StreamingQueryProgress) plus k-row counts — this is a metrics
+    report, not a data-plane collect.  At 100 TB the same progress
+    objects stream to the metrics sink per micro-batch; alerting on
+    drop counts vs n_late is how a pipeline notices its watermark
+    delay is too tight for real arrival skew.  (The group-collapse
+    extent depends on map partitioning — here the late batch is one
+    file read as one input partition, so the collapse is total; a
+    multi-partition late batch would land between the group count and
+    the raw count, which is exactly why BOTH are reported.)"""
+    src = _late_replay_source(spark, sf_dir)
+    progress: list = []
+    sink = run_file_stream(
         spark,
         src,
         tumbling_counts,
         watermark=("ts", "10 minutes"),
         output_mode="append",
         batch_col="_b",
+        collect_progress=progress,
+    )
+    n_emitted = sink.count()
+    n_dropped_groups = sum(
+        int(op["numRowsDroppedByWatermark"])
+        for p in progress
+        for op in p["stateOperators"]
+    )
+
+    from pyspark.sql import Window
+
+    events = table(spark, sf_dir, "events").select("ts", "event_type", "event_id")
+    is_late = F.col("event_id") % 20 == 0
+    n_input = events.count()
+    n_late = events.where(is_late).count()
+    eb = events.where(~is_late).withColumn(
+        "tile", F.ntile(3).over(Window.orderBy("ts", "event_id"))
+    )
+    wmf = eb.where(F.col("tile") <= 2).agg(
+        (F.max("ts") - F.expr("INTERVAL 10 MINUTES")).alias("wm")
+    )
+    fwm = events.agg((F.max("ts") - F.expr("INTERVAL 10 MINUTES")).alias("fw"))
+    late_w = events.where(is_late).select(
+        F.window("ts", "5 minutes").alias("w"), "event_type"
+    )
+    admitted = late_w.crossJoin(F.broadcast(wmf)).where(
+        F.col("w.end") > F.col("wm")
+    )
+    n_dropped_rows = n_late - admitted.count()
+    kept_windows = (
+        events.where(~is_late)
+        .select(F.window("ts", "5 minutes").alias("w"), "event_type")
+        .unionByName(admitted.select("w", "event_type"))
+        .distinct()
+    )
+    n_held = (
+        kept_windows.crossJoin(F.broadcast(fwm))
+        .where(F.col("w.end") > F.col("fw"))
+        .count()
+    )
+    return spark.createDataFrame(
+        [(n_input, n_late, n_dropped_rows, n_dropped_groups, n_emitted, n_held)],
+        "n_input long, n_late long, n_dropped_rows long, "
+        "n_dropped_groups_metric long, n_emitted_windows long, "
+        "n_held_windows long",
     )
 
 

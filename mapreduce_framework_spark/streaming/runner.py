@@ -35,6 +35,7 @@ def run_file_stream(
     state_partitions: int = 8,
     max_files_per_trigger: int | None = 1,
     batch_col: str | None = None,
+    collect_progress: list | None = None,
 ) -> DataFrame:
     """Replay ``source_df`` as ``n_batches`` time-ordered micro-batches
     through ``transform``; return the memory-sink contents.
@@ -63,6 +64,11 @@ def run_file_stream(
     (and therefore the exact watermark progression).  This is how
     `stream_watermark_late` delivers deterministic LATE arrivals: early
     rows in time order, a fixed late set in the final batch.
+
+    ``collect_progress``: pass a list to receive the query's
+    StreamingQueryProgress objects after termination — the engine-side
+    metrics surface (numRowsDroppedByWatermark, per-batch watermarks)
+    that `stream_watermark_drop_report` hash-checks against SQL.
     """
     src_dir = tempfile.mkdtemp(prefix="mfs_stream_src_")
     ckpt_dir = tempfile.mkdtemp(prefix="mfs_stream_ckpt_")
@@ -130,4 +136,6 @@ def run_file_stream(
         query.awaitTermination()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    if collect_progress is not None:
+        collect_progress.extend(query.recentProgress)
     return spark.table(sink_name)
