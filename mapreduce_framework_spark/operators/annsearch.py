@@ -139,6 +139,59 @@ def ivf_topk_batch(
     )
 
 
+def persist_cell_index(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+) -> DataFrame:
+    """Materialize the IVF assignment PARTITIONED by cell_id — the
+    layout `ivf_topk`'s module docstring promises for 100 TB serving,
+    made executable (round 6, same move as `persist_bucket_index`): a
+    probe of n_probe cells reads exactly those partition directories
+    (PartitionFilters + executed-scan numFiles pinned in
+    tests/test_plans.py), so per-query scan cost is the probed cells'
+    volume, independent of corpus size.  New vectors append into their
+    cell's directory; centroid refresh is a rewrite, done rarely and
+    offline (the standard IVF maintenance trade)."""
+    assign_cells(vectors, centroids, id_col, vec_col).write.mode(
+        "overwrite"
+    ).partitionBy("cell_id").parquet(path)
+    return vectors.sparkSession.read.parquet(path)
+
+
+def probe_cell_index(
+    index: DataFrame,
+    query: DataFrame,
+    centroids: DataFrame,
+    k: int = 10,
+    n_probe: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+) -> DataFrame:
+    """`ivf_topk` against a persisted cell index: identical ranking
+    semantics, but the assignment step is a partition-pruned read of
+    the index instead of an in-plan recomputation.  The probe-cell
+    choice stays in-plan (broadcast centroids × query); only matching
+    cell partitions are scanned."""
+    probe_cells = (
+        centroids.crossJoin(F.broadcast(query))
+        .select("cell_id", cosine(F.col("cv"), F.col("qv")).alias("_cs"))
+        .orderBy(F.desc("_cs"), F.asc("cell_id"))
+        .limit(n_probe)
+        .select("cell_id")
+    )
+    pruned = index.join(F.broadcast(probe_cells), "cell_id")
+    cos = F.round(cosine(F.col(vec_col), F.col("qv")), 6)
+    return (
+        pruned.crossJoin(F.broadcast(query))
+        .select(F.col(id_col), cos.alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), F.asc(id_col))
+        .limit(k)
+    )
+
+
 def quantize(
     vectors: DataFrame,
     id_col: str = "vec_id",

@@ -668,3 +668,42 @@ def test_lsh_bucket_index_probe_prunes_partitions(spark, tmp_path):
     assert {r["vec_id"] for r in cand.collect()} == xor_cand
     # hamming_ball's volume for radius 2 over 8 planes: 1 + 8 + 28.
     assert len(hamming_ball(0, 8, 2)) == 37
+
+
+def test_ivf_cell_index_probe_prunes_partitions_dynamically(spark, tmp_path):
+    """The persisted IVF cell index (persist_cell_index: parquet
+    partitioned by cell_id) must serve a probe by DYNAMIC partition
+    pruning: the probe cells are computed in-plan (broadcast centroids
+    x query, no collect), so pruning arrives as a dynamicpruning
+    expression, and the executed index scan opens exactly n_probe cell
+    files.  Ranking must be identical to the in-plan ivf_topk path."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from mapreduce_framework_spark.operators.annsearch import (
+        ivf_topk,
+        persist_cell_index,
+        probe_cell_index,
+    )
+    from mapreduce_framework_spark.plans import formatted_plan, scan_files_read
+
+    e = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet")).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    cent = e.where(F.col("vec_id") < 16).select(
+        F.col("vec_id").cast("int").alias("cell_id"), F.col("v").alias("cv")
+    )
+    q = e.where(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
+    idx = persist_cell_index(e, cent, str(tmp_path / "ivf_idx"))
+    assert len(idx.inputFiles()) == 16  # one file per cell at this size
+
+    res = probe_cell_index(idx, q, cent, k=10, n_probe=3)
+    assert "dynamicpruning" in formatted_plan(res).lower()
+    files = scan_files_read(res)
+    assert min(files) <= 3 and 3 in files, (
+        f"index scan did not prune to the 3 probe cells: {files}"
+    )
+    assert sorted(map(tuple, res.collect())) == sorted(
+        map(tuple, ivf_topk(e, cent, q, k=10, n_probe=3).collect())
+    )
