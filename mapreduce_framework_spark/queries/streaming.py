@@ -10,9 +10,13 @@ Why the oracle hash still holds on the real path: the replay is
 range-partitioned ON the event-time column, so micro-batch k+1's
 earliest timestamp is ≥ micro-batch k's latest — no row ever arrives
 behind the watermark, and windowed/complete-mode state converges to
-exactly the batch aggregate.  tests/test_streaming.py proves the
-batch ≡ stream equality for each transform, plus the watermark-drop
-and checkpoint-resume behaviors the equality queries don't exercise.
+exactly the batch aggregate.  The EXCEPTION is deliberate: the two
+watermark keys use the explicit-batch replay (run_file_stream
+batch_col) to deliver a deterministic late-arrival set, and their
+oracles replay the resulting watermark progression in SQL.
+tests/test_streaming.py proves the batch ≡ stream equality for each
+transform, plus the watermark-drop and checkpoint-resume behaviors
+the equality queries don't exercise.
 
 Column pruning note: the runner writes + rescans the source once per
 micro-batch, so each query stages only the columns its transform
@@ -171,6 +175,7 @@ WHERE time_bucket(INTERVAL 5 MINUTE, ts) + INTERVAL 5 MINUTE <= fwm.wm
 GROUP BY 1, 2, 3
 """.strip(),
     tags=("streaming", "watermark"),
+    bench=True,
 )
 def stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL Structured Streaming run with DETERMINISTIC late arrivals:
@@ -263,6 +268,7 @@ SELECT CAST((SELECT count(*) FROM e) AS BIGINT) AS n_input,
             AS BIGINT) AS n_held_windows
 """.strip(),
     tags=("streaming", "watermark", "profiling"),
+    bench=True,
 )
 def stream_watermark_drop_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Late-data accounting for the watermark replay — the streaming
