@@ -944,7 +944,16 @@ def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     ≥ k edits); (b) the THRESHOLDED levenshtein builtin runs the banded
     O(threshold·n) DP with early exit instead of the full O(m·n) table
     (−1 = over threshold, filtered out).  Identical output, measured
-    2.3× at sf0.1 (10.5 → 4.65 s)."""
+    2.3× at sf0.1 (10.5 → 4.65 s).
+
+    100 TB ladder position, stated honestly: per-block pair work is
+    quadratic in block size, and (lang, source) blocks grow with the
+    corpus — so in production this tier runs LAST in the dedup ladder,
+    over candidate clusters the cheaper tiers emit (MinHash buckets /
+    `dedup_clusters` components are both bounded-size by their own
+    guards), not over raw demographic blocks.  The (lang, source)
+    blocking here is the verification-friendly stand-in that keeps the
+    oracle a plain SQL join."""
     d = table(spark, sf_dir, "documents").select(
         "doc_id", "lang", "source", F.substring("text", 1, 96).alias("head")
     )
