@@ -42,6 +42,11 @@ PINNED_KEYS = [
     "dedup_clusters",
     # semantic dedup — assignment + cap sub-split stability
     "dedup_semantic",
+    # streaming replay — session shuffle-partition setting must not
+    # leak into batch composition, watermark progression, or metrics
+    # (the runner pins its own state partitions internally)
+    "stream_watermark_late",
+    "stream_watermark_drop_report",
 ]
 
 
