@@ -140,25 +140,26 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Exact watermark-semantics oracle (round 6; was rows-only): the
     # explicit batch assignment (batch_col path of run_file_stream) is
     # pure SQL, so DuckDB replays the watermark progression itself —
-    # batches 1-3 are the non-late rows in ntile(3) time order, batch 4
-    # is the deterministic 5% late set (event_id % 20 = 0).
+    # batches 1-3 are the non-late rows split at the 1/3 and 2/3 points
+    # of the replay's TIME SPAN (integer-micros cutoffs from a skinny
+    # min/max aggregate — no global sort; see _late_replay_source),
+    # batch 4 is the deterministic 5% late set (event_id % 20 = 0).
     # EMPIRICALLY CALIBRATED detail (pyspark 4.1.2, verified against the
     # real micro-batch run at all three SFs): the late-data filter for a
     # batch uses the watermark PUBLISHED ENTERING that batch — i.e. the
     # one computed from batches up to N-2 — while state eviction at the
     # batch's end uses the freshly-advanced value.  So a batch-4 late
     # row is dropped iff its 5-minute window closed before
-    # max(ts of ntile chunks 1-2) - 10 min, and append mode emits
+    # max(ts of batches 1-2) - 10 min, and append mode emits
     # exactly the windows closed by the final watermark
     # max(all ts) - 10 min.  The filter is on the grouping window's
     # end, not the row's ts.
     oracle="""
-WITH e AS (SELECT ts, event_type, event_id FROM events),
-early AS (SELECT ts, event_type,
-                 ntile(3) OVER (ORDER BY ts, event_id) AS tile
-          FROM e WHERE event_id % 20 <> 0),
+WITH e AS (SELECT ts, event_type, event_id, epoch_us(ts) AS um FROM events),
+early AS (SELECT ts, event_type, um FROM e WHERE event_id % 20 <> 0),
+b AS (SELECT min(um) + (2 * (max(um) - min(um))) // 3 AS t2 FROM early),
 late  AS (SELECT ts, event_type FROM e WHERE event_id % 20 = 0),
-wmf AS (SELECT max(ts) - INTERVAL 10 MINUTE AS wm FROM early WHERE tile <= 2),
+wmf AS (SELECT max(ts) - INTERVAL 10 MINUTE AS wm FROM early, b WHERE um <= t2),
 fwm AS (SELECT max(ts) - INTERVAL 10 MINUTE AS wm FROM e),
 kept AS (
   SELECT ts, event_type FROM early
@@ -180,8 +181,8 @@ GROUP BY 1, 2, 3
 def stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL Structured Streaming run with DETERMINISTIC late arrivals:
     the 5% late set (event_id % 20 = 0) is withheld from the
-    time-ordered replay (ntile(3) batches of the rest) and delivered in
-    a final 4th batch, when the watermark has already advanced to
+    time-ordered replay (time-third batches of the rest) and delivered
+    in a final 4th batch, when the watermark has already advanced to
     max(on-time ts) - 10 min.  Late rows whose 5-minute window closed
     before that mark are DROPPED by the watermark (the round-5 shape
     replayed strictly time-ordered ranges, so no row was ever actually
@@ -204,43 +205,78 @@ def stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _replay_cutoffs(early: DataFrame) -> DataFrame:
+    """One-row frame with the two batch cutoffs at 1/3 and 2/3 of the
+    non-late rows' TIME SPAN, as integer epoch-microseconds (`div` keeps
+    the arithmetic integer-exact, so DuckDB's `//` reproduces it
+    bit-for-bit).  A skinny min/max aggregate — the scale-safe
+    replacement for the round-6 `ntile(3) OVER (ORDER BY ts, event_id)`,
+    which funneled the whole events table through one task (the global
+    no-partition window; invisible at sf0.1, fatal at 100 TB).  Equal
+    TIME thirds instead of equal COUNT thirds: batch sizes stay within
+    a few percent of each other on the events table at every SF, and
+    batch assignment becomes a broadcast threshold comparison — map-side,
+    no shuffle at all."""
+    return early.agg(
+        F.min(F.unix_micros("ts")).alias("lo"),
+        F.max(F.unix_micros("ts")).alias("hi"),
+    ).select(
+        F.expr("lo + (hi - lo) div 3").alias("t1"),
+        F.expr("lo + (2 * (hi - lo)) div 3").alias("t2"),
+    )
+
+
 def _late_replay_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shared deterministic late-arrival replay source: non-late rows in
-    ntile(3) time order (batches 1-3), the 5% late set (event_id % 20
-    = 0) withheld to batch 4.  Used by `stream_watermark_late` (the
-    windowed result) and `stream_watermark_drop_report` (the metrics
-    accounting of the same run)."""
-    from pyspark.sql import Window
-
+    time-third order (batches 1-3, split at the broadcast `_replay_cutoffs`
+    thresholds — no global sort anywhere in the plan), the 5% late set
+    (event_id % 20 = 0) withheld to batch 4.  Used by
+    `stream_watermark_late` (the windowed result) and
+    `stream_watermark_drop_report` (the metrics accounting of the same
+    run).  tests/test_plans.py pins the no-single-partition shape."""
     events = table(spark, sf_dir, "events").select("ts", "event_type", "event_id")
     is_late = F.col("event_id") % 20 == 0
-    early = events.where(~is_late).withColumn(
-        "_b", F.ntile(3).over(Window.orderBy("ts", "event_id"))
+    early = events.where(~is_late)
+    um = F.unix_micros("ts")
+    early_b = (
+        early.crossJoin(F.broadcast(_replay_cutoffs(early)))
+        .withColumn(
+            "_b",
+            F.lit(1)
+            + (um > F.col("t1")).cast("int")
+            + (um > F.col("t2")).cast("int"),
+        )
+        .drop("t1", "t2")
     )
     late = events.where(is_late).withColumn("_b", F.lit(4))
-    return early.unionByName(late).drop("event_id")
+    return early_b.unionByName(late).drop("event_id")
 
 
 @register(
     "stream_watermark_drop_report",
-    # The headline numbers are ENGINE-MEASURED (the state operator's
-    # numRowsDroppedByWatermark metric and the append sink's row
-    # count); the oracle recomputes them from the calibrated watermark
-    # semantics (see stream_watermark_late), so a drift between what
-    # Spark reports dropping and what the semantics say must drop
-    # fails the hash check.  CALIBRATED metric detail: the drop metric
-    # counts POST-partial-aggregation rows — late rows collapse to
+    # The oracle pins only LAYOUT-INDEPENDENT quantities (round-7, per
+    # advisory): semantic drop counts, the append sink's emitted-window
+    # count (engine-measured, but a set cardinality — invariant to
+    # partitioning), and a boolean attesting the engine's
+    # numRowsDroppedByWatermark metric lies in its semantic bounds.
+    # CALIBRATED metric detail: the drop metric counts
+    # POST-partial-aggregation rows — late rows collapse toward
     # (window, event_type) groups map-side before the state operator
-    # sees them — so the oracle pins it to COUNT(DISTINCT group) over
-    # the dropped set (3330 vs 3332 raw at sf0.1: two group
-    # collisions), with the raw-row drop count reported alongside.
+    # sees them — so its exact value depends on how many input
+    # partitions the late batch spans (one file read as one partition →
+    # total collapse → the group count; a row-group split or a smaller
+    # maxPartitionBytes → anywhere up to the raw count).  Hash-pinning
+    # the metric itself (round 6 did) breaks on a layout change with no
+    # code change; the invariant worth pinning is
+    # n_dropped_groups ≤ metric ≤ n_dropped_rows, reported here as
+    # drop_metric_in_bounds and asserted with values in
+    # tests/test_streaming.py.
     oracle="""
-WITH e AS (SELECT ts, event_type, event_id FROM events),
-early AS (SELECT ts, event_type,
-                 ntile(3) OVER (ORDER BY ts, event_id) AS tile
-          FROM e WHERE event_id % 20 <> 0),
+WITH e AS (SELECT ts, event_type, event_id, epoch_us(ts) AS um FROM events),
+early AS (SELECT ts, event_type, um FROM e WHERE event_id % 20 <> 0),
+b AS (SELECT min(um) + (2 * (max(um) - min(um))) // 3 AS t2 FROM early),
 late  AS (SELECT ts, event_type FROM e WHERE event_id % 20 = 0),
-wmf AS (SELECT max(ts) - INTERVAL 10 MINUTE AS wm FROM early WHERE tile <= 2),
+wmf AS (SELECT max(ts) - INTERVAL 10 MINUTE AS wm FROM early, b WHERE um <= t2),
 fwm AS (SELECT max(ts) - INTERVAL 10 MINUTE AS wm FROM e),
 admitted AS (
   SELECT l.ts, l.event_type FROM late l, wmf
@@ -261,11 +297,12 @@ SELECT CAST((SELECT count(*) FROM e) AS BIGINT) AS n_input,
        CAST((SELECT count(*) FROM late) AS BIGINT) AS n_late,
        CAST((SELECT count(*) FROM dropped) AS BIGINT) AS n_dropped_rows,
        CAST((SELECT count(DISTINCT (ws, event_type)) FROM dropped)
-            AS BIGINT) AS n_dropped_groups_metric,
+            AS BIGINT) AS n_dropped_groups,
        CAST((SELECT count(*) FROM kept_windows, fwm WHERE we <= fwm.wm)
             AS BIGINT) AS n_emitted_windows,
        CAST((SELECT count(*) FROM kept_windows, fwm WHERE we > fwm.wm)
-            AS BIGINT) AS n_held_windows
+            AS BIGINT) AS n_held_windows,
+       TRUE AS drop_metric_in_bounds
 """.strip(),
     tags=("streaming", "watermark", "profiling"),
     bench=True,
@@ -275,27 +312,25 @@ def stream_watermark_drop_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     twin of `dedup_semantic_cap_report`: an operator that silently
     drops data must say HOW MUCH.  Runs the same deterministic
     late-arrival replay as `stream_watermark_late` and reports, in one
-    row, the engine's own numbers: `n_dropped_groups_metric` is Spark's
-    state-operator numRowsDroppedByWatermark summed over micro-batches
-    (not a batch-side recomputation — and calibration showed it counts
-    post-partial-aggregation rows, i.e. dropped (window, type) GROUPS,
-    because late rows collapse map-side before the state operator; the
-    raw-row figure is reported alongside as `n_dropped_rows`) and
-    `n_emitted_windows` is the append sink's actual row count;
-    `n_held_windows` (in state, never emitted) is derived batch-side
-    from the same semantics the oracle uses.  The oracle recomputes
-    every number from the calibrated watermark progression, so the
-    hash check pins engine-reported observability == declared
-    semantics.  The driver-side reads here are the streaming metrics
-    API (StreamingQueryProgress) plus k-row counts — this is a metrics
-    report, not a data-plane collect.  At 100 TB the same progress
-    objects stream to the metrics sink per micro-batch; alerting on
-    drop counts vs n_late is how a pipeline notices its watermark
-    delay is too tight for real arrival skew.  (The group-collapse
-    extent depends on map partitioning — here the late batch is one
-    file read as one input partition, so the collapse is total; a
-    multi-partition late batch would land between the group count and
-    the raw count, which is exactly why BOTH are reported.)"""
+    row: the semantic drop counts (`n_dropped_rows` raw,
+    `n_dropped_groups` distinct (window, type) over the dropped set),
+    `n_emitted_windows` as the append sink's actual row count, the
+    derived `n_held_windows` (in state, never emitted), and
+    `drop_metric_in_bounds` — whether Spark's state-operator
+    numRowsDroppedByWatermark summed over micro-batches lies in
+    [n_dropped_groups, n_dropped_rows].  Calibration showed the metric
+    counts post-partial-aggregation rows, so its exact value is an
+    input-layout artifact (total map-side collapse to groups when the
+    late batch is one input partition; up to the raw count when a
+    row-group split or smaller maxPartitionBytes fragments it) — the
+    in-bounds invariant is what HOLDS at any layout, so that is what
+    the oracle hash-pins (bound values asserted in
+    tests/test_streaming.py).  The driver-side reads here are the
+    streaming metrics API (StreamingQueryProgress) plus k-row counts —
+    a metrics report, not a data-plane collect.  At 100 TB the same
+    progress objects stream to the metrics sink per micro-batch;
+    alerting on drop counts vs n_late is how a pipeline notices its
+    watermark delay is too tight for real arrival skew."""
     src = _late_replay_source(spark, sf_dir)
     progress: list = []
     sink = run_file_stream(
@@ -308,23 +343,21 @@ def stream_watermark_drop_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         collect_progress=progress,
     )
     n_emitted = sink.count()
-    n_dropped_groups = sum(
+    engine_dropped_metric = sum(
         int(op["numRowsDroppedByWatermark"])
         for p in progress
         for op in p["stateOperators"]
     )
 
-    from pyspark.sql import Window
-
     events = table(spark, sf_dir, "events").select("ts", "event_type", "event_id")
     is_late = F.col("event_id") % 20 == 0
     n_input = events.count()
     n_late = events.where(is_late).count()
-    eb = events.where(~is_late).withColumn(
-        "tile", F.ntile(3).over(Window.orderBy("ts", "event_id"))
-    )
-    wmf = eb.where(F.col("tile") <= 2).agg(
-        (F.max("ts") - F.expr("INTERVAL 10 MINUTES")).alias("wm")
+    early = events.where(~is_late)
+    wmf = (
+        early.crossJoin(F.broadcast(_replay_cutoffs(early)))
+        .where(F.unix_micros("ts") <= F.col("t2"))
+        .agg((F.max("ts") - F.expr("INTERVAL 10 MINUTES")).alias("wm"))
     )
     fwm = events.agg((F.max("ts") - F.expr("INTERVAL 10 MINUTES")).alias("fw"))
     late_w = events.where(is_late).select(
@@ -334,6 +367,13 @@ def stream_watermark_drop_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("w.end") > F.col("wm")
     )
     n_dropped_rows = n_late - admitted.count()
+    n_dropped_groups = (
+        late_w.crossJoin(F.broadcast(wmf))
+        .where(F.col("w.end") <= F.col("wm"))
+        .select("w", "event_type")
+        .distinct()
+        .count()
+    )
     kept_windows = (
         events.where(~is_late)
         .select(F.window("ts", "5 minutes").alias("w"), "event_type")
@@ -345,11 +385,22 @@ def stream_watermark_drop_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("w.end") > F.col("fw"))
         .count()
     )
+    in_bounds = n_dropped_groups <= engine_dropped_metric <= n_dropped_rows
     return spark.createDataFrame(
-        [(n_input, n_late, n_dropped_rows, n_dropped_groups, n_emitted, n_held)],
+        [
+            (
+                n_input,
+                n_late,
+                n_dropped_rows,
+                n_dropped_groups,
+                n_emitted,
+                n_held,
+                in_bounds,
+            )
+        ],
         "n_input long, n_late long, n_dropped_rows long, "
-        "n_dropped_groups_metric long, n_emitted_windows long, "
-        "n_held_windows long",
+        "n_dropped_groups long, n_emitted_windows long, "
+        "n_held_windows long, drop_metric_in_bounds boolean",
     )
 
 

@@ -124,6 +124,24 @@ def run_file_stream(
     sink_name = f"mfs_sink_{uuid.uuid4().hex[:12]}"
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    # recentProgress retains only the last numRecentProgressUpdates
+    # entries (default 100) — a deeper replay would silently truncate the
+    # metrics `collect_progress` hands to stream_watermark_drop_report.
+    # Size the buffer to the replay and verify nothing was evicted below.
+    min_batches = (
+        -(-len(part_files) // max_files_per_trigger)
+        if max_files_per_trigger is not None
+        else 1
+    )
+    prev_recent = None
+    if collect_progress is not None:
+        prev_recent = spark.conf.get(
+            "spark.sql.streaming.numRecentProgressUpdates", "100"
+        )
+        spark.conf.set(
+            "spark.sql.streaming.numRecentProgressUpdates",
+            str(max(100, min_batches + 16)),
+        )
     try:
         query = (
             out.writeStream.format("memory")
@@ -136,6 +154,15 @@ def run_file_stream(
         query.awaitTermination()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        if prev_recent is not None:
+            spark.conf.set(
+                "spark.sql.streaming.numRecentProgressUpdates", prev_recent
+            )
     if collect_progress is not None:
+        got = [p for p in query.recentProgress if p["numInputRows"] > 0]
+        assert len(got) >= min_batches, (
+            f"progress buffer evicted entries: {len(got)} data batches "
+            f"retained < {min_batches} replayed files/trigger groups"
+        )
         collect_progress.extend(query.recentProgress)
     return spark.table(sink_name)

@@ -180,6 +180,33 @@ def test_no_unintended_cartesian_products(spark):
         assert "CartesianProduct" not in plan, f"{name}: cartesian product"
 
 
+def test_watermark_replay_source_has_no_global_sort(spark):
+    """The late-arrival replay's batch assignment must be a broadcast
+    threshold comparison (skinny min/max aggregate → time-third
+    cutoffs), NOT the round-6 `ntile(3) OVER (ORDER BY ...)` — a window
+    with no partitionBy funnels the whole events table through one task,
+    the classic 100 TB scale-killer.  Pin: no Window operator, and the
+    only SinglePartition exchange allowed is the one-row final merge of
+    the skinny cutoff aggregate (input = the 2-column min/max buffer),
+    never the events data path."""
+    import re
+
+    from mapreduce_framework_spark.plans import formatted_plan
+    from mapreduce_framework_spark.queries.streaming import _late_replay_source
+
+    plan = formatted_plan(_late_replay_source(spark, SF_DIR))
+    assert "Window" not in plan, "global window crept back into the replay fixture"
+    # Every SinglePartition exchange must carry a skinny aggregation
+    # buffer (<=4 cols), not event rows.
+    for block in re.split(r"\n\n", plan):
+        if "Arguments: SinglePartition" not in block:
+            continue
+        m = re.search(r"Input \[(\d+)\]", block)
+        assert m and int(m.group(1)) <= 4, (
+            f"wide single-partition exchange in replay fixture:\n{block}"
+        )
+
+
 def test_global_sort_is_range_partitioned(spark):
     """A global ORDER BY must range-partition (sampled boundaries), not
     funnel through one reducer."""

@@ -65,6 +65,27 @@ def test_watermark_drops_or_holds_back_rows(spark, events):
     )
 
 
+def test_drop_metric_lies_in_semantic_bounds(spark, events):
+    """The engine's numRowsDroppedByWatermark counts post-partial-agg
+    rows, so its exact value depends on how the late batch splits into
+    input partitions — layout, not semantics.  The layout-independent
+    invariant is n_dropped_groups ≤ metric ≤ n_dropped_rows; the report
+    key folds that into drop_metric_in_bounds (hash-pinned TRUE by the
+    oracle) and this test asserts it with the bound values visible."""
+    from mapreduce_framework_spark.registry import get_query
+
+    [r] = get_query("stream_watermark_drop_report").fn(spark, SF_DIR).collect()
+    assert r["n_dropped_rows"] > 0, "no late row dropped — fixture unexercised"
+    assert 0 < r["n_dropped_groups"] <= r["n_dropped_rows"]
+    assert r["drop_metric_in_bounds"] is True, (
+        f"engine drop metric escaped its semantic bounds "
+        f"[{r['n_dropped_groups']}, {r['n_dropped_rows']}]"
+    )
+    # The replay admits SOME late rows (still-open windows) — if all
+    # late rows were dropped the admit path would be unexercised.
+    assert r["n_dropped_rows"] < r["n_late"]
+
+
 def test_streaming_dedup_exactly_once(spark, events):
     """withWatermark + dropDuplicates on event_id yields at most one row
     per id even when the source replays duplicates across batches."""
