@@ -289,19 +289,81 @@ def knn_edges_frame(l: DataFrame, k: int = 5) -> DataFrame:
     ).distinct()
 
 
-def triangle_knn_frame(l: DataFrame, k: int = 5) -> DataFrame:
+def triangle_knn_frame(
+    l: DataFrame, k: int = 5, orientation: str = "fixed"
+) -> DataFrame:
     """kNN-graph + triangle core over an (l_orderkey, l_suppkey)
     membership frame — reusable heart of graph_triangle_knn, shared
-    with tools/scale_probe.py."""
+    with tools/scale_probe.py.
+
+    ``orientation="fixed"`` enumerates on the canonical u<v edges (fine
+    here: the kNN cut already bounds every node's degree near 2k).
+    ``orientation="degree"`` is the 100 TB path for graphs WITHOUT a
+    degree bound: orient each edge from its (degree, id)-smaller
+    endpoint to the larger before the wedge join (Suri & Vassilvitskii
+    WWW'11), which caps the wedge fan-out per node at O(√m) no matter
+    how heavy the degree tail — a hub of degree D generates D(D-1)/2
+    wedges under fixed orientation but only O(m/D·…)≤O(m) total under
+    degree orientation.  Both paths count each triangle exactly once
+    (the orientation is a total order, so every triangle has exactly
+    one source vertex); per-node counts are bit-identical — pinned by
+    tests/test_scale_operators.py::test_triangle_orientation_identical,
+    measured fan-out numbers in SCALE.md §Graphs."""
     edges = knn_edges_frame(l, k)
-    e1 = edges.select(F.col("u").alias("a"), F.col("v").alias("b"))
-    e2 = edges.select(F.col("u").alias("b"), F.col("v").alias("c"))
-    e3 = edges.select(F.col("u").alias("a"), F.col("v").alias("c"))
-    tri = e1.join(e2, "b").join(e3, ["a", "c"])
+    if orientation == "degree":
+        tri = _degree_oriented_triangles(edges)
+    else:
+        e1 = edges.select(F.col("u").alias("a"), F.col("v").alias("b"))
+        e2 = edges.select(F.col("u").alias("b"), F.col("v").alias("c"))
+        e3 = edges.select(F.col("u").alias("a"), F.col("v").alias("c"))
+        tri = e1.join(e2, "b").join(e3, ["a", "c"])
     return (
         tri.select(F.explode(F.array("a", "b", "c")).alias("node"))
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+
+
+def _degree_oriented_triangles(edges: DataFrame) -> DataFrame:
+    """Triangles (a, b, c) of a canonical undirected (u, v) edge frame,
+    enumerated with DEGREE ORIENTATION: every edge points from its
+    (degree, id)-smaller endpoint to the larger, wedges are out-neighbor
+    pairs of one node, and a wedge closes iff the oriented edge between
+    its endpoints exists.  The total order makes each triangle appear
+    exactly once, sourced at its minimum-rank vertex; out-degrees are
+    O(√m), so wedge counts stay near m^1.5 even on heavy-tailed graphs
+    where fixed-order enumeration explodes on hubs.  Three shuffles:
+    degree agg, the two degree-attach joins (edge-sized), then the
+    wedge self-join on x and the closing join on (y, z) — all on skinny
+    integer frames."""
+    deg = (
+        edges.select(F.col("u").alias("node"))
+        .unionByName(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    ed = edges.join(
+        deg.select(F.col("node").alias("u"), F.col("d").alias("du")), "u"
+    ).join(deg.select(F.col("node").alias("v"), F.col("d").alias("dv")), "v")
+    u_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = ed.select(
+        F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("x"),
+        F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("y"),
+        F.when(u_first, F.col("dv")).otherwise(F.col("du")).alias("dy"),
+    )
+    o1 = oriented.select("x", "y", "dy")
+    o2 = oriented.select(
+        F.col("x"), F.col("y").alias("z"), F.col("dy").alias("dz")
+    )
+    wedge = o1.join(o2, "x").where(
+        (F.col("dy") < F.col("dz"))
+        | ((F.col("dy") == F.col("dz")) & (F.col("y") < F.col("z")))
+    )
+    closing = oriented.select(F.col("x").alias("y"), F.col("y").alias("z"))
+    return wedge.join(closing, ["y", "z"]).select(
+        F.col("x").alias("a"), F.col("y").alias("b"), F.col("z").alias("c")
     )
 
 

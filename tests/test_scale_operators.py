@@ -427,6 +427,49 @@ def test_pagerank_checkpoint_cadence_identical(spark):
     assert len(lazy) > 100
 
 
+def test_triangle_orientation_identical(spark):
+    """Degree-oriented triangle enumeration (the 100 TB path for graphs
+    with no degree bound) must produce bit-identical per-node counts to
+    the fixed u<v convention — on the real kNN co-supply graph AND on a
+    synthetic heavy-tailed membership (one hub order shared by many
+    suppliers, the shape where orientation actually matters)."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_framework_spark.io import table
+    from mapreduce_framework_spark.queries.graphs import triangle_knn_frame
+
+    l = table(spark, SF_DIR, "lineitem").select("l_orderkey", "l_suppkey")
+    fixed = {(r.node, r.n_triangles) for r in triangle_knn_frame(l).collect()}
+    orient = {
+        (r.node, r.n_triangles)
+        for r in triangle_knn_frame(l, orientation="degree").collect()
+    }
+    assert fixed == orient
+    assert len(fixed) >= 10
+
+    # Heavy-tailed synthetic: orders 0-2 are hubs touched by most
+    # suppliers, the rest is sparse — pushes skewed degrees through
+    # both paths.
+    m = spark.range(4000).select(
+        F.pmod(F.xxhash64("id", F.lit(3)), F.lit(40)).alias("l_orderkey"),
+        F.pmod(F.xxhash64("id", F.lit(4)), F.lit(120)).alias("l_suppkey"),
+    ).where(F.col("l_orderkey") < 3).unionByName(
+        spark.range(4000).select(
+            (F.pmod(F.xxhash64("id", F.lit(5)), F.lit(400)) + 10).alias(
+                "l_orderkey"
+            ),
+            F.pmod(F.xxhash64("id", F.lit(6)), F.lit(120)).alias("l_suppkey"),
+        )
+    )
+    f2 = {(r.node, r.n_triangles) for r in triangle_knn_frame(m).collect()}
+    o2 = {
+        (r.node, r.n_triangles)
+        for r in triangle_knn_frame(m, orientation="degree").collect()
+    }
+    assert f2 == o2
+    assert len(f2) > 10
+
+
 def test_adaptive_salted_join_equals_plain_join(spark):
     """adaptive_salted_join must be answer-invariant vs the plain join,
     on a frame with one deterministic hot key (~50% of rows)."""

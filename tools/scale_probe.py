@@ -315,6 +315,16 @@ def build_tiers(spark, small: int, big: int) -> dict[str, dict[int, callable]]:
     def t_triangle(n):
         return triangle_knn_frame(corpus("membership", n)).count()
 
+    def t_triangle_oriented(n):
+        # Degree-oriented enumeration (the unbounded-degree 100 TB
+        # path) on the same membership graph — per-node counts are
+        # pinned bit-identical by tests/test_scale_operators.py; this
+        # tier prices the orientation overhead (degree agg + attach
+        # joins) on a graph where the kNN cut already bounds degrees.
+        return triangle_knn_frame(
+            corpus("membership", n), orientation="degree"
+        ).count()
+
     def t_lsh(n):
         # n is known here — pass the hint so the probe measures the
         # operator, not an extra count() job over the synthetic corpus.
@@ -380,6 +390,10 @@ def build_tiers(spark, small: int, big: int) -> dict[str, dict[int, callable]]:
         "lm_perplexity": {
             small: lambda: t_lm_perplexity(small),
             big: lambda: t_lm_perplexity(big),
+        },
+        "triangle_knn_oriented": {
+            10 * small: lambda: t_triangle_oriented(10 * small),
+            10 * big: lambda: t_triangle_oriented(10 * big),
         },
         "triangle_knn": {
             10 * small: lambda: t_triangle(10 * small),
