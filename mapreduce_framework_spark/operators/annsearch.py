@@ -407,6 +407,11 @@ def probe_bucket_index(
     driver-side and expressed as partition-column predicates, so the
     scan reads only matching partition directories; the returned frame
     is the pruned candidate id set to re-rank exactly."""
+    if not query_buckets:
+        raise ValueError(
+            "query_buckets must be non-empty: pass the [(tbl, bucket)] "
+            "signature of the query vector (one entry per LSH table)"
+        )
     cond = None
     for tbl, qb in query_buckets:
         c = (F.col("tbl") == tbl) & F.col("bucket").isin(
@@ -448,8 +453,26 @@ def lsh_topk(
     derivation stays lazy: without the hint, deriving the plane count
     runs one eager ``vectors.count()`` — a hidden extra job that
     re-executes the full upstream lineage when ``vectors`` is an
-    unpersisted derived frame (persist the input first in that case)."""
+    unpersisted derived frame (persist the input first in that case).
+    The hint must be the EXACT row count, not an estimate: the plane
+    count derives from it via ``occupancy_planes``, so a stale catalog
+    figure whose ``(n-1).bit_length()`` differs silently changes
+    bucketing — and therefore which top-k survives the candidate cut —
+    versus an oracle that derives planes from the true count.  Set
+    ``MFS_VERIFY_LSH_HINT=1`` to cross-check the hint against a real
+    count (debug-only: it is exactly the eager job the hint avoids)."""
     if n_planes is None:
+        if n_vectors is not None:
+            import os
+
+            if os.environ.get("MFS_VERIFY_LSH_HINT") == "1":
+                true_planes = occupancy_planes(vectors.count())
+                if occupancy_planes(n_vectors) != true_planes:
+                    raise ValueError(
+                        f"n_vectors hint {n_vectors} derives "
+                        f"{occupancy_planes(n_vectors)} planes but the true "
+                        f"corpus count derives {true_planes} — stale hint"
+                    )
         n_planes = occupancy_planes(
             n_vectors if n_vectors is not None else vectors.count()
         )
