@@ -188,16 +188,20 @@ def _customer_supplier_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 def graph_pagerank_deep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank at depth (10 rounds, damping 0.85) over the same graph
     as graph_pagerank — the key whose EXECUTION path is the lineage-
-    truncated one: ``checkpoint_every=3`` localCheckpoints the rank
-    frame every 3 rounds, so the plan the optimizer sees stays 3 rounds
+    truncated one: ``checkpoint_every=2`` localCheckpoints the rank
+    frame every 2 rounds, so the plan the optimizer sees stays 2 rounds
     deep no matter how far the iteration runs (round-5; previously the
-    truncation path existed only behind a test).  Results are
-    bit-identical to the fully-lazy unroll (pinned at N=10 by
+    truncation path existed only behind a test).  Cadence 2 was chosen
+    by measurement (round-7, SCALE.md §Iterative: k=2/3/5 priced at
+    sf0.1 and 1 M synthetic edges — plan-growth cost dominates barrier
+    cost at these sizes, so the shortest cadence wins; 5.45 s vs
+    6.54/8.41 s at sf0.1).  Results are bit-identical to the fully-lazy
+    unroll at the pinned cadence (by
     tests/test_scale_operators.py::test_pagerank_checkpoint_cadence_identical);
     the wall-vs-N curve for both paths, measured from THIS function, is
     in SCALE.md §Iterative."""
     return pagerank(
-        _customer_supplier_edges(spark, sf_dir), rounds=_N_DEEP, checkpoint_every=3
+        _customer_supplier_edges(spark, sf_dir), rounds=_N_DEEP, checkpoint_every=2
     )
 
 

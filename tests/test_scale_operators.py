@@ -407,9 +407,11 @@ def test_containment_cap_overflow_matches_exact(spark):
 
 
 def test_pagerank_checkpoint_cadence_identical(spark):
-    """pagerank(checkpoint_every=3) must be bit-identical to the fully
-    lazy unroll at N=10 — lineage truncation changes the execution
-    boundaries, never the integer fixed-point arithmetic."""
+    """pagerank(checkpoint_every=2) — the production cadence of
+    graph_pagerank_deep, chosen by the round-7 pricing in SCALE.md
+    §Iterative — must be bit-identical to the fully lazy unroll at
+    N=10: lineage truncation changes the execution boundaries, never
+    the integer fixed-point arithmetic."""
     from pyspark.sql import functions as F
 
     from mapreduce_framework_spark.queries.graphs import pagerank
@@ -421,7 +423,7 @@ def test_pagerank_checkpoint_cadence_identical(spark):
     lazy = {(r.node, r.rank) for r in pagerank(edges, rounds=10).collect()}
     ckpt = {
         (r.node, r.rank)
-        for r in pagerank(edges, rounds=10, checkpoint_every=3).collect()
+        for r in pagerank(edges, rounds=10, checkpoint_every=2).collect()
     }
     assert lazy == ckpt
     assert len(lazy) > 100
