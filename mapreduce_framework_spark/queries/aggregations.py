@@ -945,18 +945,23 @@ def events_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM customer segmentation over the purchase stream: one
     aggregate computes recency (last purchase instant, exact micros),
     frequency, and monetary value (integer cents — float sums would be
-    order-dependent), then three quartile windows score each dimension
-    (unique user_id tie-breaks keep ntile deterministic) and a CASE
-    maps scores to named segments.
+    order-dependent), then three quartile scores per dimension (unique
+    user_id tie-breaks keep ntile deterministic) and a CASE maps scores
+    to named segments.
 
-    Scale: the per-user aggregate shuffles purchases once; the scoring
-    windows run over the USER-level frame (orders of magnitude smaller
-    than events).  The unpartitioned ntile windows are the documented
-    single-partition risk at extreme user counts — production shards
-    them by a coarse user bucket and unions, same trick as
-    agg_salted_skew; at the declared scale the user frame fits one
-    partition comfortably."""
-    from pyspark.sql import Window
+    Scale (round 7 — prose made code): the per-user aggregate shuffles
+    purchases once; the three quartile scores then run through
+    ``operators/ranking.exact_ntile`` — range repartition +
+    partition-local ranks + broadcast offsets — instead of the
+    unpartitioned ``ntile(4)`` windows this key shipped with, which
+    funneled the whole USER frame through one task (the watermark
+    fixture's scale-killer class, just one aggregation level up; at
+    billions of users it is the same single-task sort).  exact_ntile is
+    pinned bit-identical to window ntile on totally-ordered keys
+    (tests/test_operators.py), so the oracle — which keeps the
+    declarative ntile form — is unchanged, and the no-wide-
+    single-partition plan shape is pinned in tests/test_plans.py."""
+    from mapreduce_framework_spark.operators.ranking import exact_ntile
 
     rfm = (
         table(spark, sf_dir, "events")
@@ -970,18 +975,14 @@ def events_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("monetary_cents"),
         )
     )
-    r = F.ntile(4).over(Window.orderBy(F.desc("last_us"), F.asc("user_id")))
-    f = F.ntile(4).over(Window.orderBy(F.desc("frequency"), F.asc("user_id")))
-    m = F.ntile(4).over(
-        Window.orderBy(F.desc("monetary_cents"), F.asc("user_id"))
+    scored = exact_ntile(
+        rfm, 4, [F.desc("last_us"), F.asc("user_id")], out_col="r_score"
     )
-    scored = rfm.select(
-        "user_id",
-        "frequency",
-        "monetary_cents",
-        r.alias("r_score"),
-        f.alias("f_score"),
-        m.alias("m_score"),
+    scored = exact_ntile(
+        scored, 4, [F.desc("frequency"), F.asc("user_id")], out_col="f_score"
+    )
+    scored = exact_ntile(
+        scored, 4, [F.desc("monetary_cents"), F.asc("user_id")], out_col="m_score"
     )
     seg = (
         F.when((F.col("r_score") == 1) & (F.col("f_score") == 1), "champion")
@@ -989,7 +990,15 @@ def events_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("r_score") == 1, "recent")
         .otherwise("regular")
     )
-    return scored.select("*", seg.alias("segment"))
+    return scored.select(
+        "user_id",
+        "frequency",
+        "monetary_cents",
+        "r_score",
+        "f_score",
+        "m_score",
+        seg.alias("segment"),
+    )
 
 
 @register(

@@ -339,6 +339,52 @@ def test_lsh_finds_planted_near_duplicate(spark):
     assert abs(top[0].cos_sim - 1.0) < 1e-6
 
 
+def test_exact_ntile_matches_window_ntile(spark):
+    """exact_ntile (distributed: range repartition + local ranks +
+    broadcast offsets) must be bit-identical to the single-partition
+    window ntile on totally-ordered keys — across remainder cases
+    (n % k != 0), n < k, descending orders, and a shuffle-partition
+    change (the offsets logic must not depend on the physical layout)."""
+    from pyspark.sql import Window
+
+    from mapreduce_framework_spark.operators.ranking import exact_ntile, global_ranks
+
+    saved = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        for n, k, parts in ((1003, 4, "32"), (1000, 7, "7"), (3, 8, "32"), (64, 4, "5")):
+            spark.conf.set("spark.sql.shuffle.partitions", parts)
+            df = spark.range(n).select(
+                F.col("id"),
+                F.pmod(F.xxhash64("id", F.lit(11)), F.lit(10_000_000)).alias("v"),
+            )
+            order = [F.desc("v"), F.asc("id")]
+            got = {
+                (r.id, r.tile)
+                for r in exact_ntile(df, k, order, out_col="tile").collect()
+            }
+            want = {
+                (r.id, r.tile)
+                for r in df.select(
+                    "id", F.ntile(k).over(Window.orderBy(*order)).alias("tile")
+                ).collect()
+            }
+            assert got == want, f"n={n} k={k} parts={parts}"
+            ranks = {
+                (r.id, r.rank)
+                for r in global_ranks(df, order).collect()
+            }
+            wantr = {
+                (r.id, r.rank)
+                for r in df.select(
+                    "id",
+                    F.row_number().over(Window.orderBy(*order)).cast("bigint").alias("rank"),
+                ).collect()
+            }
+            assert ranks == wantr, f"ranks n={n} parts={parts}"
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", saved)
+
+
 def test_probe_bucket_index_rejects_empty_signature(spark):
     """An empty query signature used to leave cond=None and crash with
     an opaque TypeError inside .where(); it must be a clear ValueError."""

@@ -38,6 +38,9 @@ PINNED_KEYS = [
     # greedy keeps / argmax — tie-break determinism
     "dedup_canonical_keep",
     "agg_mode",
+    # distributed exact ranking — offsets must not depend on the
+    # physical partition layout (operators/ranking.py)
+    "events_rfm_segmentation",
     # iterative — label propagation converges to the same fixpoint
     "dedup_clusters",
     # semantic dedup — assignment + cap sub-split stability

@@ -201,9 +201,31 @@ def test_watermark_replay_source_has_no_global_sort(spark):
     for block in re.split(r"\n\n", plan):
         if "Arguments: SinglePartition" not in block:
             continue
-        m = re.search(r"Input \[(\d+)\]", block)
-        assert m and int(m.group(1)) <= 4, (
+        m = re.search(r"Input(?: \[(\d+)\]|: \[\])", block)
+        assert m and int(m.group(1) or 0) <= 4, (
             f"wide single-partition exchange in replay fixture:\n{block}"
+        )
+
+
+def test_rfm_quartiles_have_no_wide_single_partition_window(spark):
+    """events_rfm_segmentation's three quartile scores must run on the
+    distributed exact_ntile path (range repartition + local ranks +
+    broadcast offsets) — the unpartitioned ntile(4) windows it shipped
+    with funneled the whole user frame through one task.  Allowed
+    SinglePartition exchanges carry only the skinny per-partition
+    counts/offsets frames (≤4 columns), never user rows."""
+    import re
+
+    from mapreduce_framework_spark.plans import formatted_plan
+
+    plan = formatted_plan(_q(spark, "events_rfm_segmentation"))
+    assert "ntile" not in plan, "window ntile crept back into the RFM plan"
+    for block in re.split(r"\n\n", plan):
+        if "Arguments: SinglePartition" not in block:
+            continue
+        m = re.search(r"Input(?: \[(\d+)\]|: \[\])", block)
+        assert m and int(m.group(1) or 0) <= 4, (
+            f"wide single-partition exchange in RFM plan:\n{block}"
         )
 
 
