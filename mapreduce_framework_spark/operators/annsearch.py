@@ -501,3 +501,123 @@ def lsh_topk(
     # Spark falls back to a shuffle join on the skinny id column.
     pruned = vectors.join(F.broadcast(cand), id_col, "left_semi")
     return brute_force_topk(pruned, query, k=k, id_col=id_col, vec_col=vec_col)
+
+
+# --- Product quantization (PQ) -------------------------------------------
+#
+# The vector-store compression tier BELOW int8: the vector splits into M
+# contiguous subvectors, each subspace learns a tiny codebook (k-means on
+# the subspace), and a vector is stored as M small code ids — here 4
+# codes for a 64-dim embedding, vs 64 floats (Jégou et al., "Product
+# Quantization for Nearest Neighbor Search", TPAMI 2011).  Search is
+# ADC (asymmetric distance computation): the query precomputes a
+# (subspace, code) → partial-dot lookup table against the codebook, and
+# a corpus vector's approximate dot is the sum of M table lookups — no
+# float vector is ever touched at scan time.  Everything below runs on
+# the exact integer lattice (operators/kmeans.py's quantize trick), so
+# training, encoding, the LUT, and the ADC scores are bit-reproducible
+# and hash-checkable against a SQL oracle.
+
+
+def pq_subvectors(
+    qvecs: DataFrame,
+    n_sub: int,
+    sub_dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+) -> DataFrame:
+    """(id, v[bigint dim]) → exploded (id, m, sp, val) rows: subspace m
+    covers positions [m*sub_dim, (m+1)*sub_dim)."""
+    return qvecs.select(
+        F.col(id_col), F.posexplode(vec_col).alias("pos", "val")
+    ).select(
+        id_col,
+        (F.col("pos") / sub_dim).cast("int").alias("m"),
+        (F.col("pos") % sub_dim).alias("sp"),
+        "val",
+    )
+
+
+def pq_train(sub: DataFrame, n_seeds: int) -> DataFrame:
+    """One exact integer Lloyd round per subspace: seeds = the first
+    ``n_seeds`` vector ids' subvectors (code = vec_id), assign every
+    subvector to its nearest seed (ties to the lower code), codebook =
+    truncating integer mean per (m, code, sp).  Returns the exploded
+    codebook (m, code, sp, cval) — M×K×sub_dim skinny rows, always
+    broadcastable."""
+    seeds = sub.where(F.col("vec_id") < n_seeds).select(
+        F.col("m"),
+        F.col("sp"),
+        F.col("vec_id").cast("int").alias("code"),
+        F.col("val").alias("sval"),
+    )
+    d1 = (
+        sub.join(F.broadcast(seeds), ["m", "sp"])
+        .groupBy("vec_id", "m", "code")
+        .agg(
+            F.sum(
+                (F.col("val") - F.col("sval")) * (F.col("val") - F.col("sval"))
+            ).alias("dist")
+        )
+    )
+    a1 = (
+        d1.groupBy("vec_id", "m")
+        .agg(F.min(F.struct("dist", "code")).alias("b"))
+        .select("vec_id", "m", F.col("b.code").alias("code"))
+    )
+    return (
+        a1.join(sub, ["vec_id", "m"])
+        .groupBy("m", "code", "sp")
+        .agg(F.expr("sum(val) div count(*)").alias("cval"))
+    )
+
+
+def pq_encode(sub: DataFrame, codebook: DataFrame) -> DataFrame:
+    """Nearest-codeword id per (vector, subspace) — the stored PQ code.
+    Broadcast codebook; distances and the argmin tie-break (dist, code)
+    are exact integers."""
+    d = (
+        sub.join(F.broadcast(codebook), ["m", "sp"])
+        .groupBy("vec_id", "m", "code")
+        .agg(
+            F.sum(
+                (F.col("val") - F.col("cval")) * (F.col("val") - F.col("cval"))
+            ).alias("dist")
+        )
+    )
+    return (
+        d.groupBy("vec_id", "m")
+        .agg(F.min(F.struct("dist", "code")).alias("b"))
+        .select("vec_id", "m", F.col("b.code").alias("code"))
+    )
+
+
+def pq_adc_topk(
+    codes: DataFrame,
+    codebook: DataFrame,
+    query_sub: DataFrame,
+    k: int,
+    scale_sq: float,
+) -> DataFrame:
+    """ADC top-k: LUT[(m, code)] = Σ_sp qval·cval (M×K rows), a corpus
+    vector's approximate dot = Σ_m LUT[code(v, m)], ranked by the exact
+    integer score with vec_id tie-break.  ``scale_sq`` rescales the
+    integer-lattice dot back to float for display only."""
+    lut = (
+        codebook.join(F.broadcast(query_sub), ["m", "sp"])
+        .groupBy("m", "code")
+        .agg(F.sum(F.col("qval") * F.col("cval")).alias("dot"))
+    )
+    adc = (
+        codes.join(F.broadcast(lut), ["m", "code"])
+        .groupBy("vec_id")
+        .agg(F.sum("dot").alias("adc"))
+    )
+    return (
+        adc.orderBy(F.desc("adc"), F.asc("vec_id"))
+        .limit(k)
+        .select(
+            "vec_id",
+            F.round(F.col("adc") / F.lit(scale_sq), 6).alias("approx_dot"),
+        )
+    )

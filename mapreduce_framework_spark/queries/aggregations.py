@@ -1071,3 +1071,156 @@ def agg_weighted_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("total").cast("bigint").alias("total_weight"),
         )
     )
+
+
+@register(
+    "agg_quantile_partial_merge",
+    # Fully integer-deterministic: cents = round(price*100) as int64,
+    # fixed-width bins (W = 100000 cents = $1000), rank thresholds via
+    # integer ceil((q*total)) arithmetic, and the exact quantile as the
+    # min value whose cumulative distinct-value count reaches the rank.
+    # Both engines compute the identical histogram and the identical
+    # exact rank value, so estimate, truth, AND the error column are
+    # hash-checkable — the quantile sibling of agg_hll_partial_merge's
+    # tolerance verdict, but exact.
+    oracle="""
+WITH li AS (
+  SELECT CAST(date_trunc('month', l_shipdate) AS DATE) AS month,
+         CAST(l_shipdate AS DATE) AS d,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+  FROM lineitem
+),
+daily AS (
+  SELECT month, d, cents // 100000 AS bin, count(*) AS cnt
+  FROM li GROUP BY 1, 2, 3
+),
+monthly AS (
+  SELECT month, bin, CAST(SUM(cnt) AS BIGINT) AS cnt FROM daily GROUP BY 1, 2
+),
+tot AS (SELECT month, CAST(SUM(cnt) AS BIGINT) AS total FROM monthly GROUP BY 1),
+cum AS (
+  SELECT month, bin,
+         CAST(SUM(cnt) OVER (PARTITION BY month ORDER BY bin) AS BIGINT) AS cum
+  FROM monthly
+),
+est AS (
+  SELECT c.month, t.total,
+         min(CASE WHEN c.cum >= (t.total + 1) // 2 THEN c.bin END) AS b50,
+         min(CASE WHEN c.cum >= (9 * t.total + 9) // 10 THEN c.bin END) AS b90,
+         min(CASE WHEN c.cum >= (99 * t.total + 99) // 100 THEN c.bin END) AS b99
+  FROM cum c JOIN tot t USING (month)
+  GROUP BY 1, 2
+),
+pc AS (SELECT month, cents, count(*) AS c FROM li GROUP BY 1, 2),
+pcum AS (
+  SELECT month, cents,
+         CAST(SUM(c) OVER (PARTITION BY month ORDER BY cents) AS BIGINT) AS cumr
+  FROM pc
+),
+exact AS (
+  SELECT p.month,
+         min(CASE WHEN p.cumr >= (t.total + 1) // 2 THEN p.cents END)
+           AS p50_exact_cents,
+         min(CASE WHEN p.cumr >= (9 * t.total + 9) // 10 THEN p.cents END)
+           AS p90_exact_cents,
+         min(CASE WHEN p.cumr >= (99 * t.total + 99) // 100 THEN p.cents END)
+           AS p99_exact_cents
+  FROM pcum p JOIN tot t USING (month)
+  GROUP BY 1
+)
+SELECT e.month, e.total,
+       (e.b50 + 1) * 100000 AS p50_est_cents, x.p50_exact_cents,
+       (e.b50 + 1) * 100000 - x.p50_exact_cents AS p50_err_cents,
+       (e.b90 + 1) * 100000 AS p90_est_cents, x.p90_exact_cents,
+       (e.b90 + 1) * 100000 - x.p90_exact_cents AS p90_err_cents,
+       (e.b99 + 1) * 100000 AS p99_est_cents, x.p99_exact_cents,
+       (e.b99 + 1) * 100000 - x.p99_exact_cents AS p99_err_cents,
+       ((e.b50 + 1) * 100000 - x.p50_exact_cents BETWEEN 1 AND 100000
+        AND (e.b90 + 1) * 100000 - x.p90_exact_cents BETWEEN 1 AND 100000
+        AND (e.b99 + 1) * 100000 - x.p99_exact_cents BETWEEN 1 AND 100000)
+         AS bound_ok
+FROM est e JOIN exact x USING (month)
+""".strip(),
+    tags=("agg", "incremental", "sketch"),
+)
+def agg_quantile_partial_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable quantile sketches: per-day fixed-grid histogram
+    partials (128-ish $1000 bins over integer cents) re-aggregated to
+    monthly p50/p90/p99 estimates WITHOUT rescanning raw rows — the
+    quantile counterpart of agg_partial_merge (algebraic moments) and
+    agg_hll_partial_merge (distincts).  Exact percentiles don't merge
+    (yesterday's p99 + today's p99 say nothing about the union), but
+    fixed-grid histograms merge by plain `+`, with the estimate's error
+    bounded by ONE bin width by construction — the same
+    bounded-bucket idea as KLL/t-digest sketches, reduced to the
+    grid case where the merge is expressible as a GROUP BY and the
+    bound is provable in-plan.  Each month's row carries the estimate,
+    the exact rank value, the signed error, and a bound_ok verdict the
+    oracle recomputes bit-for-bit.
+
+    Scale: the daily partial is the ONLY pass over raw rows (at 100 TB
+    it is maintained incrementally as data lands); the merge and the
+    quantile extraction run on (month, bin) rows — bounded by
+    months x ~130 bins regardless of corpus size.  The exact-rank
+    audit column is the expensive part (a per-month cumulative count
+    over distinct cent values) and exists to prove the bound; a
+    production rollup ships only the histogram path.  Thresholds use
+    integer ceil arithmetic ((q*total + den-1) div den) so no float
+    rank ever appears."""
+    from pyspark.sql import Window
+
+    W = 100_000  # bin width in cents ($1000)
+    li = table(spark, sf_dir, "lineitem").select(
+        F.date_trunc("month", F.col("l_shipdate")).cast("date").alias("month"),
+        F.col("l_shipdate").cast("date").alias("d"),
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("cents"),
+    )
+    daily = li.groupBy(
+        "month", "d", F.expr(f"cents div {W}").alias("bin")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    monthly = daily.groupBy("month", "bin").agg(F.sum("cnt").alias("cnt"))
+    tot = monthly.groupBy("month").agg(F.sum("cnt").alias("total"))
+
+    wb = Window.partitionBy("month").orderBy("bin")
+    cum = monthly.withColumn("cum", F.sum("cnt").over(wb))
+
+    def _rank(num: int, den: int) -> F.Column:
+        return F.expr(f"({num} * total + {den - 1}) div {den}")
+
+    est = (
+        cum.join(tot, "month")
+        .groupBy("month", "total")
+        .agg(
+            F.min(F.when(F.col("cum") >= _rank(1, 2), F.col("bin"))).alias("b50"),
+            F.min(F.when(F.col("cum") >= _rank(9, 10), F.col("bin"))).alias("b90"),
+            F.min(F.when(F.col("cum") >= _rank(99, 100), F.col("bin"))).alias("b99"),
+        )
+    )
+    pc = li.groupBy("month", "cents").agg(F.count(F.lit(1)).alias("c"))
+    wc = Window.partitionBy("month").orderBy("cents")
+    pcum = pc.withColumn("cumr", F.sum("c").over(wc)).join(tot, "month")
+    exact = pcum.groupBy("month").agg(
+        F.min(F.when(F.col("cumr") >= _rank(1, 2), F.col("cents"))).alias(
+            "p50_exact_cents"
+        ),
+        F.min(F.when(F.col("cumr") >= _rank(9, 10), F.col("cents"))).alias(
+            "p90_exact_cents"
+        ),
+        F.min(F.when(F.col("cumr") >= _rank(99, 100), F.col("cents"))).alias(
+            "p99_exact_cents"
+        ),
+    )
+    out = est.join(exact, "month")
+    cols = [F.col("month"), F.col("total")]
+    bounds = []
+    for q in ("50", "90", "99"):
+        est_c = ((F.col(f"b{q}") + 1) * W).alias(f"p{q}_est_cents")
+        err = ((F.col(f"b{q}") + 1) * W - F.col(f"p{q}_exact_cents")).alias(
+            f"p{q}_err_cents"
+        )
+        cols += [est_c, F.col(f"p{q}_exact_cents"), err]
+        bounds.append(
+            ((F.col(f"b{q}") + 1) * W - F.col(f"p{q}_exact_cents")).between(1, W)
+        )
+    cols.append((bounds[0] & bounds[1] & bounds[2]).alias("bound_ok"))
+    return out.select(*cols)

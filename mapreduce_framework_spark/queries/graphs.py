@@ -419,3 +419,99 @@ def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("degree"))
     )
     return deg.groupBy("degree").agg(F.count(F.lit(1)).alias("n_nodes"))
+
+
+_KCORE_EDGES_CTE = """
+WITH co AS (
+  SELECT a.l_suppkey AS s1, b.l_suppkey AS s2,
+         count(DISTINCT a.l_orderkey) AS w
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_suppkey <> b.l_suppkey
+  GROUP BY 1, 2
+),
+knn AS (
+  SELECT s1, s2 FROM (
+    SELECT s1, s2,
+           row_number() OVER (PARTITION BY s1 ORDER BY w DESC, s2 ASC) AS rn
+    FROM co
+  ) WHERE rn <= 5
+),
+e0 AS (
+  SELECT least(s1, s2) AS u, greatest(s1, s2) AS v FROM knn GROUP BY 1, 2
+)
+""".strip()
+
+
+def _kcore_oracle(k: int, rounds: int) -> str:
+    """Unrolled peeling CTE: rounds × (degree → survivors → restrict)."""
+    parts = [_KCORE_EDGES_CTE.rstrip()]
+    for r in range(rounds):
+        parts.append(f""",
+d{r} AS (
+  SELECT node, count(*) AS c
+  FROM (SELECT u AS node FROM e{r} UNION ALL SELECT v FROM e{r})
+  GROUP BY node
+),
+a{r} AS (SELECT node FROM d{r} WHERE c >= {k}),
+e{r + 1} AS (
+  SELECT e.u, e.v FROM e{r} e
+  JOIN a{r} x ON e.u = x.node
+  JOIN a{r} y ON e.v = y.node
+)""")
+    parts.append(f"""
+SELECT node, count(*) AS core_degree
+FROM (SELECT u AS node FROM e{rounds} UNION ALL SELECT v FROM e{rounds})
+GROUP BY node""")
+    return "".join(parts).strip()
+
+
+@register(
+    "graph_kcore",
+    oracle=_kcore_oracle(k=3, rounds=3),
+    tags=("graph", "iterative"),
+)
+def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded k-core peeling (k=3, 3 unrolled rounds) over the
+    mutualized top-5 co-supply graph — the dense-subgraph extractor
+    that complements the triangle and degree keys: each round drops
+    every node whose CURRENT degree is < k and restricts the edge set
+    to survivors, so degrees cascade downward until the k-core remains
+    (3 rounds suffice to converge on this kNN-bounded graph — pinned by
+    tests; fixed unrolled rounds keep the plan deterministic and
+    SQL-replayable, same policy as the PageRank keys).  Output = the
+    surviving nodes with their within-core degree.
+
+    Scale: each round is one skinny degree aggregate plus two
+    node-key joins of the edge frame against the shrinking survivor
+    set (survivors broadcast once they fit); the corpus-sized work
+    remains the single co-occurrence shuffle shared with
+    graph_triangle_knn via knn_edges_frame.  At true 100 TB depth the
+    rounds checkpoint on the graph_pagerank_deep cadence
+    (checkpoint_every=2, measured in SCALE.md §Iterative) instead of
+    growing lineage."""
+    l = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    return kcore_frame(knn_edges_frame(l, k=5), k=3, rounds=3)
+
+
+def kcore_frame(edges: DataFrame, k: int, rounds: int) -> DataFrame:
+    """k-core peeling on a canonical undirected (u, v) edge frame:
+    ``rounds`` unrolled (degree → survivors → restrict) steps, then the
+    surviving (node, core_degree) table — shared by graph_kcore and the
+    convergence test (rounds vs rounds+1 identical)."""
+    for _ in range(rounds):
+        deg = (
+            edges.select(F.col("u").alias("node"))
+            .unionByName(edges.select(F.col("v").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        alive = deg.where(F.col("c") >= k).select("node")
+        edges = edges.join(
+            alive.withColumnRenamed("node", "u"), "u", "left_semi"
+        ).join(alive.withColumnRenamed("node", "v"), "v", "left_semi")
+    return (
+        edges.select(F.col("u").alias("node"))
+        .unionByName(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("core_degree"))
+    )

@@ -471,3 +471,110 @@ def sim_search_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_topk(
         vectors, query_id=0, k=10, n_tables=4, n_planes=None, hamming_radius=2
     )
+
+
+# PQ: train → encode → ADC, all on the exact integer lattice so the
+# oracle replays the full pipeline (train included) bit-for-bit.
+_PQ_ORACLE = """
+WITH e AS (
+  SELECT vec_id,
+         unnest(list_transform(CAST(embedding AS DOUBLE[]),
+                               x -> CAST(round(x * 10000) AS BIGINT))) AS val,
+         unnest(range(len(embedding))) AS pos
+  FROM embeddings
+),
+s AS (SELECT vec_id, CAST(pos // 16 AS INTEGER) AS m, pos % 16 AS sp, val FROM e),
+seeds AS (
+  SELECT m, sp, CAST(vec_id AS INTEGER) AS code, val AS sval
+  FROM s WHERE vec_id < 8
+),
+d1 AS (
+  SELECT s.vec_id, s.m, seeds.code,
+         SUM((s.val - seeds.sval) * (s.val - seeds.sval)) AS dist
+  FROM s JOIN seeds ON s.m = seeds.m AND s.sp = seeds.sp
+  GROUP BY 1, 2, 3
+),
+a1 AS (
+  SELECT vec_id, m, code FROM d1
+  QUALIFY row_number() OVER (PARTITION BY vec_id, m ORDER BY dist, code) = 1
+),
+cb AS (
+  SELECT a1.m, a1.code, s.sp, SUM(s.val) // count(*) AS cval
+  FROM a1 JOIN s ON a1.vec_id = s.vec_id AND a1.m = s.m
+  GROUP BY 1, 2, 3
+),
+d2 AS (
+  SELECT s.vec_id, s.m, cb.code,
+         SUM((s.val - cb.cval) * (s.val - cb.cval)) AS dist
+  FROM s JOIN cb ON s.m = cb.m AND s.sp = cb.sp
+  GROUP BY 1, 2, 3
+),
+codes AS (
+  SELECT vec_id, m, code FROM d2
+  QUALIFY row_number() OVER (PARTITION BY vec_id, m ORDER BY dist, code) = 1
+),
+lut AS (
+  SELECT cb.m, cb.code, SUM(q.val * cb.cval) AS dot
+  FROM cb JOIN (SELECT m, sp, val FROM s WHERE vec_id = 0) q
+    ON cb.m = q.m AND cb.sp = q.sp
+  GROUP BY 1, 2
+),
+adc AS (
+  SELECT c.vec_id, SUM(l.dot) AS adc
+  FROM codes c JOIN lut l ON c.m = l.m AND c.code = l.code
+  WHERE c.vec_id <> 0
+  GROUP BY 1
+)
+SELECT vec_id, round(adc / 100000000.0, 6) AS approx_dot
+FROM adc
+ORDER BY adc DESC, vec_id ASC
+LIMIT 10
+""".strip()
+
+
+@register(
+    "sim_search_pq",
+    oracle=_PQ_ORACLE,
+    tags=("similarity", "ann", "quantization", "clustering"),
+    bench=True,
+)
+def sim_search_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantized top-10 by ADC — the compression tier BELOW
+    int8 (sim_search_quantized) in the serving ladder: the 64-dim
+    embedding splits into M=4 subspaces of 16 dims, each subspace
+    learns an 8-codeword codebook (one exact integer Lloyd round,
+    operators/kmeans.py's lattice trick per subspace), and a corpus
+    vector is stored as 4 code ids — 4 bytes instead of 256, a 64×
+    scan-byte reduction.  Search is ADC (Jégou et al., TPAMI 2011): the
+    query precomputes the 32-entry (subspace, code) partial-dot LUT and
+    a vector's approximate dot is 4 integer lookups summed; ranking
+    uses the EXACT integer score with vec_id tie-break, so the whole
+    pipeline — training included — is hash-checked against the oracle's
+    replay.  Recall vs the exact baseline is pinned in tests.
+
+    Scale (100 TB): training sees only the codebook seeds' subspaces;
+    encoding is one broadcast-codebook pass over the corpus producing
+    the skinny codes table (the thing you persist — bounded by n×M
+    ints); serving never touches a float vector — the LUT broadcasts
+    (M×K rows) and the scan reads codes only, with the same
+    top-k-per-partition cut as the brute-force key.  The re-rank path
+    (exact cosine on the PQ candidates) is sim_search_topk on a
+    1000×-smaller input."""
+    from mapreduce_framework_spark.operators.annsearch import (
+        pq_adc_topk,
+        pq_encode,
+        pq_subvectors,
+        pq_train,
+    )
+    from mapreduce_framework_spark.operators.kmeans import quantize as kquantize
+
+    qvecs = table(spark, sf_dir, "embeddings").select(
+        "vec_id", kquantize(F.col("embedding")).alias("v")
+    )
+    sub = pq_subvectors(qvecs, n_sub=4, sub_dim=16)
+    codebook = pq_train(sub, n_seeds=8)
+    codes = pq_encode(sub, codebook).where(F.col("vec_id") != 0)
+    query_sub = sub.where(F.col("vec_id") == 0).select(
+        "m", "sp", F.col("val").alias("qval")
+    )
+    return pq_adc_topk(codes, codebook, query_sub, k=10, scale_sq=1e8)

@@ -423,3 +423,66 @@ def test_canonical_keep_is_total_idempotent_mapping(spark):
     )
     assert twice.count() == 0
     df.unpersist()
+
+
+def test_quantile_partial_merge_bounds_and_totals(spark):
+    """Every month's histogram estimates must land within one bin of the
+    exact rank value (err in [1, W]) — the provable grid-sketch bound —
+    and `total` must equal the month's true row count."""
+    rows = _q(spark, "agg_quantile_partial_merge").collect()
+    assert rows, "no months"
+    W = 100_000
+    for r in rows:
+        assert r.bound_ok, f"bound violated: {r}"
+        for q in ("50", "90", "99"):
+            err = r[f"p{q}_err_cents"]
+            assert 1 <= err <= W, f"p{q} err {err} outside (0, {W}]: {r}"
+            assert r[f"p{q}_est_cents"] % W == 0, "estimate not a bin edge"
+    li = table(spark, SF_DIR, "lineitem")
+    truth = {
+        row.month: row.n
+        for row in li.groupBy(
+            F.date_trunc("month", F.col("l_shipdate")).cast("date").alias("month")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert {r.month: r.total for r in rows} == truth
+
+
+def test_zorder_pruning_lossless_and_bounded(spark):
+    """The z-order metrics row must show (a) real pruning — scanned
+    buckets a strict subset of all buckets, scanned rows ≥ matched rows
+    — and (b) losslessness: n_matched/revenue equal the same box query
+    computed directly on the raw table with the same integer bounds."""
+    r = _q(spark, "sink_zorder").collect()
+    assert len(r) == 1
+    m = r[0]
+    assert 0 < m.buckets_scanned < m.buckets_total
+    assert m.n_matched <= m.rows_scanned
+    o = (
+        table(spark, SF_DIR, "orders")
+        .select(
+            F.col("o_custkey").alias("x"),
+            F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("date"))
+            .cast("bigint")
+            .alias("y"),
+            F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+        )
+    )
+    b = o.agg(
+        F.min("x").alias("xmin"),
+        F.max("x").alias("xmax"),
+        F.min("y").alias("ymin"),
+        F.max("y").alias("ymax"),
+    ).collect()[0]
+    xspan, yspan = b.xmax - b.xmin + 1, b.ymax - b.ymin + 1
+    x_lo, x_hi = b.xmin + xspan * 1 // 8, b.xmin + xspan * 3 // 8
+    y_lo, y_hi = b.ymin + yspan * 2 // 8, b.ymin + yspan * 5 // 8
+    direct = o.where(
+        (F.col("x") >= x_lo) & (F.col("x") < x_hi)
+        & (F.col("y") >= y_lo) & (F.col("y") < y_hi)
+    ).agg(F.count(F.lit(1)).alias("n"), F.coalesce(F.sum("cents"), F.lit(0)).alias("s")).collect()[0]
+    assert (m.n_matched, m.revenue_cents) == (direct.n, direct.s), (
+        "pruned scan lost or duplicated rows"
+    )

@@ -748,3 +748,39 @@ def test_semantic_dedup_incremental_conserves_counts(spark):
         .count()
     )
     assert sum(r.n_new for r in rows) == n_new_total
+
+
+def test_pq_recall_and_code_compression(spark):
+    """PQ/ADC must (a) recover a nontrivial share of the exact top-10 —
+    the synthetic embeddings are measured-isotropic (see the LSH test),
+    so ~3/10 is the data's ceiling region for a 4×3-bit code, not the
+    operator's — and (b) actually compress: every vector reduces to
+    exactly 4 codes, each in [0, 8)."""
+    from mapreduce_framework_spark.operators.annsearch import (
+        pq_encode,
+        pq_subvectors,
+        pq_train,
+    )
+    from mapreduce_framework_spark.operators.kmeans import quantize as kquantize
+    from mapreduce_framework_spark.io import table
+    from mapreduce_framework_spark.registry import get_query
+
+    exact = [r.vec_id for r in get_query("sim_search_topk").fn(spark, SF_DIR).collect()]
+    approx = [r.vec_id for r in get_query("sim_search_pq").fn(spark, SF_DIR).collect()]
+    assert len(approx) == 10
+    recall = len(set(exact) & set(approx)) / 10
+    assert recall >= 0.2, f"PQ recall too low: {recall} (exact={exact}, pq={approx})"
+
+    qvecs = table(spark, SF_DIR, "embeddings").select(
+        "vec_id", kquantize(F.col("embedding")).alias("v")
+    )
+    n = qvecs.count()
+    codes = pq_encode(pq_subvectors(qvecs, 4, 16), pq_train(pq_subvectors(qvecs, 4, 16), 8))
+    stats = codes.agg(
+        F.count(F.lit(1)).alias("rows"),
+        F.countDistinct("vec_id").alias("vecs"),
+        F.min("code").alias("cmin"),
+        F.max("code").alias("cmax"),
+    ).collect()[0]
+    assert stats.rows == 4 * n and stats.vecs == n
+    assert 0 <= stats.cmin and stats.cmax < 8

@@ -514,3 +514,19 @@ def test_adaptive_salted_join_left_outer(spark):
         big, small, on="k", salt_source=F.col("v"), rows_per_salt=100, how="left"
     )
     assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+def test_kcore_converged_and_degrees_bounded(spark):
+    """graph_kcore's 3 unrolled peel rounds must be a fixpoint on the
+    kNN graph (round 4 changes nothing — the docstring's convergence
+    claim) and every surviving node's core degree must be >= k."""
+    from mapreduce_framework_spark.io import table
+    from mapreduce_framework_spark.queries.graphs import kcore_frame, knn_edges_frame
+
+    l = table(spark, SF_DIR, "lineitem").select("l_orderkey", "l_suppkey")
+    edges = knn_edges_frame(l, k=5)
+    r3 = sorted(map(tuple, kcore_frame(edges, k=3, rounds=3).collect()))
+    r4 = sorted(map(tuple, kcore_frame(edges, k=3, rounds=4).collect()))
+    assert r3 == r4, "3 rounds are not a fixpoint on this graph"
+    assert r3, "empty core"
+    assert min(d for _, d in r3) >= 3
