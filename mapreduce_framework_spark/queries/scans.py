@@ -362,17 +362,79 @@ def sink_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
     SF — enumerates its candidate buckets from the SAME arithmetic
     (≤64-row grid, no data scan).  The rewrite goes to parquet
     partitioned by bucket; the read back joins the broadcast candidate
-    list on the PARTITION column, so pruning happens at file-listing
-    level, then applies the residual predicate.  Output: one metrics
-    row — buckets total/scanned, rows scanned vs matched, exact revenue
-    — layout-independent, so the oracle recomputes it from the raw
-    table; equality proves the pruned scan lost nothing.
+    list on the PARTITION column and applies the residual predicate.
+    Output: one metrics row — buckets total/scanned, rows scanned vs
+    matched, exact revenue — layout-independent, so the oracle
+    recomputes it from the raw table; equality proves the pruned scan
+    lost nothing.
+
+    Pruning depth, honestly: with the box derived IN-PLAN (this key's
+    all-SF determinism requirement), Spark plans the candidate list as
+    a broadcast hash join — rows from non-candidate buckets are
+    discarded at the join, not at file listing, because the DPP rule
+    wants a literal-selective build side.  The production serving path
+    is ``zorder_box_probe`` below: bounds arrive as literals (catalog
+    stats recorded at write time), the candidate buckets enumerate in
+    pure driver arithmetic (no data access), and the literal IN lands
+    in the scan's PartitionFilters — actual file-listing pruning,
+    pinned by tests/test_plans.py.
 
     Scale: min/max and the candidate grid are skinny broadcasts; the
     only corpus-sized work is the clustering write's one shuffle. At
     100 TB the bucket count rises with the data (more bits of the same
     code) and a box query reads buckets_scanned/buckets_total of the
     corpus — measured 12/64 at sf0.01 and sf0.1 — instead of everything."""
+    out, b = zorder_cluster(spark, sf_dir)
+    back = spark.read.parquet(out)
+
+    box = b.select(
+        "xmin",
+        "ymin",
+        "xspan",
+        "yspan",
+        F.expr("xmin + (xspan * 1) div 8").alias("x_lo"),
+        F.expr("xmin + (xspan * 3) div 8").alias("x_hi"),
+        F.expr("ymin + (yspan * 2) div 8").alias("y_lo"),
+        F.expr("ymin + (yspan * 5) div 8").alias("y_hi"),
+    )
+    zh = _interleave_expr("xh", "yh", 3, "div")
+    cand = (
+        box.crossJoin(spark.range(8).select(F.col("id").alias("xh")))
+        .crossJoin(spark.range(8).select(F.col("id").alias("yh")))
+        .where(
+            F.expr(
+                "xh BETWEEN (((x_lo - xmin) * 256) div xspan) div 32"
+                "       AND (((x_hi - 1 - xmin) * 256) div xspan) div 32"
+                " AND yh BETWEEN (((y_lo - ymin) * 256) div yspan) div 32"
+                "       AND (((y_hi - 1 - ymin) * 256) div yspan) div 32"
+            )
+        )
+        # INT, matching the re-read partition column's inferred type: a
+        # cast on the scan side would block dynamic partition pruning.
+        .select(F.expr(zh).cast("int").alias("zbucket"))
+    )
+    scanned = back.join(F.broadcast(cand), "zbucket")
+    matched = scanned.crossJoin(F.broadcast(box)).where(
+        (F.col("x") >= F.col("x_lo"))
+        & (F.col("x") < F.col("x_hi"))
+        & (F.col("y") >= F.col("y_lo"))
+        & (F.col("y") < F.col("y_hi"))
+    )
+    totals = back.agg(F.countDistinct("zbucket").alias("buckets_total"))
+    scan_m = scanned.agg(
+        F.countDistinct("zbucket").alias("buckets_scanned"),
+        F.count(F.lit(1)).alias("rows_scanned"),
+    )
+    match_m = matched.agg(
+        F.count(F.lit(1)).alias("n_matched"),
+        F.coalesce(F.sum("cents"), F.lit(0)).alias("revenue_cents"),
+    )
+    return totals.crossJoin(scan_m).crossJoin(match_m)
+
+def zorder_cluster(spark: SparkSession, sf_dir: str) -> tuple:
+    """Write the z-order clustered copy of orders (see sink_zorder) and
+    return (path, bounds frame) — shared by the registered key and the
+    serving-path plan test."""
     o = table(spark, sf_dir, "orders").select(
         F.col("o_custkey").alias("x"),
         F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("date"))
@@ -401,46 +463,72 @@ def sink_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
     clustered.repartition("zbucket").sortWithinPartitions("zval").write.mode(
         "overwrite"
     ).partitionBy("zbucket").parquet(out)
-    back = spark.read.parquet(out)
+    return out, b
 
-    box = b.select(
-        "xmin",
-        "ymin",
-        "xspan",
-        "yspan",
-        F.expr("xmin + (xspan * 1) div 8").alias("x_lo"),
-        F.expr("xmin + (xspan * 3) div 8").alias("x_hi"),
-        F.expr("ymin + (yspan * 2) div 8").alias("y_lo"),
-        F.expr("ymin + (yspan * 5) div 8").alias("y_hi"),
+
+def zorder_candidate_buckets(
+    x_lo: int,
+    x_hi: int,
+    y_lo: int,
+    y_hi: int,
+    xmin: int,
+    xspan: int,
+    ymin: int,
+    yspan: int,
+) -> list[int]:
+    """Pure-arithmetic candidate enumeration for a half-open box
+    [x_lo, x_hi) × [y_lo, y_hi) over the sink_zorder layout: the same
+    truncating-division normalization as the write path, top 3 bits per
+    dimension, Morton-interleaved.  No data access — this is the
+    driver-side math a catalog probe runs before touching storage."""
+
+    def hi3(v: int, vmin: int, vspan: int) -> int:
+        return (((v - vmin) * 256) // vspan) // 32
+
+    xh_lo, xh_hi = hi3(x_lo, xmin, xspan), hi3(x_hi - 1, xmin, xspan)
+    yh_lo, yh_hi = hi3(y_lo, ymin, yspan), hi3(y_hi - 1, ymin, yspan)
+    out = []
+    for xh in range(max(0, xh_lo), min(7, xh_hi) + 1):
+        for yh in range(max(0, yh_lo), min(7, yh_hi) + 1):
+            z = 0
+            for i in range(3):
+                z += ((xh >> i) & 1) << (2 * i)
+                z += ((yh >> i) & 1) << (2 * i + 1)
+            out.append(z)
+    return sorted(out)
+
+
+def zorder_box_probe(
+    spark: SparkSession,
+    path: str,
+    x_lo: int,
+    x_hi: int,
+    y_lo: int,
+    y_hi: int,
+    xmin: int,
+    xspan: int,
+    ymin: int,
+    yspan: int,
+) -> DataFrame:
+    """Serving-path box query over a sink_zorder layout with LITERAL
+    bounds (catalog stats recorded at write time): candidate buckets
+    enumerate on the driver (zorder_candidate_buckets, pure math), the
+    literal IN hits the scan's PartitionFilters — file-listing pruning,
+    the thing the in-plan metrics key can't get from Spark's DPP rule —
+    and the residual box predicate lands in DataFilters for row-group
+    skipping on the zval-sorted files."""
+    cands = zorder_candidate_buckets(
+        x_lo, x_hi, y_lo, y_hi, xmin, xspan, ymin, yspan
     )
-    zh = _interleave_expr("xh", "yh", 3, "div")
-    cand = (
-        box.crossJoin(spark.range(8).select(F.col("id").alias("xh")))
-        .crossJoin(spark.range(8).select(F.col("id").alias("yh")))
+    if not cands:
+        raise ValueError("box does not intersect the layout's domain")
+    return (
+        spark.read.parquet(path)
+        .where(F.col("zbucket").isin(cands))
         .where(
-            F.expr(
-                "xh BETWEEN (((x_lo - xmin) * 256) div xspan) div 32"
-                "       AND (((x_hi - 1 - xmin) * 256) div xspan) div 32"
-                " AND yh BETWEEN (((y_lo - ymin) * 256) div yspan) div 32"
-                "       AND (((y_hi - 1 - ymin) * 256) div yspan) div 32"
-            )
+            (F.col("x") >= x_lo)
+            & (F.col("x") < x_hi)
+            & (F.col("y") >= y_lo)
+            & (F.col("y") < y_hi)
         )
-        .select(F.expr(zh).cast("bigint").alias("zbucket"))
     )
-    scanned = back.join(F.broadcast(cand), "zbucket")
-    matched = scanned.crossJoin(F.broadcast(box)).where(
-        (F.col("x") >= F.col("x_lo"))
-        & (F.col("x") < F.col("x_hi"))
-        & (F.col("y") >= F.col("y_lo"))
-        & (F.col("y") < F.col("y_hi"))
-    )
-    totals = back.agg(F.countDistinct("zbucket").alias("buckets_total"))
-    scan_m = scanned.agg(
-        F.countDistinct("zbucket").alias("buckets_scanned"),
-        F.count(F.lit(1)).alias("rows_scanned"),
-    )
-    match_m = matched.agg(
-        F.count(F.lit(1)).alias("n_matched"),
-        F.coalesce(F.sum("cents"), F.lit(0)).alias("revenue_cents"),
-    )
-    return totals.crossJoin(scan_m).crossJoin(match_m)

@@ -756,3 +756,55 @@ def test_ivf_cell_index_probe_prunes_partitions_dynamically(spark, tmp_path):
     assert sorted(map(tuple, res.collect())) == sorted(
         map(tuple, ivf_topk(e, cent, q, k=10, n_probe=3).collect())
     )
+
+
+def test_zorder_probe_prunes_partitions_at_file_listing(spark):
+    """The sink_zorder serving path (literal catalog bounds →
+    driver-arithmetic candidate buckets → literal IN) must prune at the
+    FILE level — scan fewer files than the layout has buckets — and
+    return exactly the rows a direct box filter on the raw table
+    returns."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_framework_spark.io import table
+    from mapreduce_framework_spark.plans import formatted_plan, scan_files_read
+    from mapreduce_framework_spark.queries.scans import (
+        zorder_box_probe,
+        zorder_candidate_buckets,
+        zorder_cluster,
+    )
+
+    path, b = zorder_cluster(spark, SF_DIR)
+    s = b.collect()[0]
+    x_lo, x_hi = s.xmin + s.xspan * 1 // 8, s.xmin + s.xspan * 3 // 8
+    y_lo, y_hi = s.ymin + s.yspan * 2 // 8, s.ymin + s.yspan * 5 // 8
+    cands = zorder_candidate_buckets(
+        x_lo, x_hi, y_lo, y_hi, s.xmin, s.xspan, s.ymin, s.yspan
+    )
+    probe = zorder_box_probe(
+        spark, path, x_lo, x_hi, y_lo, y_hi, s.xmin, s.xspan, s.ymin, s.yspan
+    )
+    plan = formatted_plan(probe)
+    assert "PartitionFilters" in plan
+    n_buckets = spark.read.parquet(path).select("zbucket").distinct().count()
+    files = scan_files_read(probe)
+    assert max(files) <= len(cands) < n_buckets, (
+        f"probe read {files} files; {len(cands)} candidates, "
+        f"{n_buckets} buckets total"
+    )
+    direct = (
+        table(spark, SF_DIR, "orders")
+        .select(
+            F.col("o_custkey").alias("x"),
+            F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("date"))
+            .cast("bigint")
+            .alias("y"),
+        )
+        .where(
+            (F.col("x") >= x_lo) & (F.col("x") < x_hi)
+            & (F.col("y") >= y_lo) & (F.col("y") < y_hi)
+        )
+    )
+    assert sorted((r.x, r.y) for r in probe.collect()) == sorted(
+        (r.x, r.y) for r in direct.collect()
+    )
