@@ -1142,6 +1142,7 @@ SELECT e.month, e.total,
 FROM est e JOIN exact x USING (month)
 """.strip(),
     tags=("agg", "incremental", "sketch"),
+    bench=True,
 )
 def agg_quantile_partial_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable quantile sketches: per-day fixed-grid histogram

@@ -469,6 +469,7 @@ GROUP BY node""")
     "graph_kcore",
     oracle=_kcore_oracle(k=3, rounds=3),
     tags=("graph", "iterative"),
+    bench=True,
 )
 def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bounded k-core peeling (k=3, 3 unrolled rounds) over the

@@ -343,6 +343,7 @@ SELECT (SELECT count(DISTINCT zbucket) FROM zz) AS buckets_total,
     "sink_zorder",
     oracle=_zorder_oracle(),
     tags=("sink", "clustering"),
+    bench=True,
 )
 def sink_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-order (Morton) clustered rewrite + 2-D box query with curve-
