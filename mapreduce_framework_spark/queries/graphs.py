@@ -421,8 +421,13 @@ def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return deg.groupBy("degree").agg(F.count(F.lit(1)).alias("n_nodes"))
 
 
+# Every multiply-referenced CTE is MATERIALIZED: DuckDB inlines plain
+# CTEs per reference, and the unrolled peel levels reference each other
+# 2-3x — without materialization e0 (which contains the lineitem
+# self-join) would be inlined ~3^rounds times, which exhausted temp
+# disk at sf0.1.  Each level computes exactly once this way.
 _KCORE_EDGES_CTE = """
-WITH co AS (
+WITH co AS MATERIALIZED (
   SELECT a.l_suppkey AS s1, b.l_suppkey AS s2,
          count(DISTINCT a.l_orderkey) AS w
   FROM lineitem a JOIN lineitem b
@@ -436,7 +441,7 @@ knn AS (
     FROM co
   ) WHERE rn <= 5
 ),
-e0 AS (
+e0 AS MATERIALIZED (
   SELECT least(s1, s2) AS u, greatest(s1, s2) AS v FROM knn GROUP BY 1, 2
 )
 """.strip()
@@ -452,8 +457,8 @@ d{r} AS (
   FROM (SELECT u AS node FROM e{r} UNION ALL SELECT v FROM e{r})
   GROUP BY node
 ),
-a{r} AS (SELECT node FROM d{r} WHERE c >= {k}),
-e{r + 1} AS (
+a{r} AS MATERIALIZED (SELECT node FROM d{r} WHERE c >= {k}),
+e{r + 1} AS MATERIALIZED (
   SELECT e.u, e.v FROM e{r} e
   JOIN a{r} x ON e.u = x.node
   JOIN a{r} y ON e.v = y.node
