@@ -469,3 +469,88 @@ def pipeline_mix_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "corpus_token_budget_plan",
+    # Largest-remainder (Hamilton) apportionment in exact integers:
+    # base = (B*t) div T, leftover = B - Σ base goes to the largest
+    # remainders (ties to source asc) — so Σ alloc == B exactly, which
+    # proportional-share-then-round cannot guarantee.
+    oracle="""
+WITH tok AS (
+  SELECT source,
+         CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS tokens
+  FROM documents GROUP BY source
+),
+tot AS (SELECT CAST(SUM(tokens) AS BIGINT) AS t FROM tok),
+base AS (
+  SELECT k.source, k.tokens,
+         (100000 * k.tokens) // tot.t AS base_alloc,
+         (100000 * k.tokens) % tot.t AS rem,
+         (1000000 * k.tokens) // tot.t AS share_ppm
+  FROM tok k, tot
+),
+ranked AS (
+  SELECT *,
+         row_number() OVER (ORDER BY rem DESC, source ASC) AS rk,
+         100000 - (SELECT CAST(SUM(base_alloc) AS BIGINT) FROM base)
+           AS leftover
+  FROM base
+)
+SELECT source, tokens, share_ppm,
+       base_alloc + CASE WHEN rk <= leftover THEN 1 ELSE 0 END
+         AS alloc_tokens,
+       rk <= leftover AS got_remainder
+FROM ranked
+""".strip(),
+    tags=("pipeline", "mix"),
+)
+def corpus_token_budget_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget apportionment across sources by the largest-
+    remainder method — the epoch-planning step of a training-mix
+    pipeline: given per-source token counts and a global budget
+    (100k tokens here), allocate proportionally in EXACT integers with
+    the leftover units going to the largest fractional remainders
+    (Hamilton's method; ties to source asc), so the allocations sum to
+    the budget EXACTLY — the follow-on to pipeline_mix_rebalance, which
+    rebalances shares but cannot hit an exact token total.
+
+    Scale: the corpus-sized work is one conditional aggregate (token
+    counts per source — shares pack_sequences' whitespace-token
+    semantics); apportionment runs on |sources| rows with one skinny
+    window.  At 100 TB the counts come from the maintained per-source
+    partials (agg_partial_merge's pattern), making re-planning a
+    metadata-only operation."""
+    from pyspark.sql import Window
+
+    B = 100_000
+    d = table(spark, sf_dir, "documents")
+    tok = d.groupBy("source").agg(
+        F.sum(F.size(F.split(F.col("text"), " "))).cast("bigint").alias("tokens")
+    )
+    tot = tok.agg(F.sum("tokens").alias("t"))
+    base = tok.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "tokens",
+        F.expr(f"({B} * tokens) div t").alias("base_alloc"),
+        F.expr(f"({B} * tokens) % t").alias("rem"),
+        F.expr("(1000000 * tokens) div t").alias("share_ppm"),
+    )
+    spent = base.agg(F.sum("base_alloc").alias("spent"))
+    w = Window.orderBy(F.desc("rem"), F.asc("source"))
+    ranked = (
+        base.withColumn("rk", F.row_number().over(w))
+        .crossJoin(F.broadcast(spent))
+        .withColumn("leftover", F.lit(B) - F.col("spent"))
+    )
+    return ranked.select(
+        "source",
+        "tokens",
+        "share_ppm",
+        (
+            F.col("base_alloc")
+            + F.when(F.col("rk") <= F.col("leftover"), 1).otherwise(0)
+        ).alias("alloc_tokens"),
+        (F.col("rk") <= F.col("leftover")).alias("got_remainder"),
+    )

@@ -486,3 +486,50 @@ def test_zorder_pruning_lossless_and_bounded(spark):
     assert (m.n_matched, m.revenue_cents) == (direct.n, direct.s), (
         "pruned scan lost or duplicated rows"
     )
+
+
+def test_power_iteration_matches_float_recompute(spark):
+    """The integer power-iteration loadings must be near-parallel to a
+    float recompute of the SAME two rounds (G²·1 direction, numpy) from
+    the same quantized lattice — quantization/truncation error only —
+    and the Rayleigh quotient can exceed neither numpy's top eigenvalue
+    nor the trace."""
+    import numpy as np
+
+    rows = _q(spark, "embedding_power_iteration").collect()
+    assert len(rows) == 64
+    lam = rows[0].rayleigh_lambda
+    v_int = np.array(
+        [r.loading for r in sorted(rows, key=lambda r: r.dim)], dtype=float
+    )
+    emb = np.array(
+        [
+            r.e
+            for r in table(spark, SF_DIR, "embeddings")
+            .select(F.col("embedding").cast("array<double>").alias("e"))
+            .collect()
+        ]
+    )
+    X = np.round(emb * 100)
+    G = X.T @ X
+    v_float = G @ (G @ np.ones(64))
+    cos = v_int @ v_float / (np.linalg.norm(v_int) * np.linalg.norm(v_float))
+    assert cos > 0.999, f"integer loadings diverged from float recompute: {cos}"
+    top = float(np.linalg.eigvalsh(G)[-1])
+    assert 0 <= lam <= top + 1, f"Rayleigh {lam} outside [0, lambda_max={top}]"
+    assert lam <= np.trace(G)
+
+
+def test_token_budget_plan_sums_exactly_and_is_proportional(spark):
+    """Largest-remainder guarantees: allocations sum to the budget
+    EXACTLY, every allocation is within 1 of the exact proportional
+    share, and the number of remainder upgrades equals the leftover."""
+    rows = _q(spark, "corpus_token_budget_plan").collect()
+    B = 100_000
+    assert sum(r.alloc_tokens for r in rows) == B
+    T = sum(r.tokens for r in rows)
+    for r in rows:
+        exact = B * r.tokens / T
+        assert abs(r.alloc_tokens - exact) < 1, (r.source, r.alloc_tokens, exact)
+    upgrades = sum(1 for r in rows if r.got_remainder)
+    assert upgrades == B - sum(B * r.tokens // T for r in rows)
