@@ -552,12 +552,13 @@ def sim_search_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipeline — training included — is hash-checked against the oracle's
     replay.  Recall vs the exact baseline is pinned in tests.
 
-    Scale (100 TB): training sees only the codebook seeds' subspaces;
-    encoding is one broadcast-codebook pass over the corpus producing
-    the skinny codes table (the thing you persist — bounded by n×M
-    ints); serving never touches a float vector — the LUT broadcasts
-    (M×K rows) and the scan reads codes only, with the same
-    top-k-per-partition cut as the brute-force key.  The re-rank path
+    Scale (100 TB): training is ONE broadcast-seed Lloyd pass (at
+    corpus scale you train the codebooks on a sample — same plan,
+    sampled input); encoding is one broadcast-codebook pass over the
+    corpus producing the skinny codes table (the thing you persist —
+    bounded by n×M ints); serving never touches a float vector — the
+    LUT broadcasts (M×K rows) and the scan reads codes only, with the
+    same top-k-per-partition cut as the brute-force key.  The re-rank path
     (exact cosine on the PQ candidates) is sim_search_topk on a
     1000×-smaller input."""
     from mapreduce_framework_spark.operators.annsearch import (
