@@ -503,7 +503,16 @@ def kcore_frame(edges: DataFrame, k: int, rounds: int) -> DataFrame:
     """k-core peeling on a canonical undirected (u, v) edge frame:
     ``rounds`` unrolled (degree → survivors → restrict) steps, then the
     surviving (node, core_degree) table — shared by graph_kcore and the
-    convergence test (rounds vs rounds+1 identical)."""
+    convergence test (rounds vs rounds+1 identical).
+
+    The input edge frame is eagerly localCheckpoint'ed first: every
+    peel level references its predecessor 3× (degree agg + two semi-
+    joins), so a lazy plan re-derives the base graph ~3^rounds times —
+    the Spark-side twin of the DuckDB CTE-inlining blowup this key's
+    oracle hit at sf0.1.  Measured 27.6 s lazy vs 6.5 s checkpointed at
+    sf0.1 (bit-identical results); the checkpointed frame is k·n edges,
+    tiny next to the co-occurrence join it pins."""
+    edges = edges.localCheckpoint(eager=True)
     for _ in range(rounds):
         deg = (
             edges.select(F.col("u").alias("node"))

@@ -2,7 +2,8 @@
 """One-shot FULL-REGISTRY price sweep (round-6: closes the bench
 blind spot structurally).
 
-`bench.py` is the headline suite — 52 curated keys, min-of-3, the
+`bench.py` is the headline suite — the bench-tagged keys (59 as of
+round 7), min-of-3, the
 series BASELINE.md's 2× gate tracks.  This tool prices EVERYTHING
 else: every registered key runs once to a `noop` sink (compute +
 shuffle, no sink I/O, no DuckDB oracle in the timing — unlike the
