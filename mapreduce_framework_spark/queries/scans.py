@@ -443,6 +443,11 @@ def zorder_cluster(spark: SparkSession, sf_dir: str) -> tuple:
         .alias("y"),
         F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
     )
+    # Eager checkpoint: the 1-row bounds frame feeds the clustering
+    # write, the box, AND the candidate grid — lazily each branch would
+    # rescan orders for the same min/max (5 raw scans at sf sizes; at
+    # 100 TB these stats come from the catalog, and this is the in-plan
+    # equivalent: computed once, 6 integers pinned).
     b = o.agg(
         F.min("x").alias("xmin"),
         F.max("x").alias("xmax"),
@@ -450,7 +455,7 @@ def zorder_cluster(spark: SparkSession, sf_dir: str) -> tuple:
         F.max("y").alias("ymax"),
         (F.max("x") - F.min("x") + 1).alias("xspan"),
         (F.max("y") - F.min("y") + 1).alias("yspan"),
-    )
+    ).localCheckpoint(eager=True)
     z8 = _interleave_expr("xs8", "ys8", 8, "div")
     clustered = (
         o.crossJoin(F.broadcast(b))
