@@ -579,3 +579,79 @@ def sim_search_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         "m", "sp", F.col("val").alias("qval")
     )
     return pq_adc_topk(codes, codebook, query_sub, k=10, scale_sq=1e8)
+
+
+# PQ retrieve + exact re-rank: the PQ oracle's pipeline cut at top-50
+# by the EXACT integer ADC score, then exact cosine on the candidates.
+_PQ_RERANK_ORACLE = _PQ_ORACLE.replace(
+    """SELECT vec_id, round(adc / 100000000.0, 6) AS approx_dot
+FROM adc
+ORDER BY adc DESC, vec_id ASC
+LIMIT 10""",
+    """, cand AS (
+  SELECT vec_id FROM adc ORDER BY adc DESC, vec_id ASC LIMIT 50
+),
+ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+q AS (SELECT v AS qv FROM ev WHERE vec_id = 0)
+SELECT c.vec_id,
+       round(list_cosine_similarity(ev.v, q.qv), 6) AS cos_sim
+FROM cand c JOIN ev ON c.vec_id = ev.vec_id, q
+ORDER BY cos_sim DESC, c.vec_id ASC
+LIMIT 10""",
+)
+
+
+@register(
+    "sim_search_pq_rerank",
+    oracle=_PQ_RERANK_ORACLE,
+    tags=("similarity", "ann", "quantization"),
+    bench=True,
+)
+def sim_search_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ retrieve → exact re-rank, the two-stage serving shape
+    sim_search_pq's docstring promises: ADC selects 50 candidates from
+    the 4-byte code scan (never touching a float vector), then exact
+    cosine re-ranks ONLY those 50 against the float embeddings and
+    returns the top 10.  Re-ranking can only help: PQ's own top-10 is a
+    subset of the candidate set, so every exact-top-10 vector PQ found
+    survives the re-rank — recall(rerank) ≥ recall(PQ), pinned as an
+    invariant in tests/test_operators.py.
+
+    Scale (100 TB): stage 1 is the full-corpus scan but reads codes
+    only (the 64× byte cut); stage 2 touches 50 float vectors — a
+    point-lookup join against the id-keyed embedding store, the ratio
+    that makes two-stage retrieval the universal vector-serving
+    architecture.  Candidate count trades recall for stage-2 cost
+    without changing either plan."""
+    from mapreduce_framework_spark.operators.annsearch import (
+        pq_adc_topk,
+        pq_encode,
+        pq_subvectors,
+        pq_train,
+    )
+    from mapreduce_framework_spark.functions.vector import cosine
+    from mapreduce_framework_spark.operators.kmeans import quantize as kquantize
+
+    qvecs = table(spark, sf_dir, "embeddings").select(
+        "vec_id", kquantize(F.col("embedding")).alias("v")
+    )
+    sub = pq_subvectors(qvecs, n_sub=4, sub_dim=16)
+    codebook = pq_train(sub, n_seeds=8)
+    codes = pq_encode(sub, codebook).where(F.col("vec_id") != 0)
+    query_sub = sub.where(F.col("vec_id") == 0).select(
+        "m", "sp", F.col("val").alias("qval")
+    )
+    cand = pq_adc_topk(codes, codebook, query_sub, k=50, scale_sq=1e8).select(
+        "vec_id"
+    )
+    vectors = _vectors(spark, sf_dir).select("vec_id", "v")
+    query = _query_vec(vectors)
+    return (
+        cand.join(vectors, "vec_id")
+        .crossJoin(F.broadcast(query))
+        .select(
+            "vec_id", F.round(cosine(F.col("v"), F.col("qv")), 6).alias("cos_sim")
+        )
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .limit(10)
+    )

@@ -784,3 +784,19 @@ def test_pq_recall_and_code_compression(spark):
     ).collect()[0]
     assert stats.rows == 4 * n and stats.vecs == n
     assert 0 <= stats.cmin and stats.cmax < 8
+
+
+def test_pq_rerank_recall_dominates_raw_pq(spark):
+    """Exact re-ranking of the PQ candidate set can never lose recall:
+    PQ's own top-10 is a subset of the 50 ADC candidates, so every
+    exact-top-10 vector raw PQ surfaced survives the re-rank — the
+    two-stage guarantee the sim_search_pq_rerank docstring claims."""
+    from mapreduce_framework_spark.registry import get_query
+
+    exact = {r.vec_id for r in get_query("sim_search_topk").fn(spark, SF_DIR).collect()}
+    pq = {r.vec_id for r in get_query("sim_search_pq").fn(spark, SF_DIR).collect()}
+    rr = {r.vec_id for r in get_query("sim_search_pq_rerank").fn(spark, SF_DIR).collect()}
+    assert len(rr) == 10
+    assert len(exact & rr) >= len(exact & pq), (
+        f"re-rank lost recall: pq={sorted(pq)}, rerank={sorted(rr)}"
+    )
