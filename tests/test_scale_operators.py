@@ -530,3 +530,23 @@ def test_kcore_converged_and_degrees_bounded(spark):
     assert r3 == r4, "3 rounds are not a fixpoint on this graph"
     assert r3, "empty core"
     assert min(d for _, d in r3) >= 3
+
+
+def test_gram_arrow_equals_exploded(spark):
+    """The Arrow-batched Gram accumulator must be bit-identical to the
+    exploded Catalyst path — int64 matmul is exact, so the only way
+    they diverge is a real bug (wrong quantization, dropped batch,
+    transposed index)."""
+    from mapreduce_framework_spark.io import table
+    from mapreduce_framework_spark.queries.clustering import (
+        gram_matrix_arrow,
+        gram_matrix_exploded,
+    )
+
+    vecs = table(spark, SF_DIR, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    a = sorted(map(tuple, gram_matrix_exploded(vecs).collect()))
+    b = sorted(map(tuple, gram_matrix_arrow(vecs).collect()))
+    assert len(a) == len(b) == 64 * 64
+    assert a == b

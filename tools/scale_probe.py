@@ -325,6 +325,21 @@ def build_tiers(spark, small: int, big: int) -> dict[str, dict[int, callable]]:
             corpus("membership", n), orientation="degree"
         ).count()
 
+    def t_power_iteration(n):
+        from mapreduce_framework_spark.queries.clustering import (
+            power_iteration_frame,
+        )
+
+        return power_iteration_frame(corpus("vectors", n)).count()
+
+    def t_kcore(n):
+        from mapreduce_framework_spark.queries.graphs import (
+            kcore_frame,
+            knn_edges_frame,
+        )
+
+        return kcore_frame(knn_edges_frame(corpus("membership", n)), 3, 3).count()
+
     def t_lsh(n):
         # n is known here — pass the hint so the probe measures the
         # operator, not an extra count() job over the synthetic corpus.
@@ -398,6 +413,14 @@ def build_tiers(spark, small: int, big: int) -> dict[str, dict[int, callable]]:
         "triangle_knn": {
             10 * small: lambda: t_triangle(10 * small),
             10 * big: lambda: t_triangle(10 * big),
+        },
+        "power_iteration": {
+            small: lambda: t_power_iteration(small),
+            big: lambda: t_power_iteration(big),
+        },
+        "kcore": {
+            10 * small: lambda: t_kcore(10 * small),
+            10 * big: lambda: t_kcore(10 * big),
         },
         "lsh_ann": {
             small: lambda: t_lsh(small),
