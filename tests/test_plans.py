@@ -808,3 +808,18 @@ def test_zorder_probe_prunes_partitions_at_file_listing(spark):
     assert sorted((r.x, r.y) for r in probe.collect()) == sorted(
         (r.x, r.y) for r in direct.collect()
     )
+
+
+def test_pq_plan_is_jvm_only_with_topk_cut(spark):
+    """sim_search_pq's whole pipeline — training, encoding, LUT, ADC —
+    must stay JVM-side (no Python row UDF in the plan) and end in
+    TakeOrderedAndProject, so only k rows per partition survive the
+    final exchange; the codebook and LUT joins must be broadcasts."""
+    from mapreduce_framework_spark.plans import formatted_plan
+    from mapreduce_framework_spark.registry import get_query
+
+    plan = formatted_plan(get_query("sim_search_pq").fn(spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan, "codebook/LUT join fell off broadcast"
