@@ -43,6 +43,14 @@ PINNED_KEYS = [
     "events_rfm_segmentation",
     # iterative — label propagation converges to the same fixpoint
     "dedup_clusters",
+    # round-7 integer-deterministic families: PQ argmin/ADC ranking,
+    # checkpointed k-core peeling, grid-quantile thresholds, Gram
+    # power iteration, largest-remainder apportionment
+    "sim_search_pq",
+    "graph_kcore",
+    "agg_quantile_partial_merge",
+    "embedding_power_iteration",
+    "corpus_token_budget_plan",
     # semantic dedup — assignment + cap sub-split stability
     "dedup_semantic",
     # streaming replay — session shuffle-partition setting must not
