@@ -8,8 +8,9 @@ Two tiers:
   not the default.
 
 - ``ivf_topk``: IVF-style cell probing.  Vectors are assigned once to
-  their nearest "centroid" cell (here: deterministic seed vectors —
-  production would plug k-means means in the same shape); a query
+  their nearest "centroid" cell (here: deterministic seed vectors;
+  sim_search_ivf_kmeans plugs REAL k-means means into the same shape,
+  and sim_search_pq quantizes what the cells store); a query
   probes only the ``n_probe`` nearest cells, pruning the scan to
   n_probe/n_cells of the corpus.  The assignment is a broadcast join +
   argmax (no shuffle of the embedding table), and at scale the cell id

@@ -1357,11 +1357,11 @@ def dedup_chunk_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     window on the span key → per-doc re-aggregate) is exactly the
     line-dedup plan and is what this key pins.
 
-    Scale: two shuffles — one on the span text (the window), one on
-    doc_id (the re-aggregate).  Span keys are short bounded strings;
-    at 100 TB you shuffle a digest of the span instead (same re-key
-    trick as contamination_ngram) and the explode fan-out is ~n_tokens/
-    16 rows per doc, linear in corpus size.  No pairwise comparison
+    Scale: two shuffles — one on the span DIGEST (the window re-keys
+    on md5(span), 16 bytes per key at any span length — the same
+    re-key trick as contamination_ngram), one on doc_id (the
+    re-aggregate); the explode fan-out is ~n_tokens/16 rows per doc,
+    linear in corpus size.  No pairwise comparison
     anywhere — exact span equality only, which is why line dedup is
     the cheapest sub-document tier and runs FIRST in a curation
     cascade (cf. banded jaccard for the doc-level near-dup tier)."""
@@ -1376,11 +1376,18 @@ def chunk_dedup_frame(d: DataFrame, span_tokens: int = 16) -> DataFrame:
     n_chunks = F.ceil(F.size(tk) / F.lit(float(span_tokens))).cast("int")
     chunks = d.select(
         "doc_id",
+        # The span key that shuffles is a 128-bit digest, not the span
+        # text: min-owner grouping only needs EQUALITY of spans, and
+        # md5 is injective in practice, so results are identical while
+        # every shuffled key is 16 bytes regardless of span length —
+        # the same re-key trick as contamination_ngram, now code
+        # instead of the "at 100 TB you would" prose this line carried
+        # through round 6.
         F.explode(
             F.transform(
                 F.sequence(F.lit(0), n_chunks - F.lit(1)),
-                lambda i: F.array_join(
-                    F.slice(tk, i * span_tokens + 1, span_tokens), " "
+                lambda i: F.md5(
+                    F.array_join(F.slice(tk, i * span_tokens + 1, span_tokens), " ")
                 ),
             )
         ).alias("chunk"),

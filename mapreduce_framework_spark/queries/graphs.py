@@ -257,8 +257,10 @@ def graph_triangle_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     key (one shuffle); the kNN cut is a bounded window per node; the
     triangle join runs on the k·n-edge skinny table, and the ordered
     convention is the degree-orientation trick's fixed-order special
-    case — at 100 TB you orient by (degree, id) instead, which bounds
-    the adjacency fan-out per node (cf. Suri & Vassilvitskii WWW'11).
+    case — for graphs WITHOUT a degree bound use
+    ``triangle_knn_frame(..., orientation="degree")`` below (Suri &
+    Vassilvitskii WWW'11; bit-identical counts, measured overhead in
+    SCALE.md §Graphs).
     """
     l = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     return triangle_knn_frame(l)
