@@ -340,6 +340,22 @@ def build_tiers(spark, small: int, big: int) -> dict[str, dict[int, callable]]:
 
         return kcore_frame(knn_edges_frame(corpus("membership", n)), 3, 3).count()
 
+    def t_pq(n):
+        from mapreduce_framework_spark.operators.annsearch import (
+            pq_adc_topk,
+            pq_encode,
+            pq_subvectors,
+            pq_train,
+        )
+        from mapreduce_framework_spark.operators.kmeans import quantize
+
+        qv = corpus("vectors", n).select("vec_id", quantize(F.col("v")).alias("v"))
+        sub = pq_subvectors(qv, 4, 16)
+        cb = pq_train(sub, 8)
+        codes = pq_encode(sub, cb).where(F.col("vec_id") != 0)
+        q = sub.where(F.col("vec_id") == 0).select("m", "sp", F.col("val").alias("qval"))
+        return pq_adc_topk(codes, cb, q, k=10, scale_sq=1e8).count()
+
     def t_lsh(n):
         # n is known here — pass the hint so the probe measures the
         # operator, not an extra count() job over the synthetic corpus.
@@ -413,6 +429,10 @@ def build_tiers(spark, small: int, big: int) -> dict[str, dict[int, callable]]:
         "triangle_knn": {
             10 * small: lambda: t_triangle(10 * small),
             10 * big: lambda: t_triangle(10 * big),
+        },
+        "pq_ann": {
+            small: lambda: t_pq(small),
+            big: lambda: t_pq(big),
         },
         "power_iteration": {
             small: lambda: t_power_iteration(small),
