@@ -494,14 +494,17 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     set (survivors broadcast once they fit); the corpus-sized work
     remains the single co-occurrence shuffle shared with
     graph_triangle_knn via knn_edges_frame.  At true 100 TB depth the
-    rounds checkpoint on the graph_pagerank_deep cadence
-    (checkpoint_every=2, measured in SCALE.md §Iterative) instead of
-    growing lineage."""
+    rounds checkpoint on the graph_pagerank_deep cadence — pass
+    ``checkpoint_every=2`` to :func:`kcore_frame` (the declared key
+    keeps 3 lazy rounds; the deep-peel price curve for rounds∈{3,6,10}
+    is in SCALE.md §Iterative) instead of growing lineage."""
     l = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     return kcore_frame(knn_edges_frame(l, k=5), k=3, rounds=3)
 
 
-def kcore_frame(edges: DataFrame, k: int, rounds: int) -> DataFrame:
+def kcore_frame(
+    edges: DataFrame, k: int, rounds: int, checkpoint_every: int | None = None
+) -> DataFrame:
     """k-core peeling on a canonical undirected (u, v) edge frame:
     ``rounds`` unrolled (degree → survivors → restrict) steps, then the
     surviving (node, core_degree) table — shared by graph_kcore and the
@@ -513,9 +516,20 @@ def kcore_frame(edges: DataFrame, k: int, rounds: int) -> DataFrame:
     the Spark-side twin of the DuckDB CTE-inlining blowup this key's
     oracle hit at sf0.1.  Measured 27.6 s lazy vs 6.5 s checkpointed at
     sf0.1 (bit-identical results); the checkpointed frame is k·n edges,
-    tiny next to the co-occurrence join it pins."""
+    tiny next to the co-occurrence join it pins.
+
+    ``checkpoint_every`` (round-8 verdict task #3 — pagerank_frame's
+    signature, mirrored): the unrolled-lineage problem RECURS inside
+    the loop — each peel level's plan embeds its predecessor 3×, so a
+    deep peel (rounds ≳ 5) grows a 3^rounds plan even with the base
+    frame pinned.  Passing ``checkpoint_every=c`` localCheckpoints the
+    SHRINKING edge frame every c rounds (never after the final round —
+    the result stays a lazy frame), truncating lineage at the same
+    measured cadence as graph_pagerank_deep (c=2; SCALE.md §Iterative
+    prices rounds∈{3,6,10}).  Bit-identical results with or without —
+    pinned by tests/test_scale_operators.py."""
     edges = edges.localCheckpoint(eager=True)
-    for _ in range(rounds):
+    for r in range(rounds):
         deg = (
             edges.select(F.col("u").alias("node"))
             .unionByName(edges.select(F.col("v").alias("node")))
@@ -526,6 +540,8 @@ def kcore_frame(edges: DataFrame, k: int, rounds: int) -> DataFrame:
         edges = edges.join(
             alive.withColumnRenamed("node", "u"), "u", "left_semi"
         ).join(alive.withColumnRenamed("node", "v"), "v", "left_semi")
+        if checkpoint_every and (r + 1) % checkpoint_every == 0 and (r + 1) < rounds:
+            edges = edges.localCheckpoint(eager=True)
     return (
         edges.select(F.col("u").alias("node"))
         .unionByName(edges.select(F.col("v").alias("node")))

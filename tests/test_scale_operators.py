@@ -532,6 +532,23 @@ def test_kcore_converged_and_degrees_bounded(spark):
     assert min(d for _, d in r3) >= 3
 
 
+def test_kcore_checkpoint_cadence_is_bit_identical(spark):
+    """checkpoint_every only truncates lineage (round-8 verdict task
+    #3) — the peeled core must be byte-for-byte the same with and
+    without the cadence, at a depth where the cadence actually fires
+    (rounds=3, cadence=2 -> one mid-loop localCheckpoint)."""
+    from mapreduce_framework_spark.io import table
+    from mapreduce_framework_spark.queries.graphs import kcore_frame, knn_edges_frame
+
+    l = table(spark, SF_DIR, "lineitem").select("l_orderkey", "l_suppkey")
+    edges = knn_edges_frame(l, k=5)
+    lazy = sorted(map(tuple, kcore_frame(edges, k=3, rounds=3).collect()))
+    cade = sorted(
+        map(tuple, kcore_frame(edges, k=3, rounds=3, checkpoint_every=2).collect())
+    )
+    assert lazy == cade
+
+
 def test_gram_arrow_equals_exploded(spark):
     """The Arrow-batched Gram accumulator must be bit-identical to the
     exploded Catalyst path — int64 matmul is exact, so the only way
