@@ -786,6 +786,46 @@ def test_pq_recall_and_code_compression(spark):
     assert 0 <= stats.cmin and stats.cmax < 8
 
 
+def test_pq_subvectors_rejects_ragged_vector(spark):
+    """A vector whose dim != n_sub*sub_dim must FAIL at execution, not
+    silently produce a ragged trailing subspace (round-7 ADVICE)."""
+    import pytest
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    from mapreduce_framework_spark.operators.annsearch import pq_subvectors
+
+    bad = spark.createDataFrame(
+        [(1, list(range(60)))], "vec_id long, v array<bigint>"
+    )
+    with pytest.raises(SparkRuntimeException, match="expected dim 64"):
+        pq_subvectors(bad, n_sub=4, sub_dim=16).collect()
+
+
+def test_pq_train_seeds_from_observed_ids(spark):
+    """Seeding must use the n_seeds SMALLEST OBSERVED ids, not literal
+    ids 0..n-1 (round-7 ADVICE): on a corpus whose ids start at 1000
+    the codebook still trains 8 full codewords per subspace, and the
+    codebook is identical to the dense-id corpus's (same vectors, ids
+    shifted)."""
+    from mapreduce_framework_spark.io import table
+    from mapreduce_framework_spark.operators.annsearch import pq_subvectors, pq_train
+    from mapreduce_framework_spark.operators.kmeans import quantize as kquantize
+
+    qvecs = table(spark, SF_DIR, "embeddings").select(
+        "vec_id", kquantize(F.col("embedding")).alias("v")
+    )
+    shifted = qvecs.select((F.col("vec_id") + 1000).alias("vec_id"), "v")
+    cb_dense = pq_train(pq_subvectors(qvecs, 4, 16), 8)
+    cb_shift = pq_train(pq_subvectors(shifted, 4, 16), 8)
+    per_m = (
+        cb_shift.groupBy("m").agg(F.countDistinct("code").alias("k")).collect()
+    )
+    assert len(per_m) == 4 and all(r.k == 8 for r in per_m), per_m
+    assert sorted(map(tuple, cb_dense.collect())) == sorted(
+        map(tuple, cb_shift.collect())
+    )
+
+
 def test_pq_rerank_recall_dominates_raw_pq(spark):
     """Exact re-ranking of the PQ candidate set can never lose recall:
     PQ's own top-10 is a subset of the 50 ADC candidates, so every

@@ -758,6 +758,73 @@ def test_ivf_cell_index_probe_prunes_partitions_dynamically(spark, tmp_path):
     )
 
 
+def test_pq_index_probe_reads_codes_only(spark, tmp_path):
+    """The persisted PQ index (persist_pq_index: wide codes partitioned
+    by leading code c0 + codebook sidecar) must serve ADC from the code
+    scan alone: no scan in the probe plan reads a float vector column —
+    the 64x scan-byte cut is only real if the ReadSchema proves the
+    embedding never leaves storage.  Ranking must be identical to the
+    in-plan pq_adc_topk path."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from mapreduce_framework_spark.operators.annsearch import (
+        persist_pq_index,
+        pq_adc_topk,
+        pq_encode,
+        pq_subvectors,
+        pq_train,
+        probe_pq_index,
+    )
+    from mapreduce_framework_spark.operators.kmeans import quantize as kquantize
+    from mapreduce_framework_spark.plans import read_schema_columns
+
+    qvecs = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet")).select(
+        "vec_id", kquantize(F.col("embedding")).alias("v")
+    )
+    codes, codebook = persist_pq_index(qvecs, str(tmp_path / "pq_idx"))
+    query_sub = pq_subvectors(qvecs.where(F.col("vec_id") == 0), 4, 16).select(
+        "m", "sp", F.col("val").alias("qval")
+    )
+    probe = probe_pq_index(
+        codes.where(F.col("vec_id") != 0), codebook, query_sub, k=10, scale_sq=1e8
+    )
+
+    # Every scan on the PROBE side reads either code columns or the
+    # skinny sidecar/query — never the float vector.  (c0 is a
+    # partition column, so the codes scan's ReadSchema is vec_id+c1..c3;
+    # the query_sub scan reads the raw embedding by design — it IS the
+    # query — so assert on the codes/codebook scans specifically.)
+    schemas = read_schema_columns(probe)
+    codes_scans = [s for s in schemas if any(c.startswith("c") for c in s)]
+    assert codes_scans, f"no code-table scan found in probe plan: {schemas}"
+    for s in codes_scans:
+        assert "embedding" not in s and "v" not in s, (
+            f"probe scan reads a float vector column: {s}"
+        )
+    assert any(sorted(s) == ["c1", "c2", "c3", "vec_id"] for s in codes_scans), (
+        f"codes scan schema not pruned to codes: {codes_scans}"
+    )
+
+    # Partitioned layout: one directory per leading code.
+    assert (tmp_path / "pq_idx" / "codes" / "c0=0").exists()
+
+    # Bit-identical ranking vs the in-plan path.
+    sub = pq_subvectors(qvecs, 4, 16)
+    cb = pq_train(sub, 8)
+    inplan = pq_adc_topk(
+        pq_encode(sub, cb).where(F.col("vec_id") != 0),
+        cb,
+        query_sub,
+        k=10,
+        scale_sq=1e8,
+    )
+    assert sorted(map(tuple, probe.collect())) == sorted(
+        map(tuple, inplan.collect())
+    )
+
+
 def test_zorder_probe_prunes_partitions_at_file_listing(spark):
     """The sink_zorder serving path (literal catalog bounds →
     driver-arithmetic candidate buckets → literal IN) must prune at the
