@@ -940,6 +940,11 @@ SELECT user_id, frequency, monetary_cents, r_score, f_score, m_score,
 FROM scored
 """.strip(),
     tags=("agg", "segmentation"),
+    # Gated (round-8 verdict task #5): PRICES_r07 one-shot moved
+    # 0.5->2.5 s coinciding with the deliberate exact_ntile rewrite —
+    # the distributed de-scale-kill price belongs in the gated suite
+    # (min-of-3 first recording in BENCH_r08, adjudicated in BASELINE.md).
+    bench=True,
 )
 def events_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM customer segmentation over the purchase stream: one

@@ -454,6 +454,10 @@ JOIN events p
  AND p.ts < c.ts + INTERVAL 10 MINUTE
 """.strip(),
     tags=("streaming", "join"),
+    # Gated (round-8 verdict task #5): its one-shot PRICES_r07 moved
+    # 5.3->15.5 s on a loaded box; bench membership makes drift visible
+    # against a min-of-3 first recording instead of one-shot noise.
+    bench=True,
 )
 def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Click→purchase attribution within 10 minutes as a TRUE
