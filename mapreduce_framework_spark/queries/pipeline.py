@@ -367,6 +367,53 @@ def sample_importance_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sample_reservoir",
+    # Bottom-k by a salted md5 IS an exact-k uniform sample without
+    # replacement (every k-subset equally likely under the random-
+    # oracle view of the hash), and — unlike a classical reservoir —
+    # it is deterministic, engine-portable, and mergeable: the bottom-k
+    # of a union is the bottom-k of the per-partition bottom-k's.
+    oracle="""
+SELECT doc_id, lang, source, n_chars
+FROM documents
+ORDER BY md5('reservoir:' || CAST(doc_id AS VARCHAR)) ASC, doc_id ASC
+LIMIT 200
+""".strip(),
+    tags=("pipeline", "sample"),
+)
+def sample_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-k uniform corpus sample (k=200) as bottom-k-by-hash: rank
+    every document by md5('reservoir:' || doc_id) and keep the k
+    smallest.  This is the distributed replacement for reservoir
+    sampling — identical inclusion law (uniform without replacement),
+    but stateless and reproducible: assignment is a pure function of
+    doc_id, so re-runs and other engines draw the byte-identical
+    sample, and the sample is STABLE under corpus growth in the
+    bottom-k sense (a new doc only displaces the current max).
+
+    Scale: the plan is TakeOrderedAndProject — each partition keeps a
+    k-row heap and the driver merges partitions×k rows; no shuffle, no
+    global sort, no sampling state.  At 100 TB that is one scan plus
+    O(k·partitions) driver work, the same shape as topk_limit
+    (plan-pinned by tests/test_plans.py).  Complements the existing
+    sampling lane: sample_stratified (Bernoulli per stratum),
+    sample_importance_weighted (weighted-k per stratum) — this is the
+    exact-k uniform tier a curation pipeline uses for eval carve-outs
+    and human-review batches."""
+    d = table(spark, sf_dir, "documents")
+    h = F.md5(
+        F.concat(F.lit("reservoir:"), F.col("doc_id").cast("string")).cast(
+            "binary"
+        )
+    )
+    return (
+        d.orderBy(h.asc(), F.col("doc_id").asc())
+        .limit(200)
+        .select("doc_id", "lang", "source", "n_chars")
+    )
+
+
+@register(
     "pipeline_mix_rebalance",
     # Hash-thresholded downsampling toward a target language mix:
     # rates are min(1, target/actual) from one aggregate, applied as a

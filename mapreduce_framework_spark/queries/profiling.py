@@ -708,3 +708,74 @@ def profile_drift_categorical(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(s2, 6).alias("share_second"),
         F.round(F.pow(s1 - s2, 2) / (s1 + s2), 6).alias("drift_contrib"),
     )
+
+
+@register(
+    "privacy_k_anonymity",
+    # Quasi-identifier = (mktsegment, nationkey, acctbal thousand-band):
+    # the classic k-anonymity audit shape — every record must share its
+    # QI tuple with >= k-1 others or it is re-identifiable by joining
+    # public attributes.  Banding uses floor(x/1000.0): both engines
+    # apply identical IEEE double ops to the same parquet doubles, so
+    # band edges agree bit-for-bit.
+    oracle="""
+WITH classes AS (
+  SELECT c_mktsegment,
+         c_nationkey,
+         CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bal_band,
+         count(*) AS class_size
+  FROM customer
+  GROUP BY 1, 2, 3
+)
+SELECT c_mktsegment,
+       count(*) AS n_classes,
+       CAST(SUM(class_size) AS BIGINT) AS n_records,
+       count(*) FILTER (WHERE class_size < 5) AS risky_classes,
+       CAST(COALESCE(SUM(class_size) FILTER (WHERE class_size < 5), 0)
+            AS BIGINT) AS risky_records,
+       CAST(MIN(class_size) AS BIGINT) AS min_class_size
+FROM classes
+GROUP BY c_mktsegment
+""".strip(),
+    tags=("profiling", "privacy"),
+)
+def privacy_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit (k=5) over the customer table: treat
+    (mktsegment, nationkey, acctbal-thousand-band) as the quasi-
+    identifier, size every equivalence class, and report per segment
+    how many classes — and how many RECORDS — fall below k.  This is
+    the privacy gate a training-data pipeline runs before releasing a
+    structured extract: any record whose QI class has < k members is
+    linkable to an individual by joining public attributes, so
+    risky_records is the count that must be suppressed or generalized
+    before release.
+
+    Plan shape: two hash aggregates, both map-side partial — the first
+    groups raw records by QI (the only pass over the data), the second
+    runs over class rows, whose cardinality is bounded by
+    |segments|x|nations|x|bands| (~5x25x11 here) regardless of corpus
+    size.  No window, no shuffle beyond the two agg exchanges, no
+    driver-side state: the same plan at 100 TB moves only class rows
+    after the first partial aggregate."""
+    c = table(spark, sf_dir, "customer")
+    classes = (
+        c.select(
+            "c_mktsegment",
+            "c_nationkey",
+            F.floor(F.col("c_acctbal") / F.lit(1000.0))
+            .cast("bigint")
+            .alias("bal_band"),
+        )
+        .groupBy("c_mktsegment", "c_nationkey", "bal_band")
+        .agg(F.count(F.lit(1)).alias("class_size"))
+    )
+    risky = F.col("class_size") < 5
+    return classes.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_classes"),
+        F.sum("class_size").cast("bigint").alias("n_records"),
+        F.count_if(risky).alias("risky_classes"),
+        F.coalesce(F.sum(F.when(risky, F.col("class_size"))), F.lit(0))
+        .cast("bigint")
+        .alias("risky_records"),
+        F.min("class_size").cast("bigint").alias("min_class_size"),
+    )

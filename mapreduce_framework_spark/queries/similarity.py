@@ -713,3 +713,115 @@ def sim_search_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
         .limit(10)
     )
+
+
+# IVF-PQ composite: the PQ oracle's replay, with the ADC scan restricted
+# to the members of the 4 IVF cells nearest the query (the same coarse
+# quantizer as sim_search_ivf).  Built by surgery on _PQ_ORACLE so the
+# PQ half stays literally identical to the tier it composes.
+_IVF_PQ_ORACLE = _PQ_ORACLE.replace(
+    "WITH e AS (",
+    """WITH raw AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS fv FROM embeddings),
+qf AS (SELECT fv AS qv FROM raw WHERE vec_id = 0),
+cells AS (SELECT vec_id AS cell_id, fv AS cv FROM raw ORDER BY vec_id LIMIT 16),
+assigned AS (
+  SELECT vec_id, cell_id FROM (
+    SELECT r.vec_id, c.cell_id,
+           row_number() OVER (
+             PARTITION BY r.vec_id
+             ORDER BY list_cosine_similarity(r.fv, c.cv) DESC, c.cell_id ASC
+           ) AS rn
+    FROM raw r, cells c
+    WHERE r.vec_id <> 0
+  ) WHERE rn = 1
+),
+probes AS (
+  SELECT cell_id FROM (
+    SELECT c.cell_id,
+           row_number() OVER (
+             ORDER BY list_cosine_similarity(c.cv, qf.qv) DESC, c.cell_id ASC
+           ) AS rn
+    FROM cells c, qf
+  ) WHERE rn <= 4
+),
+cand AS (
+  SELECT vec_id FROM assigned
+  WHERE cell_id IN (SELECT cell_id FROM probes)
+),
+e AS (""",
+).replace(
+    """  WHERE c.vec_id <> 0
+  GROUP BY 1""",
+    """  WHERE c.vec_id <> 0 AND c.vec_id IN (SELECT vec_id FROM cand)
+  GROUP BY 1""",
+)
+
+
+@register(
+    "sim_search_ivf_pq",
+    oracle=_IVF_PQ_ORACLE,
+    tags=("similarity", "ann", "quantization"),
+)
+def sim_search_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ — the industry-standard composite index (Jégou et al.'s
+    IVFADC, the FAISS `IVFx,PQy` shape) closing the serving ladder:
+    the IVF coarse quantizer (sim_search_ivf's 16 deterministic cells)
+    prunes the corpus to the 4 cells nearest the query, and PQ/ADC
+    (sim_search_pq's 4x8 integer-Lloyd codebooks) ranks ONLY the
+    survivors from their 4-byte codes.  Global (non-residual)
+    codebooks, so the PQ half is bit-identical to the standalone tier
+    and the whole pipeline — coarse assignment, probe pick, training,
+    encoding, ADC — replays exactly in the oracle.
+
+    Scale (100 TB): the two prunings MULTIPLY — IVF cuts the scanned
+    rows to n_probe/n_cells of the corpus (partition pruning when
+    codes are stored partitioned by cell, as persist_cell_index does
+    for floats), and PQ cuts the bytes per scanned row 64x.  Neither
+    tier alone gives that: brute ADC scans every code, float IVF reads
+    full vectors in probed cells.  The candidate semi-join here is the
+    in-plan mirror of that layout (broadcast 4-row probe list, then a
+    key join codes⋈members that becomes a partition filter once codes
+    carry cell_id in the persisted form).  Recall compounds the two
+    tiers' losses — production recovers it with n_probe and the
+    exact re-rank stage (sim_search_pq_rerank), both orthogonal knobs
+    on this same plan."""
+    from mapreduce_framework_spark.operators.annsearch import (
+        assign_cells,
+        pq_adc_topk,
+        pq_encode,
+        pq_subvectors,
+        pq_train,
+    )
+    from mapreduce_framework_spark.functions.vector import cosine
+    from mapreduce_framework_spark.operators.kmeans import quantize as kquantize
+
+    vectors = _vectors(spark, sf_dir)
+    centroids = (
+        vectors.orderBy("vec_id")
+        .limit(16)
+        .select(F.col("vec_id").cast("int").alias("cell_id"), F.col("v").alias("cv"))
+    )
+    assigned = assign_cells(vectors.where(F.col("vec_id") != 0), centroids)
+    probe_cells = (
+        centroids.crossJoin(F.broadcast(_query_vec(vectors)))
+        .select("cell_id", cosine(F.col("cv"), F.col("qv")).alias("_cs"))
+        .orderBy(F.desc("_cs"), F.asc("cell_id"))
+        .limit(4)
+        .select("cell_id")
+    )
+    members = assigned.join(F.broadcast(probe_cells), "cell_id").select("vec_id")
+
+    qvecs = table(spark, sf_dir, "embeddings").select(
+        "vec_id", kquantize(F.col("embedding")).alias("v")
+    )
+    sub = pq_subvectors(qvecs, n_sub=4, sub_dim=16)
+    codebook = pq_train(sub, n_seeds=8)
+    codes = (
+        pq_encode(sub, codebook)
+        .where(F.col("vec_id") != 0)
+        .join(members, "vec_id")
+    )
+    query_sub = sub.where(F.col("vec_id") == 0).select(
+        "m", "sp", F.col("val").alias("qval")
+    )
+    return pq_adc_topk(codes, codebook, query_sub, k=10, scale_sq=1e8)

@@ -735,3 +735,47 @@ def _sweep_stale_cdc_roots() -> None:
             shutil.rmtree(root, ignore_errors=True)
         except PermissionError:
             pass  # live pid owned by someone else — leave it
+
+
+@register(
+    "stream_static_enrich",
+    # Stream-static joins are STATELESS in Structured Streaming: each
+    # micro-batch joins against the (broadcast) static side and emits
+    # immediately — no watermark, no join state.  Every event matches
+    # exactly one customer (custkey is unique), so the appended union
+    # over batches equals the batch join and the oracle is plain SQL.
+    oracle="""
+SELECT e.event_id, e.user_id, e.event_type,
+       c.c_mktsegment AS segment, c.c_nationkey AS nation
+FROM events e
+JOIN customer c ON e.user_id = c.c_custkey
+""".strip(),
+    tags=("streaming", "join"),
+)
+def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dimension enrichment on the streaming path: the events stream
+    joined per-micro-batch to the STATIC customer table (broadcast) —
+    the third Structured Streaming join surface after stream-stream
+    interval (stream_interval_join) and CDC upsert (stream_cdc_upsert).
+    Stream-static inner joins are stateless: Spark re-plans the join
+    each micro-batch with the static side broadcast, so there is no
+    watermark and no state store — at 100 TB the stream holds NOTHING
+    between batches and the dimension costs one broadcast per batch.
+    This is the canonical "tag every event with its account segment"
+    step of a feature/training pipeline, run where it belongs: at
+    ingest, not as a post-hoc batch join over the accumulated log."""
+    dim = F.broadcast(
+        table(spark, sf_dir, "customer").select(
+            "c_custkey",
+            F.col("c_mktsegment").alias("segment"),
+            F.col("c_nationkey").alias("nation"),
+        )
+    )
+
+    def enrich(df: DataFrame) -> DataFrame:
+        return df.join(
+            dim, df["user_id"] == dim["c_custkey"], "inner"
+        ).select("event_id", "user_id", "event_type", "segment", "nation")
+
+    ev = table(spark, sf_dir, "events").select("ts", "event_id", "user_id", "event_type")
+    return run_file_stream(spark, ev, enrich, output_mode="append")

@@ -890,3 +890,57 @@ def test_pq_plan_is_jvm_only_with_topk_cut(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan, "codebook/LUT join fell off broadcast"
+
+
+def test_sample_reservoir_is_takeordered_no_global_sort(spark):
+    """Bottom-k-by-hash must compile to TakeOrderedAndProject (per-
+    partition k-heap + driver merge) — never a global sort, which would
+    shuffle the whole corpus to rank 200 rows."""
+    from mapreduce_framework_spark.plans import formatted_plan
+
+    plan = formatted_plan(_q(spark, "sample_reservoir"))
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort " not in plan.replace("TakeOrdered", ""), (
+        "global sort materialized for a bottom-k sample"
+    )
+
+
+def test_ivf_pq_results_lie_in_probed_cells(spark):
+    """The IVF half of sim_search_ivf_pq is a real pruning: every
+    returned vec_id must belong to one of the 4 probed cells (the
+    composite may trade recall, but it must never surface a vector the
+    coarse quantizer ruled out — that would mean the semi-join leaked)."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_framework_spark.operators.annsearch import assign_cells
+    from mapreduce_framework_spark.functions.vector import cosine
+    from mapreduce_framework_spark.queries.similarity import _query_vec, _vectors
+    from mapreduce_framework_spark.registry import get_query
+
+    result_ids = {
+        r.vec_id for r in get_query("sim_search_ivf_pq").fn(spark, SF_DIR).collect()
+    }
+    assert 0 < len(result_ids) <= 10
+
+    vectors = _vectors(spark, SF_DIR)
+    centroids = (
+        vectors.orderBy("vec_id")
+        .limit(16)
+        .select(F.col("vec_id").cast("int").alias("cell_id"), F.col("v").alias("cv"))
+    )
+    assigned = assign_cells(vectors.where(F.col("vec_id") != 0), centroids)
+    probe_cells = {
+        r.cell_id
+        for r in centroids.crossJoin(F.broadcast(_query_vec(vectors)))
+        .select("cell_id", cosine(F.col("cv"), F.col("qv")).alias("_cs"))
+        .orderBy(F.desc("_cs"), F.asc("cell_id"))
+        .limit(4)
+        .collect()
+    }
+    member_ids = {
+        r.vec_id
+        for r in assigned.where(F.col("cell_id").isin(probe_cells)).collect()
+    }
+    assert result_ids <= member_ids, (
+        f"IVF pruning leaked: {sorted(result_ids - member_ids)} not in probed cells"
+    )
