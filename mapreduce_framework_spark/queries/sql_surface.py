@@ -188,3 +188,73 @@ def sql_q7_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle runs the identical string."""
     _views(spark, sf_dir, ("supplier", "lineitem", "orders", "customer", "nation"))
     return spark.sql(_Q7)
+
+
+# TPC-H Q1 shape (pricing summary report: the canonical wide-aggregate
+# single-table scan).  Decimal-cast sums make every aggregate order-
+# insensitive; averages divide the exact decimal sum by the group count
+# (one double division on identical operands in both engines).
+_Q1 = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE)
+         AS sum_disc_price,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+                     AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+         AS avg_price,
+       CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+""".strip()
+
+
+@register("sql_q1_shape", oracle=_Q1, tags=("sql", "agg"))
+def sql_q1_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape — the pricing-summary wide aggregate, submitted
+    as one dialect-shared SQL string (the oracle IS the query).  Eight
+    aggregates over one filtered scan; Catalyst compiles it to a single
+    partial+final HashAggregate pair, so at 100 TB the exchange moves
+    |flags|x|statuses| rows per partition — the textbook map-side-
+    combine query and the reason Q1 is the standard scan-throughput
+    benchmark."""
+    _views(spark, sf_dir, ("lineitem",))
+    return spark.sql(_Q1)
+
+
+# TPC-H Q10 shape (returned-item revenue report: top-20 customers by
+# revenue lost to returns in one quarter).
+_Q10 = """
+SELECT c_custkey, c_name,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE)
+         AS revenue,
+       c_acctbal, n_name
+FROM customer
+JOIN orders   ON c_custkey   = o_custkey
+JOIN lineitem ON l_orderkey  = o_orderkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1997-07-01 00:00:00'
+  AND l_returnflag = 'R'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 20
+""".strip()
+
+
+@register("sql_q10_shape", oracle=_Q10, tags=("sql", "join", "limit"))
+def sql_q10_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: customer-orders-lineitem-nation join filtered
+    to one quarter's returns, grouped per customer, top-20 by revenue
+    (tie-broken by key, so the row SET is deterministic and the final
+    cut is TakeOrderedAndProject, not a global sort).  The join tree is
+    the selective-fact pattern: the date filter prunes orders before
+    the lineitem join, nation broadcasts, and AQE picks broadcast for
+    the pruned orders side at real scale — all free because the plan
+    is declarative SQL."""
+    _views(spark, sf_dir, ("customer", "orders", "lineitem", "nation"))
+    return spark.sql(_Q10)

@@ -803,3 +803,97 @@ def lm_perplexity_frame(d: DataFrame) -> DataFrame:
         F.count(F.lit(1)).alias("n_bigrams"),
         F.round(F.avg(F.log2(F.col("cw") / F.col("c"))), 6).alias("avg_nll_bits"),
     )
+
+
+@register(
+    "text_ngram_novelty",
+    # Doc counts per gram need no DISTINCT: the per-doc gram list is
+    # array_distinct'ed BEFORE exploding, so each (doc, gram) pair
+    # appears once and count(*) per gram IS its document frequency.
+    # The >0.5-coverage flag compares 2*n_dup > n_grams — an exact
+    # integer predicate, no float threshold anywhere near the hash.
+    oracle="""
+WITH d AS (SELECT doc_id, source, string_split(text, ' ') AS t FROM documents),
+g AS (
+  SELECT doc_id, source,
+         unnest(CASE WHEN len(t) >= 5
+                     THEN list_distinct(list_transform(range(1, len(t) - 3),
+                            i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                                 || ' ' || t[i+3] || ' ' || t[i+4]))
+                     ELSE [] END) AS gram
+  FROM d
+),
+dfc AS (SELECT gram, count(*) AS df FROM g GROUP BY gram),
+perdoc AS (
+  SELECT g.doc_id, g.source, count(*) AS n_grams,
+         count(*) FILTER (WHERE dfc.df >= 2) AS n_dup
+  FROM g JOIN dfc ON g.gram = dfc.gram
+  GROUP BY 1, 2
+)
+SELECT source,
+       count(*) AS n_docs,
+       CAST(SUM(n_grams) AS BIGINT) AS total_grams,
+       CAST(SUM(n_dup) AS BIGINT) AS dup_grams,
+       round(CAST(SUM(n_dup) AS DOUBLE) / SUM(n_grams), 6) AS dup_ratio,
+       count(*) FILTER (WHERE 2 * n_dup > n_grams) AS n_docs_mostly_dup
+FROM perdoc
+GROUP BY source
+""".strip(),
+    tags=("text", "dedup", "pipeline"),
+)
+def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicate-n-gram coverage per source — the
+    corpus-level novelty audit (Lee et al., "Deduplicating Training
+    Data Makes Language Models Better", ACL 2022: duplicate spans
+    drive memorization): for every doc, the fraction of its distinct
+    word-5-grams that occur in at least one OTHER document, rolled up
+    per source as total/duplicated gram counts, the corpus dup ratio,
+    and how many docs are >50% duplicated (the candidates exact dedup
+    missed but span-level dedup would catch).  Complements
+    text_repetition_ratio (intra-doc) and contamination_ngram
+    (train→eval): this one is corpus↔corpus.
+
+    Scale: per-doc gram sets dedupe inside the row before exploding;
+    the document-frequency aggregate and the gram join shuffle 8-byte
+    xxhash64 keys, never gram strings (contamination_frame's measured
+    2.8x; the string-exact DuckDB oracle pins collision-freeness at
+    test scale).  Docs shorter than one gram carry no signal and drop
+    out (both engines).  At 100 TB the df table is the same artifact a
+    suffix-array span-dedup pass builds its candidate list from — this
+    key is its accounting twin."""
+    from mapreduce_framework_spark.functions.tokenize import word_ngrams
+
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.split("text", " ").alias("t")
+    )
+    g = (
+        d.select(
+            "doc_id",
+            "source",
+            F.explode_outer(
+                F.array_distinct(word_ngrams(F.col("t"), 5))
+            ).alias("gram"),
+        )
+        .where(F.col("gram").isNotNull())
+        .select("doc_id", "source", F.xxhash64("gram").alias("gh"))
+    )
+    dfc = g.groupBy("gh").agg(F.count(F.lit(1)).alias("df"))
+    perdoc = (
+        g.join(dfc, "gh")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.count_if(F.col("df") >= 2).alias("n_dup"),
+        )
+    )
+    return perdoc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_grams").cast("bigint").alias("total_grams"),
+        F.sum("n_dup").cast("bigint").alias("dup_grams"),
+        F.round(
+            F.sum("n_dup").cast("double") / F.sum("n_grams"), 6
+        ).alias("dup_ratio"),
+        F.count_if(F.lit(2) * F.col("n_dup") > F.col("n_grams")).alias(
+            "n_docs_mostly_dup"
+        ),
+    )
