@@ -785,6 +785,26 @@ def sim_search_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     tiers' losses — production recovers it with n_probe and the
     exact re-rank stage (sim_search_pq_rerank), both orthogonal knobs
     on this same plan."""
+    from mapreduce_framework_spark.operators.kmeans import quantize as kquantize
+
+    qvecs = table(spark, sf_dir, "embeddings").select(
+        "vec_id", kquantize(F.col("embedding")).alias("v")
+    )
+    return ivf_pq_frame(_vectors(spark, sf_dir), qvecs)
+
+
+def ivf_pq_frame(
+    vectors: DataFrame,
+    qvecs: DataFrame,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    k: int = 10,
+) -> DataFrame:
+    """The IVF-PQ composite on explicit inputs — ``vectors`` is the
+    float view (vec_id, v array<double>) used by the coarse quantizer,
+    ``qvecs`` the integer lattice (vec_id, v array<bigint>) the PQ half
+    trains/encodes on.  Shared with tools/scale_probe.py so the probe
+    times the real operator."""
     from mapreduce_framework_spark.operators.annsearch import (
         assign_cells,
         pq_adc_topk,
@@ -793,12 +813,10 @@ def sim_search_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         pq_train,
     )
     from mapreduce_framework_spark.functions.vector import cosine
-    from mapreduce_framework_spark.operators.kmeans import quantize as kquantize
 
-    vectors = _vectors(spark, sf_dir)
     centroids = (
         vectors.orderBy("vec_id")
-        .limit(16)
+        .limit(n_cells)
         .select(F.col("vec_id").cast("int").alias("cell_id"), F.col("v").alias("cv"))
     )
     assigned = assign_cells(vectors.where(F.col("vec_id") != 0), centroids)
@@ -806,14 +824,11 @@ def sim_search_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         centroids.crossJoin(F.broadcast(_query_vec(vectors)))
         .select("cell_id", cosine(F.col("cv"), F.col("qv")).alias("_cs"))
         .orderBy(F.desc("_cs"), F.asc("cell_id"))
-        .limit(4)
+        .limit(n_probe)
         .select("cell_id")
     )
     members = assigned.join(F.broadcast(probe_cells), "cell_id").select("vec_id")
 
-    qvecs = table(spark, sf_dir, "embeddings").select(
-        "vec_id", kquantize(F.col("embedding")).alias("v")
-    )
     sub = pq_subvectors(qvecs, n_sub=4, sub_dim=16)
     codebook = pq_train(sub, n_seeds=8)
     codes = (
@@ -824,4 +839,4 @@ def sim_search_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     query_sub = sub.where(F.col("vec_id") == 0).select(
         "m", "sp", F.col("val").alias("qval")
     )
-    return pq_adc_topk(codes, codebook, query_sub, k=10, scale_sq=1e8)
+    return pq_adc_topk(codes, codebook, query_sub, k=k, scale_sq=1e8)

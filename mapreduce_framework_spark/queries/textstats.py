@@ -861,17 +861,24 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     out (both engines).  At 100 TB the df table is the same artifact a
     suffix-array span-dedup pass builds its candidate list from — this
     key is its accounting twin."""
-    from mapreduce_framework_spark.functions.tokenize import word_ngrams
-
     d = table(spark, sf_dir, "documents").select(
         "doc_id", "source", F.split("text", " ").alias("t")
     )
+    return ngram_novelty_frame(d)
+
+
+def ngram_novelty_frame(d: DataFrame, n: int = 5) -> DataFrame:
+    """Per-source duplicate-n-gram coverage from a (doc_id, source, t)
+    frame — the reusable core of text_ngram_novelty, shared with
+    tools/scale_probe.py so the probe times the real operator."""
+    from mapreduce_framework_spark.functions.tokenize import word_ngrams
+
     g = (
         d.select(
             "doc_id",
             "source",
             F.explode_outer(
-                F.array_distinct(word_ngrams(F.col("t"), 5))
+                F.array_distinct(word_ngrams(F.col("t"), n))
             ).alias("gram"),
         )
         .where(F.col("gram").isNotNull())

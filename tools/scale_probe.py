@@ -356,6 +356,24 @@ def build_tiers(spark, small: int, big: int) -> dict[str, dict[int, callable]]:
         q = sub.where(F.col("vec_id") == 0).select("m", "sp", F.col("val").alias("qval"))
         return pq_adc_topk(codes, cb, q, k=10, scale_sq=1e8).count()
 
+    def t_ivf_pq(n):
+        from mapreduce_framework_spark.operators.kmeans import quantize
+        from mapreduce_framework_spark.queries.similarity import ivf_pq_frame
+
+        vecs = corpus("vectors", n)
+        qv = vecs.select("vec_id", quantize(F.col("v")).alias("v"))
+        return ivf_pq_frame(vecs, qv).count()
+
+    def t_ngram_novelty(n):
+        from mapreduce_framework_spark.queries.textstats import (
+            ngram_novelty_frame,
+        )
+
+        d = corpus("docs", n).select(
+            "doc_id", "source", F.split("text", " ").alias("t")
+        )
+        return ngram_novelty_frame(d).count()
+
     def t_lsh(n):
         # n is known here — pass the hint so the probe measures the
         # operator, not an extra count() job over the synthetic corpus.
@@ -433,6 +451,14 @@ def build_tiers(spark, small: int, big: int) -> dict[str, dict[int, callable]]:
         "pq_ann": {
             small: lambda: t_pq(small),
             big: lambda: t_pq(big),
+        },
+        "ivf_pq_ann": {
+            small: lambda: t_ivf_pq(small),
+            big: lambda: t_ivf_pq(big),
+        },
+        "ngram_novelty": {
+            small: lambda: t_ngram_novelty(small),
+            big: lambda: t_ngram_novelty(big),
         },
         "power_iteration": {
             small: lambda: t_power_iteration(small),
