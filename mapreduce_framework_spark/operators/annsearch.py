@@ -744,3 +744,106 @@ def probe_pq_index(
             F.round(F.col("adc") / F.lit(scale_sq), 6).alias("approx_dot"),
         )
     )
+
+
+def persist_ivf_pq_index(
+    vectors: DataFrame,
+    qvecs: DataFrame,
+    centroids: DataFrame,
+    path: str,
+    n_sub: int = 4,
+    sub_dim: int = 16,
+    n_seeds: int = 8,
+) -> tuple[DataFrame, DataFrame]:
+    """Write-once/probe-many layout for the IVF-PQ composite — the
+    serving form of `queries/similarity.ivf_pq_frame`, uniting the two
+    persisted tiers it composes: codes are stored WIDE
+    (vec_id, c0..c{M-1}) like persist_pq_index, but parquet-PARTITIONED
+    BY the vector's IVF ``cell_id`` like persist_cell_index, so a probe
+    both prunes whole cell directories (n_probe/n_cells of the files)
+    AND reads only M small ints per surviving row (the 64× byte cut) —
+    the two prunings multiply in the LAYOUT, not just the plan.
+
+    - ``path/codes``  — (vec_id, c0..c{M-1}) partitioned by cell_id
+    - ``path/codebook`` — exploded (m, code, sp, cval) sidecar,
+      M×K×sub_dim rows, always broadcastable
+
+    ``centroids`` stays caller-owned (it is already a sidecar-sized
+    frame); appends encode against the frozen codebook and land in
+    their cell directory; codebook/centroid refresh is the rare offline
+    rewrite.  Returns (codes, codebook) read BACK from disk."""
+    assigned = assign_cells(vectors, centroids).select("vec_id", "cell_id")
+    sub = pq_subvectors(qvecs, n_sub=n_sub, sub_dim=sub_dim)
+    codebook = pq_train(sub, n_seeds=n_seeds)
+    codes = pq_encode(sub, codebook)
+    wide = (
+        codes.groupBy("vec_id")
+        .pivot("m", list(range(n_sub)))
+        .agg(F.first("code"))
+        .select(
+            "vec_id", *[F.col(str(m)).alias(f"c{m}") for m in range(n_sub)]
+        )
+    )
+    wide.join(assigned, "vec_id").write.mode("overwrite").partitionBy(
+        "cell_id"
+    ).parquet(f"{path}/codes")
+    codebook.write.mode("overwrite").parquet(f"{path}/codebook")
+    spark = vectors.sparkSession
+    return (
+        spark.read.parquet(f"{path}/codes"),
+        spark.read.parquet(f"{path}/codebook"),
+    )
+
+
+def probe_ivf_pq_index(
+    codes: DataFrame,
+    codebook: DataFrame,
+    centroids: DataFrame,
+    query: DataFrame,
+    query_sub: DataFrame,
+    k: int = 10,
+    n_probe: int = 4,
+    scale_sq: float = 1e8,
+    n_sub: int = 4,
+) -> DataFrame:
+    """ADC top-k against a persisted IVF-PQ index: the probe-cell pick
+    stays in-plan (broadcast centroids × query — no collect), so cell
+    pruning reaches the code scan as a DYNAMIC partition-pruning filter
+    (pinned by tests/test_plans.py), and the scan itself reads code
+    columns only — no float vector anywhere in the probe plan.  Ranking
+    is identical to the in-plan composite (same lattice, same codebook,
+    same ADC with vec_id tie-break)."""
+    probe_cells = (
+        centroids.crossJoin(F.broadcast(query))
+        .select("cell_id", cosine(F.col("cv"), F.col("qv")).alias("_cs"))
+        .orderBy(F.desc("_cs"), F.asc("cell_id"))
+        .limit(n_probe)
+        .select("cell_id")
+    )
+    pruned = codes.join(F.broadcast(probe_cells), "cell_id").where(
+        F.col("vec_id") != 0
+    )
+    tall = pruned.select(
+        "vec_id",
+        F.posexplode(F.array(*[F.col(f"c{m}") for m in range(n_sub)])).alias(
+            "m", "code"
+        ),
+    )
+    lut = (
+        codebook.join(F.broadcast(query_sub), ["m", "sp"])
+        .groupBy("m", "code")
+        .agg(F.sum(F.col("qval") * F.col("cval")).alias("dot"))
+    )
+    adc = (
+        tall.join(F.broadcast(lut), ["m", "code"])
+        .groupBy("vec_id")
+        .agg(F.sum("dot").alias("adc"))
+    )
+    return (
+        adc.orderBy(F.desc("adc"), F.asc("vec_id"))
+        .limit(k)
+        .select(
+            "vec_id",
+            F.round(F.col("adc") / F.lit(scale_sq), 6).alias("approx_dot"),
+        )
+    )

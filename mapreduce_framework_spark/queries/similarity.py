@@ -840,3 +840,55 @@ def ivf_pq_frame(
         "m", "sp", F.col("val").alias("qval")
     )
     return pq_adc_topk(codes, codebook, query_sub, k=k, scale_sq=1e8)
+
+
+@register(
+    "sim_search_ivf_pq_persisted",
+    # Same deterministic pipeline as sim_search_ivf_pq, so the same
+    # oracle replay applies — the persisted layout must be invisible to
+    # the answer.
+    oracle=_IVF_PQ_ORACLE,
+    tags=("similarity", "ann", "quantization", "sink"),
+)
+def sim_search_ivf_pq_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF-PQ composite served from a WRITE-ONCE index: codes wide
+    (vec_id, c0..c3) parquet-partitioned by the vector's IVF cell_id,
+    codebook as a broadcastable sidecar.  The probe computes its cells
+    in-plan (broadcast centroids x query), so cell pruning reaches the
+    code scan as DYNAMIC partition pruning, and the scan reads code
+    columns only — the layout realizes both prunings at once: a probe
+    opens n_probe/n_cells of the files and reads 4 small ints per
+    surviving row.  This is the FAISS-IVFPQ on-disk shape expressed as
+    a parquet layout; bit-identical results to sim_search_ivf_pq by
+    construction (pinned by tests/test_plans.py::
+    test_ivf_pq_index_probe_prunes_and_reads_codes_only)."""
+    import tempfile
+
+    from mapreduce_framework_spark.operators.annsearch import (
+        persist_ivf_pq_index,
+        pq_subvectors,
+        probe_ivf_pq_index,
+    )
+    from mapreduce_framework_spark.operators.kmeans import quantize as kquantize
+
+    vectors = _vectors(spark, sf_dir)
+    centroids = (
+        vectors.orderBy("vec_id")
+        .limit(16)
+        .select(F.col("vec_id").cast("int").alias("cell_id"), F.col("v").alias("cv"))
+    )
+    qvecs = table(spark, sf_dir, "embeddings").select(
+        "vec_id", kquantize(F.col("embedding")).alias("v")
+    )
+    codes, codebook = persist_ivf_pq_index(
+        vectors.where(F.col("vec_id") != 0),
+        qvecs,
+        centroids,
+        tempfile.mkdtemp(prefix="mfs_ivfpq_idx_"),
+    )
+    query_sub = pq_subvectors(
+        qvecs.where(F.col("vec_id") == 0), n_sub=4, sub_dim=16
+    ).select("m", "sp", F.col("val").alias("qval"))
+    return probe_ivf_pq_index(
+        codes, codebook, centroids, _query_vec(vectors), query_sub
+    )

@@ -944,3 +944,67 @@ def test_ivf_pq_results_lie_in_probed_cells(spark):
     assert result_ids <= member_ids, (
         f"IVF pruning leaked: {sorted(result_ids - member_ids)} not in probed cells"
     )
+
+
+def test_ivf_pq_index_probe_prunes_and_reads_codes_only(spark, tmp_path):
+    """The persisted IVF-PQ index must realize BOTH prunings in the
+    layout: the probe plan's code scan carries a dynamic partition-
+    pruning filter on cell_id (probe cells computed in-plan, no
+    collect) AND reads no float vector column; results must be
+    bit-identical to the in-plan composite."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from mapreduce_framework_spark.operators.annsearch import (
+        persist_ivf_pq_index,
+        pq_subvectors,
+        probe_ivf_pq_index,
+    )
+    from mapreduce_framework_spark.operators.kmeans import quantize as kquantize
+    from mapreduce_framework_spark.plans import formatted_plan, read_schema_columns
+    from mapreduce_framework_spark.queries.similarity import (
+        _query_vec,
+        _vectors,
+        ivf_pq_frame,
+    )
+
+    vectors = _vectors(spark, SF_DIR)
+    centroids = (
+        vectors.orderBy("vec_id")
+        .limit(16)
+        .select(F.col("vec_id").cast("int").alias("cell_id"), F.col("v").alias("cv"))
+    )
+    qvecs = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet")).select(
+        "vec_id", kquantize(F.col("embedding")).alias("v")
+    )
+    codes, codebook = persist_ivf_pq_index(
+        vectors.where(F.col("vec_id") != 0),
+        qvecs,
+        centroids,
+        str(tmp_path / "ivfpq_idx"),
+    )
+    query_sub = pq_subvectors(
+        qvecs.where(F.col("vec_id") == 0), n_sub=4, sub_dim=16
+    ).select("m", "sp", F.col("val").alias("qval"))
+    res = probe_ivf_pq_index(
+        codes, codebook, centroids, _query_vec(vectors), query_sub
+    )
+
+    plan = formatted_plan(res)
+    assert "dynamicpruning" in plan.lower(), "cell pruning did not reach the scan"
+    code_scan_schemas = [
+        cols
+        for cols in read_schema_columns(res)
+        if any(c.startswith("c") and c[1:].isdigit() for c in cols)
+    ]
+    assert code_scan_schemas, "no code scan found in the probe plan"
+    for cols in code_scan_schemas:
+        assert not any("v" == c or "embedding" in c for c in cols), (
+            f"probe read a float vector column: {cols}"
+        )
+
+    inplan = ivf_pq_frame(vectors, qvecs)
+    assert sorted(map(tuple, res.collect())) == sorted(
+        map(tuple, inplan.collect())
+    )
