@@ -779,3 +779,75 @@ def privacy_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("risky_records"),
         F.min("class_size").cast("bigint").alias("min_class_size"),
     )
+
+
+@register(
+    "privacy_l_diversity",
+    # The sibling gate to privacy_k_anonymity: a class can satisfy k
+    # and still leak — if all 7 of a class's members share one market
+    # segment, linking someone to the class reveals their segment.
+    # QI = (nationkey, acctbal thousand-band); sensitive attribute =
+    # mktsegment; l = 2 (every class must span >= 2 distinct segments).
+    oracle="""
+WITH classes AS (
+  SELECT c_nationkey,
+         CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bal_band,
+         count(*) AS class_size,
+         count(DISTINCT c_mktsegment) AS n_sensitive
+  FROM customer
+  GROUP BY 1, 2
+)
+SELECT c_nationkey,
+       count(*) AS n_classes,
+       CAST(SUM(class_size) AS BIGINT) AS n_records,
+       count(*) FILTER (WHERE n_sensitive < 2) AS homogeneous_classes,
+       CAST(COALESCE(SUM(class_size) FILTER (WHERE n_sensitive < 2), 0)
+            AS BIGINT) AS exposed_records,
+       CAST(MIN(n_sensitive) AS BIGINT) AS min_diversity
+FROM classes
+GROUP BY c_nationkey
+""".strip(),
+    tags=("profiling", "privacy"),
+)
+def privacy_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit (l=2) — k-anonymity's necessary complement
+    (Machanavajjhala et al., ICDE 2006): a quasi-identifier class of
+    any size still leaks its sensitive attribute if every member shares
+    one value (the homogeneity attack).  QI = (nation, acctbal band),
+    sensitive = market segment; per nation, how many classes are
+    sensitive-homogeneous and how many records that exposes — together
+    with privacy_k_anonymity this is the release gate pair for
+    structured training extracts.
+
+    Plan shape: one grouped aggregate over the raw scan computing both
+    class size and the per-class distinct-sensitive count (Spark plans
+    count(DISTINCT x) per group as the standard two-phase expand —
+    partial by (QI, segment), final by QI — both map-side combined;
+    |segments| = 5 bounds the expansion), then a second aggregate over
+    the bounded class rows.  Same two-exchange shape as the k-anonymity
+    key at any corpus size."""
+    c = table(spark, sf_dir, "customer")
+    classes = (
+        c.select(
+            "c_nationkey",
+            F.floor(F.col("c_acctbal") / F.lit(1000.0))
+            .cast("bigint")
+            .alias("bal_band"),
+            "c_mktsegment",
+        )
+        .groupBy("c_nationkey", "bal_band")
+        .agg(
+            F.count(F.lit(1)).alias("class_size"),
+            F.countDistinct("c_mktsegment").alias("n_sensitive"),
+        )
+    )
+    homogeneous = F.col("n_sensitive") < 2
+    return classes.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n_classes"),
+        F.sum("class_size").cast("bigint").alias("n_records"),
+        F.count_if(homogeneous).alias("homogeneous_classes"),
+        F.coalesce(F.sum(F.when(homogeneous, F.col("class_size"))), F.lit(0))
+        .cast("bigint")
+        .alias("exposed_records"),
+        F.min("n_sensitive").cast("bigint").alias("min_diversity"),
+    )

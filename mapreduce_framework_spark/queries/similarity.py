@@ -849,6 +849,7 @@ def ivf_pq_frame(
     # the answer.
     oracle=_IVF_PQ_ORACLE,
     tags=("similarity", "ann", "quantization", "sink"),
+    bench=True,
 )
 def sim_search_ivf_pq_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The IVF-PQ composite served from a WRITE-ONCE index: codes wide

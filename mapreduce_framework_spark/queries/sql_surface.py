@@ -213,7 +213,7 @@ GROUP BY l_returnflag, l_linestatus
 """.strip()
 
 
-@register("sql_q1_shape", oracle=_Q1, tags=("sql", "agg"))
+@register("sql_q1_shape", oracle=_Q1, tags=("sql", "agg"), bench=True)
 def sql_q1_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1 shape — the pricing-summary wide aggregate, submitted
     as one dialect-shared SQL string (the oracle IS the query).  Eight

@@ -840,6 +840,7 @@ FROM perdoc
 GROUP BY source
 """.strip(),
     tags=("text", "dedup", "pipeline"),
+    bench=True,
 )
 def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-document duplicate-n-gram coverage per source — the
