@@ -851,3 +851,106 @@ def privacy_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("exposed_records"),
         F.min("n_sensitive").cast("bigint").alias("min_diversity"),
     )
+
+
+# Benford expected first-digit shares, in exact ppm (log10(1+1/d)*1e6,
+# rounded; sums to exactly 1,000,000).  Literal in BOTH engines so no
+# cross-engine libm log10 ever touches the hash.
+_BENFORD_PPM = {
+    1: 301030, 2: 176091, 3: 124939, 4: 96910, 5: 79181,
+    6: 66947, 7: 57992, 8: 51153, 9: 45757,
+}
+
+
+@register(
+    "profile_benford",
+    # First digit from exact integer cents via a fixed division ladder
+    # — never a double->string cast (engine formatting) or log10/floor
+    # (libm edge cases on near-powers of 10).  All outputs are exact
+    # integer arithmetic: shares in ppm by integer division, chi-style
+    # deviation as (obs-exp)^2 div exp on ppm ints.
+    oracle=f"""
+WITH c AS (
+  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders WHERE o_totalprice > 0
+),
+d AS (
+  SELECT CASE
+    WHEN cents >= 100000000 THEN cents // 100000000
+    WHEN cents >= 10000000 THEN cents // 10000000
+    WHEN cents >= 1000000 THEN cents // 1000000
+    WHEN cents >= 100000 THEN cents // 100000
+    WHEN cents >= 10000 THEN cents // 10000
+    WHEN cents >= 1000 THEN cents // 1000
+    WHEN cents >= 100 THEN cents // 100
+    WHEN cents >= 10 THEN cents // 10
+    ELSE cents END AS digit
+  FROM c
+),
+g AS (SELECT digit, count(*) AS n FROM d GROUP BY digit),
+t AS (SELECT SUM(n) AS total FROM g)
+SELECT g.digit,
+       g.n,
+       CAST((1000000 * g.n) // t.total AS BIGINT) AS obs_ppm,
+       CASE g.digit {' '.join(f'WHEN {d} THEN {p}' for d, p in _BENFORD_PPM.items())} END
+         AS exp_ppm,
+       CAST((((1000000 * g.n) // t.total
+         - CASE g.digit {' '.join(f'WHEN {d} THEN {p}' for d, p in _BENFORD_PPM.items())} END)
+        * ((1000000 * g.n) // t.total
+         - CASE g.digit {' '.join(f'WHEN {d} THEN {p}' for d, p in _BENFORD_PPM.items())} END))
+       // CASE g.digit {' '.join(f'WHEN {d} THEN {p}' for d, p in _BENFORD_PPM.items())} END AS BIGINT)
+         AS chi_contrib
+FROM g, t
+""".strip(),
+    tags=("profiling", "quality"),
+)
+def profile_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit profile of order totals — the fraud /
+    synthetic-data screen (Benford, 1938; Nigrini's forensic-accounting
+    standard): naturally occurring multi-scale money amounts follow
+    P(d) = log10(1+1/d), and fabricated or truncated feeds don't.  Per
+    digit: observed count, observed share (exact ppm), Benford-expected
+    ppm (literal constants — no libm in the hash path), and the
+    integer chi-square-style deviation (obs-exp)² div exp that an
+    ingestion gate thresholds on.
+
+    Plan: one scan computing the first digit codegen-side from exact
+    integer cents via a fixed division ladder, a 9-group partial+final
+    hash aggregate, and a broadcast of the single total row — at 100 TB
+    the exchange moves 9 rows per partition and nothing else."""
+    o = (
+        table(spark, sf_dir, "orders")
+        .where(F.col("o_totalprice") > 0)
+        .select(
+            F.round(F.col("o_totalprice") * 100)
+            .cast("bigint")
+            .alias("cents")
+        )
+    )
+    digit = F.col("cents")
+    for p in (10, 100, 1000, 10000, 100000, 1000000, 10000000, 100000000):
+        digit = F.when(
+            F.col("cents") >= p, F.expr(f"cents div {p}")
+        ).otherwise(digit)
+    g = o.select(digit.alias("digit")).groupBy("digit").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    t = g.agg(F.sum("n").alias("total"))
+    exp_ppm = F.lit(None).cast("bigint")
+    for d, p in _BENFORD_PPM.items():
+        exp_ppm = F.when(F.col("digit") == d, F.lit(p)).otherwise(exp_ppm)
+    obs_ppm = F.expr("(1000000 * n) div total")
+    return (
+        g.crossJoin(F.broadcast(t))
+        .withColumn("obs_ppm", obs_ppm)
+        .withColumn("exp_ppm", exp_ppm)
+        .select(
+            "digit",
+            "n",
+            "obs_ppm",
+            "exp_ppm",
+            F.expr(
+                "((obs_ppm - exp_ppm) * (obs_ppm - exp_ppm)) div exp_ppm"
+            ).alias("chi_contrib"),
+        )
+    )

@@ -58,6 +58,19 @@ PINNED_KEYS = [
     # (the runner pins its own state partitions internally)
     "stream_watermark_late",
     "stream_watermark_drop_report",
+    # round-8 families: bottom-k-by-hash sampling (TakeOrdered merge
+    # order must not matter), privacy class audits (distinct-count
+    # expand + banding), the IVF-PQ composite and its persisted-index
+    # probe (coarse argmax + integer ADC ranking end-to-end), gram df
+    # accounting (hash-keyed double aggregate), and the stream-static
+    # join (per-batch broadcast enrichment).
+    "sample_reservoir",
+    "privacy_k_anonymity",
+    "privacy_l_diversity",
+    "sim_search_ivf_pq",
+    "sim_search_ivf_pq_persisted",
+    "text_ngram_novelty",
+    "stream_static_enrich",
 ]
 
 
