@@ -893,3 +893,51 @@ def sim_search_ivf_pq_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return probe_ivf_pq_index(
         codes, codebook, centroids, _query_vec(vectors), query_sub
     )
+
+
+@register(
+    "sim_search_doc_retrieval",
+    oracle="""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+topk AS (
+  SELECT vec_id, round(list_cosine_similarity(v, qv), 6) AS cos_sim
+  FROM e, q
+  WHERE vec_id <> 0
+  ORDER BY cos_sim DESC, vec_id ASC
+  LIMIT 10
+)
+SELECT t.vec_id AS doc_id, t.cos_sim, d.lang, d.source, d.n_chars
+FROM topk t JOIN documents d ON t.vec_id = d.doc_id
+""".strip(),
+    tags=("similarity", "pipeline"),
+)
+def sim_search_doc_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval serving end-to-end: ANN top-10 over the embedding
+    store, then a point-lookup join back to the DOCUMENT store for the
+    payloads — the two-table shape every RAG / semantic-search stack
+    runs (vectors and documents live in different tables because they
+    have different write paths, compaction policies, and scan
+    economics; conflating them re-reads text on every query).
+
+    Scale (100 TB): stage 1 is whichever ANN tier fits the corpus
+    (brute force here as the exact baseline; the IVF/PQ/persisted keys
+    are drop-in — all produce the same skinny (vec_id, score) frame);
+    stage 2 joins 10 rows against the id-keyed document table — a
+    broadcast of the CANDIDATES, never the documents, so document-side
+    cost is a point lookup per candidate regardless of corpus size.
+    Returns metadata columns only; payload projection is the caller's
+    choice (column pruning keeps text out of the scan here — same
+    policy as the streaming module's pruning note)."""
+    vectors = _vectors(spark, sf_dir).select("vec_id", "v")
+    topk = brute_force_topk(
+        vectors.where(F.col("vec_id") != 0), _query_vec(vectors), k=10
+    )
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    return (
+        F.broadcast(topk)
+        .join(docs, topk["vec_id"] == docs["doc_id"])
+        .select("doc_id", "cos_sim", "lang", "source", "n_chars")
+    )
