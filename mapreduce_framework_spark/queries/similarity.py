@@ -616,6 +616,7 @@ def sim_search_pq_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     without touching the rest of the layout.  Results are bit-identical
     to sim_search_pq by construction (same lattice, same codebook,
     same ADC ranking)."""
+    import os
     import tempfile
 
     from mapreduce_framework_spark.operators.annsearch import (
@@ -628,8 +629,12 @@ def sim_search_pq_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     qvecs = table(spark, sf_dir, "embeddings").select(
         "vec_id", kquantize(F.col("embedding")).alias("v")
     )
+    # Pid-scoped FIXED path (not a fresh mkdtemp per call): repeated
+    # invocations in one process — bench's min-of-3, sweep re-runs —
+    # overwrite the same index instead of accreting orphan directories.
+    idx_dir = os.path.join(tempfile.gettempdir(), f"mfs_pq_idx_{os.getpid()}")
     codes, codebook = persist_pq_index(
-        qvecs, tempfile.mkdtemp(prefix="mfs_pq_idx_"), n_sub=4, sub_dim=16, n_seeds=8
+        qvecs, idx_dir, n_sub=4, sub_dim=16, n_seeds=8
     )
     query_sub = pq_subvectors(
         qvecs.where(F.col("vec_id") == 0), n_sub=4, sub_dim=16
@@ -863,6 +868,7 @@ def sim_search_ivf_pq_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     a parquet layout; bit-identical results to sim_search_ivf_pq by
     construction (pinned by tests/test_plans.py::
     test_ivf_pq_index_probe_prunes_and_reads_codes_only)."""
+    import os
     import tempfile
 
     from mapreduce_framework_spark.operators.annsearch import (
@@ -881,11 +887,16 @@ def sim_search_ivf_pq_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     qvecs = table(spark, sf_dir, "embeddings").select(
         "vec_id", kquantize(F.col("embedding")).alias("v")
     )
+    # Pid-scoped fixed path — same overwrite-not-accrete policy as
+    # sim_search_pq_persisted.
+    idx_dir = os.path.join(
+        tempfile.gettempdir(), f"mfs_ivfpq_idx_{os.getpid()}"
+    )
     codes, codebook = persist_ivf_pq_index(
         vectors.where(F.col("vec_id") != 0),
         qvecs,
         centroids,
-        tempfile.mkdtemp(prefix="mfs_ivfpq_idx_"),
+        idx_dir,
     )
     query_sub = pq_subvectors(
         qvecs.where(F.col("vec_id") == 0), n_sub=4, sub_dim=16
