@@ -258,3 +258,63 @@ def sql_q10_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
     is declarative SQL."""
     _views(spark, sf_dir, ("customer", "orders", "lineitem", "nation"))
     return spark.sql(_Q10)
+
+
+# TPC-H Q14 shape (promotion revenue share in one month).  One double
+# division at the end over two decimal-exact sums.
+_Q14 = """
+SELECT CAST(SUM(CASE WHEN p_type = 'PROMO'
+                     THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))
+                     ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+       / CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE)
+         AS promo_revenue_share,
+       COUNT(*) AS n_items
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1997-03-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
+""".strip()
+
+
+@register("sql_q14_shape", oracle=_Q14, tags=("sql", "join", "agg"))
+def sql_q14_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape — one month's promotion revenue share: a
+    date-pruned fact scan joined to the part dimension, a conditional
+    decimal aggregate pair, one final double division.  The dimension
+    broadcasts; the date filter reaches the lineitem scan as a pushed
+    predicate, so the join probes only the month's rows — the
+    conditional-aggregate-over-selective-join pattern every marketing/
+    mix report reuses."""
+    _views(spark, sf_dir, ("lineitem", "part"))
+    return spark.sql(_Q14)
+
+
+# TPC-H Q19 shape (disjunctive brand/size/quantity predicate blocks —
+# the OR-of-conjunctions pushdown stress test), adapted to this
+# schema's columns (no p_container/l_shipmode in the testdata).
+_Q19 = """
+SELECT CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE)
+         AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#2'  AND p_size BETWEEN 1 AND 5
+       AND l_quantity >= 1  AND l_quantity <= 11)
+   OR (p_brand = 'Brand#4'  AND p_size BETWEEN 1 AND 10
+       AND l_quantity >= 10 AND l_quantity <= 20)
+   OR (p_brand = 'Brand#19' AND p_size BETWEEN 1 AND 15
+       AND l_quantity >= 20 AND l_quantity <= 30)
+""".strip()
+
+
+@register("sql_q19_shape", oracle=_Q19, tags=("sql", "join", "filter"))
+def sql_q19_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape — three OR'd conjunctive predicate blocks across
+    both join sides, the classic optimizer stress test: Catalyst must
+    (a) keep the disjunction from blocking the equi-join extraction,
+    (b) derive the common single-side conjuncts (brand/size on part,
+    quantity on lineitem) and push them below the join as residual
+    filters.  The whole filter evaluates codegen-side; result is one
+    (revenue, count) row, decimal-exact."""
+    _views(spark, sf_dir, ("lineitem", "part"))
+    return spark.sql(_Q19)
