@@ -1008,3 +1008,21 @@ def test_ivf_pq_index_probe_prunes_and_reads_codes_only(spark, tmp_path):
     assert sorted(map(tuple, res.collect())) == sorted(
         map(tuple, inplan.collect())
     )
+
+
+def test_q19_disjunction_pushes_single_side_conjuncts(spark):
+    """TPC-H Q19's OR-of-conjunctions must not defeat the optimizer:
+    the equi-join survives as BroadcastHashJoin, the derived quantity
+    disjunction reaches the lineitem scan's PushedFilters, and the
+    brand/size disjunction reaches the part scan's — neither side scans
+    rows the other side's predicates already rule out."""
+    from mapreduce_framework_spark.plans import formatted_plan, pushed_filters
+
+    df = _q(spark, "sql_q19_shape")
+    plan = formatted_plan(df)
+    assert "BroadcastHashJoin" in plan, "disjunction broke the equi-join"
+    pf = " ".join(pushed_filters(df))
+    assert "l_quantity" in pf, "quantity disjunction not pushed to lineitem scan"
+    assert "p_brand" in pf and "p_size" in pf, (
+        "brand/size disjunction not pushed to part scan"
+    )
