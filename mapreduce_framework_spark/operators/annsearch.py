@@ -805,6 +805,7 @@ def probe_ivf_pq_index(
     n_probe: int = 4,
     scale_sq: float = 1e8,
     n_sub: int = 4,
+    exclude_id: int | None = None,
 ) -> DataFrame:
     """ADC top-k against a persisted IVF-PQ index: the probe-cell pick
     stays in-plan (broadcast centroids × query — no collect), so cell
@@ -812,7 +813,14 @@ def probe_ivf_pq_index(
     (pinned by tests/test_plans.py), and the scan itself reads code
     columns only — no float vector anywhere in the probe plan.  Ranking
     is identical to the in-plan composite (same lattice, same codebook,
-    same ADC with vec_id tie-break)."""
+    same ADC with vec_id tie-break).
+
+    ``exclude_id`` optionally drops one vec_id from the candidate set
+    (e.g. when the query vector itself is present in the index).  The
+    default is None — every indexed id is eligible — matching
+    probe_pq_index's caller-filters contract; persist_ivf_pq_index
+    already excludes the query row, so the registered queries pass
+    nothing here."""
     probe_cells = (
         centroids.crossJoin(F.broadcast(query))
         .select("cell_id", cosine(F.col("cv"), F.col("qv")).alias("_cs"))
@@ -820,9 +828,9 @@ def probe_ivf_pq_index(
         .limit(n_probe)
         .select("cell_id")
     )
-    pruned = codes.join(F.broadcast(probe_cells), "cell_id").where(
-        F.col("vec_id") != 0
-    )
+    pruned = codes.join(F.broadcast(probe_cells), "cell_id")
+    if exclude_id is not None:
+        pruned = pruned.where(F.col("vec_id") != exclude_id)
     tall = pruned.select(
         "vec_id",
         F.posexplode(F.array(*[F.col(f"c{m}") for m in range(n_sub)])).alias(

@@ -375,9 +375,15 @@ def gram_matrix_arrow(vecs: DataFrame) -> DataFrame:
             if not len(pdf):
                 continue
             # Quantize HALF-AWAY-FROM-ZERO to match F.round / SQL round
-            # exactly (np.rint rounds half-to-even, which would silently
-            # diverge from the Catalyst and oracle lanes on values whose
-            # x*100 lands on .5 — round-7 ADVICE item).  float64 matmul
+            # (np.rint rounds half-to-even, which would silently diverge
+            # from the Catalyst and oracle lanes on values whose x*100
+            # lands on .5 — round-7 ADVICE item).  PRECONDITION: the
+            # floor(abs+0.5) emulation matches F.round only for inputs
+            # already on (or near) the 1e-2 lattice this repo's
+            # embeddings use — for arbitrary doubles the abs(x)+0.5
+            # float64 add can round up below .5 (e.g. x=0.49999999999999994
+            # → 1 here vs 0 from F.round), so do NOT feed this helper
+            # unquantized vectors and expect bit-parity.  float64 matmul
             # ON PURPOSE: BLAS-backed (int64 matmul is naive loops), and
             # exact here — entries are |val| <= 100 lattice ints, so
             # every product is <= 1e4 and a batch's accumulated cell sum

@@ -22,6 +22,37 @@ def _query_vec(vectors: DataFrame) -> DataFrame:
     return vectors.where(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
 
 
+def _scratch_idx_dir(name: str) -> str:
+    """Pid-scoped FIXED scratch path for a persisted index, under a
+    mode-0700 per-user subdirectory of the temp dir (not a predictable
+    world-writable /tmp name), with the streaming module's stale-root
+    sweep (prefix + dead-pid check) so crashed runs don't orphan one
+    directory pair per process forever — round-8 ADVICE item.  Fixed
+    (not mkdtemp-fresh) so repeated invocations in one process — bench
+    min-of-3, sweep re-runs — overwrite instead of accrete."""
+    import os
+    import shutil
+    import tempfile
+
+    user_root = os.path.join(tempfile.gettempdir(), f"mfs_idx_u{os.getuid()}")
+    os.makedirs(user_root, mode=0o700, exist_ok=True)
+    os.chmod(user_root, 0o700)  # pre-existing dir keeps its old mode otherwise
+    for entry in os.listdir(user_root):
+        try:
+            pid = int(entry.rsplit("_", 1)[1])
+        except (ValueError, IndexError):
+            continue
+        if pid == os.getpid():
+            continue
+        try:
+            os.kill(pid, 0)
+        except ProcessLookupError:
+            shutil.rmtree(os.path.join(user_root, entry), ignore_errors=True)
+        except PermissionError:
+            pass  # live pid owned by someone else — leave it
+    return os.path.join(user_root, f"{name}_{os.getpid()}")
+
+
 @register(
     "sim_search_topk",
     oracle="""
@@ -616,9 +647,6 @@ def sim_search_pq_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     without touching the rest of the layout.  Results are bit-identical
     to sim_search_pq by construction (same lattice, same codebook,
     same ADC ranking)."""
-    import os
-    import tempfile
-
     from mapreduce_framework_spark.operators.annsearch import (
         persist_pq_index,
         pq_subvectors,
@@ -629,10 +657,7 @@ def sim_search_pq_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     qvecs = table(spark, sf_dir, "embeddings").select(
         "vec_id", kquantize(F.col("embedding")).alias("v")
     )
-    # Pid-scoped FIXED path (not a fresh mkdtemp per call): repeated
-    # invocations in one process — bench's min-of-3, sweep re-runs —
-    # overwrite the same index instead of accreting orphan directories.
-    idx_dir = os.path.join(tempfile.gettempdir(), f"mfs_pq_idx_{os.getpid()}")
+    idx_dir = _scratch_idx_dir("pq")
     codes, codebook = persist_pq_index(
         qvecs, idx_dir, n_sub=4, sub_dim=16, n_seeds=8
     )
@@ -868,9 +893,6 @@ def sim_search_ivf_pq_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     a parquet layout; bit-identical results to sim_search_ivf_pq by
     construction (pinned by tests/test_plans.py::
     test_ivf_pq_index_probe_prunes_and_reads_codes_only)."""
-    import os
-    import tempfile
-
     from mapreduce_framework_spark.operators.annsearch import (
         persist_ivf_pq_index,
         pq_subvectors,
@@ -887,11 +909,7 @@ def sim_search_ivf_pq_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     qvecs = table(spark, sf_dir, "embeddings").select(
         "vec_id", kquantize(F.col("embedding")).alias("v")
     )
-    # Pid-scoped fixed path — same overwrite-not-accrete policy as
-    # sim_search_pq_persisted.
-    idx_dir = os.path.join(
-        tempfile.gettempdir(), f"mfs_ivfpq_idx_{os.getpid()}"
-    )
+    idx_dir = _scratch_idx_dir("ivfpq")
     codes, codebook = persist_ivf_pq_index(
         vectors.where(F.col("vec_id") != 0),
         qvecs,

@@ -96,3 +96,44 @@ def test_newer_driver_artifact_does_not_redden_the_ledger(tmp_path):
     # manifest: the README may lag new artifacts but can never cite ghosts.
     on_disk = {p.name for p in artifact_files()}
     assert set(names) <= on_disk
+
+
+def test_unmanifested_artifacts_are_only_the_newest_round():
+    """Round-8 ADVICE item: the manifest-scoped check alone would stay
+    green forever if a red driver artifact sat on disk outside the
+    manifest.  Close the hole: an on-disk artifact absent from the
+    manifest is legitimate ONLY when it is from a round strictly newer
+    than every manifested artifact of its category — i.e. exactly the
+    end-of-round race (the driver lands CORRECTNESS_r{N} after the
+    round-{N} snapshot), which `make round-start` folds in at the next
+    round's first turn.  An older artifact dropped from the manifest —
+    the way a regression could be hidden indefinitely — reddens here."""
+    from evidence_ledger import artifact_files, parse_manifest
+
+    txt = (REPO / "README.md").read_text()
+    names = set(parse_manifest(txt))
+
+    def round_of(name: str) -> int | None:
+        m = re.search(r"_r(\d+)", name)
+        return int(m.group(1)) if m else None
+
+    for category in ("CORRECTNESS", "VERIFY_LOCAL"):
+        manifested = [
+            r
+            for n in names
+            if n.startswith(category) and (r := round_of(n)) is not None
+        ]
+        newest_manifested = max(manifested, default=0)
+        stragglers = [
+            p.name
+            for p in artifact_files()
+            if p.name.startswith(category)
+            and p.name not in names
+            and (round_of(p.name) or 0) <= newest_manifested
+        ]
+        assert not stragglers, (
+            f"{category} artifacts on disk but missing from the README "
+            f"manifest and NOT newer than the manifest's r{newest_manifested}: "
+            f"{stragglers} — a regression could hide there; run "
+            "`python tools/evidence_ledger.py` (make round-start)"
+        )
