@@ -502,6 +502,174 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kcore_frame(knn_edges_frame(l, k=5), k=3, rounds=3)
 
 
+def persisted_cosupply_adjacency(
+    spark: SparkSession, sf_dir: str, k: int = 5, n_buckets: int = 16
+) -> DataFrame:
+    """WRITE-ONCE co-supply adjacency artifact (round-8 verdict task #1
+    — serving parity with the ANN family's persist_*/probe_* split):
+    the canonical kNN edge set of knn_edges_frame stored BOTH WAYS as a
+    directed (src, dst) adjacency list, parquet-partitioned by
+    ``src_bucket = src mod n_buckets``.  Every graph probe key reads
+    this instead of re-deriving the lineitem self-join co-occurrence
+    shuffle per invocation — the one corpus-sized stage all the graph
+    keys share becomes a build-once cost, exactly like an IVF cell
+    index (operators/annsearch.py persist_cell_index).
+
+    Layout rationale: both-ways adjacency (each undirected edge twice)
+    is the serving shape — a node's neighborhood is ONE partition-pruned
+    bucket read (src_bucket pushes down as a PartitionFilter), degree is
+    a plain count over src, and the canonical undirected edge set
+    recovers as ``WHERE src < dst`` without a shuffle.  At 100 TB the
+    same layout holds: k·n·2 skinny integer rows, appends land in their
+    bucket directory, and the build amortizes across every downstream
+    graph query.
+
+    Cache contract = _spill_corpus's (queries/mapreduce_job.py): keyed
+    by (sf, lineitem file identity, k, n_buckets) — a pure function of
+    immutable inputs — staged privately and atomically renamed into
+    place, so concurrent sessions race safely and readers only ever see
+    a complete artifact."""
+    import os
+    import shutil
+    import tempfile
+
+    st = os.stat(os.path.join(sf_dir, "lineitem.parquet"))
+    ident = (
+        f"{os.path.basename(os.path.normpath(sf_dir))}"
+        f"_{st.st_size}_{st.st_mtime_ns}_k{k}b{n_buckets}"
+    )
+    dest = os.path.join(tempfile.gettempdir(), f"mfs_graph_adj_{ident}")
+    if not os.path.isdir(dest):
+        l = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+        edges = knn_edges_frame(l, k)
+        adj = edges.select(
+            F.col("u").alias("src"), F.col("v").alias("dst")
+        ).unionByName(edges.select(F.col("v").alias("src"), F.col("u").alias("dst")))
+        stage = tempfile.mkdtemp(prefix="mfs_graph_adj_stage_")
+        staged = os.path.join(stage, "adj")
+        (
+            adj.withColumn(
+                "src_bucket", F.pmod(F.col("src"), F.lit(n_buckets)).cast("int")
+            )
+            .repartition("src_bucket")
+            .write.mode("overwrite")
+            .partitionBy("src_bucket")
+            .parquet(staged)
+        )
+        try:
+            os.rename(staged, dest)
+        except OSError:
+            pass  # concurrent session published first; its copy is complete
+        shutil.rmtree(stage, ignore_errors=True)
+    return spark.read.parquet(dest)
+
+
+# The probe keys' oracles re-derive the SAME edge set the artifact
+# holds (knn_edges_frame is deterministic), so the persisted layout
+# must be invisible to the answer — same contract as the persisted
+# ANN keys.
+_ADJ_CTE = """
+WITH co AS MATERIALIZED (
+  SELECT a.l_suppkey AS s1, b.l_suppkey AS s2,
+         count(DISTINCT a.l_orderkey) AS w
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_suppkey <> b.l_suppkey
+  GROUP BY 1, 2
+),
+knn AS (
+  SELECT s1, s2 FROM (
+    SELECT s1, s2,
+           row_number() OVER (PARTITION BY s1 ORDER BY w DESC, s2 ASC) AS rn
+    FROM co
+  ) WHERE rn <= 5
+),
+edges AS MATERIALIZED (
+  SELECT least(s1, s2) AS u, greatest(s1, s2) AS v FROM knn GROUP BY 1, 2
+),
+adj AS (
+  SELECT u AS src, v AS dst FROM edges
+  UNION ALL
+  SELECT v AS src, u AS dst FROM edges
+)
+""".strip()
+
+
+@register(
+    "graph_degree_persisted",
+    oracle=_ADJ_CTE
+    + """
+SELECT degree, count(*) AS n_nodes
+FROM (SELECT src, count(*) AS degree FROM adj GROUP BY src)
+GROUP BY degree
+""",
+    tags=("graph", "sink"),
+    bench=True,
+)
+def graph_degree_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """graph_degree_distribution served from the write-once adjacency
+    artifact: degree = count over src on the both-ways layout (no edge
+    union needed), then the histogram — two skinny aggregates over a
+    k·n·2-row parquet scan, with NO lineitem scan anywhere in the probe
+    plan (pinned by tests/test_plans.py::
+    test_graph_persisted_probe_has_no_lineitem_scan).  This is the
+    steady-state price of the first diagnostic every production graph
+    run starts with; the co-occurrence shuffle it replaces is the
+    artifact's one-time build cost."""
+    adj = persisted_cosupply_adjacency(spark, sf_dir)
+    deg = adj.groupBy("src").agg(F.count(F.lit(1)).alias("degree"))
+    return deg.groupBy("degree").agg(F.count(F.lit(1)).alias("n_nodes"))
+
+
+@register(
+    "graph_neighborhood_probe",
+    oracle=_ADJ_CTE
+    + """
+SELECT dst AS neighbor FROM adj WHERE src = 1
+""",
+    tags=("graph",),
+    bench=True,
+)
+def graph_neighborhood_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point lookup on the persisted adjacency: supplier 1's co-supply
+    neighborhood.  The serving query the both-ways bucketed layout
+    exists for — ``src = 1`` implies ``src_bucket = 1``, so the scan
+    opens ONE bucket directory (PartitionFilters pinned by
+    tests/test_plans.py) and reads two int columns from it; at 100 TB
+    this is a constant-size read no matter how large the graph.  The
+    bucket predicate is derived in the plan (pmod on the literal), not
+    computed driver-side."""
+    adj = persisted_cosupply_adjacency(spark, sf_dir)
+    node = F.lit(1).cast("bigint")
+    return (
+        adj.where(
+            (F.col("src_bucket") == F.pmod(node, F.lit(16)).cast("int"))
+            & (F.col("src") == node)
+        )
+        .select(F.col("dst").alias("neighbor"))
+    )
+
+
+@register(
+    "graph_kcore_persisted",
+    oracle=_kcore_oracle(k=3, rounds=3),
+    tags=("graph", "iterative", "sink"),
+)
+def graph_kcore_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """graph_kcore served from the write-once adjacency artifact: the
+    canonical undirected edge set recovers as ``src < dst`` (each
+    undirected edge is stored exactly twice, once per direction), then
+    the same bounded peeling as graph_kcore — so the iterative key's
+    per-invocation price drops to the peel itself, with the
+    co-occurrence shuffle amortized into the artifact build.  Results
+    are identical to graph_kcore by construction (same edge set, same
+    kcore_frame)."""
+    adj = persisted_cosupply_adjacency(spark, sf_dir)
+    edges = adj.where(F.col("src") < F.col("dst")).select(
+        F.col("src").alias("u"), F.col("dst").alias("v")
+    )
+    return kcore_frame(edges, k=3, rounds=3)
+
+
 def kcore_frame(
     edges: DataFrame, k: int, rounds: int, checkpoint_every: int | None = None
 ) -> DataFrame:
