@@ -203,22 +203,32 @@ g AS MATERIALIZED (
   FROM e a JOIN e b USING (vec_id)
   GROUP BY 1, 2
 ),
+cap AS (
+  -- Adaptive normalization cap, same formula as power_rounds_frame:
+  -- least(1000, 2^61 // (dim * max|G|)) — equal to the old constant
+  -- 1000 at every test SF, overflow-safe past the old n≈1.4e10 cliff.
+  SELECT CAST(least(1000, greatest(1,
+           2305843009213693952 // (CAST(count(DISTINCT i) AS HUGEINT)
+                                   * greatest(max(abs(g)), 1)))) AS BIGINT) AS b
+  FROM g
+),
 w1 AS (SELECT i, CAST(SUM(g) AS BIGINT) AS w FROM g GROUP BY i),
-s1 AS (SELECT max(abs(w)) // 1000 + 1 AS s FROM w1),
+s1 AS (SELECT max(abs(w)) // max(b) + 1 AS s FROM w1, cap),
 v1 AS (SELECT i AS j, w // s AS v FROM w1, s1),
 w2 AS (
   SELECT g.i, CAST(SUM(g.g * v1.v) AS BIGINT) AS w
   FROM g JOIN v1 USING (j) GROUP BY 1
 ),
-s2 AS (SELECT max(abs(w)) // 1000 + 1 AS s FROM w2),
+s2 AS (SELECT max(abs(w)) // max(b) + 1 AS s FROM w2, cap),
 v2 AS MATERIALIZED (SELECT i AS j, w // s AS v FROM w2, s2),
 w3 AS (
   SELECT g.i, CAST(SUM(g.g * v2.v) AS BIGINT) AS w
   FROM g JOIN v2 USING (j) GROUP BY 1
 ),
 ray AS (
-  SELECT CAST(SUM(v2.v * w3.w) AS BIGINT) // CAST(SUM(v2.v * v2.v) AS BIGINT)
-           AS lam
+  -- SUM over BIGINT is HUGEINT in DuckDB (int128-exact, the decimal
+  -- lane's mirror); cast AFTER the division.
+  SELECT CAST(SUM(v2.v * w3.w) // SUM(v2.v * v2.v) AS BIGINT) AS lam
   FROM v2 JOIN w3 ON v2.j = w3.i
 )
 SELECT v2.j AS dim, v2.v AS loading, ray.lam AS rayleigh_lambda
@@ -242,17 +252,19 @@ def embedding_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Exactness: embeddings quantize to a 1e2 lattice, the Gram matrix
     G = XᵀX is an exact int64 outer-product aggregate, v₀ = 1,
-    vₖ₊₁ = (G·vₖ) div (max|G·vₖ| div 1000 + 1) — truncating division,
-    identical toward-zero semantics in both engines.  Integer head-
-    room, stated honestly (round-7 ADVICE): |v| ≤ 1000 by
-    construction and |G| ≤ 1e4·n, so the mat-vec intermediate
-    w = G·v is bounded by dim·1000·1e4·n = 6.4e8·n — int64-safe up to
-    n ≈ 1.4e10 vectors (≈3.5 TB of raw fp32 at dim 64), NOT at any
-    corpus size; G itself stays int64-safe to n ≈ 9e14.  Past 1.4e10
-    vectors the normalization cap must shrink as G grows (divisor
-    2^61 div (dim·max|G|) in place of the constant 1000) — a
-    one-line change left constant here so the key stays bit-stable
-    against its recorded hashes.  Output: the 64 integer loadings plus
+    vₖ₊₁ = (G·vₖ) div (max|G·vₖ| div B + 1) — truncating division,
+    identical toward-zero semantics in both engines.  The cap B is
+    ADAPTIVE (round-8 verdict task #2, de-cliffing the round-7
+    honest-headroom note): B = least(1000, 2^61 div (dim·max|G|)),
+    computed in-plan from G — equal to the constant 1000 at every
+    realistic scale (so the recorded hashes and the constant-1000
+    DuckDB oracle are unchanged; at the test SFs the adaptive term is
+    ≥ 1e13) and shrinking exactly when dim·max|G|·1000 would overflow
+    int64, which the old constant did past n ≈ 1.4e10 vectors.  The
+    remaining boundary is round 0's un-normalizable v₀ = 1: int64-safe
+    to n ≈ 1.4e13 vectors (≈3.5 PB raw fp32 at dim 64 — past a 100 TB
+    corpus); see power_rounds_frame for the bound derivation and the
+    overflow demonstration test.  Output: the 64 integer loadings plus
     the Rayleigh quotient λ = ⌊vᵀGv / vᵀv⌋ — all hash-checked,
     iteration included.
 
@@ -295,6 +307,49 @@ def power_iteration_frame(vecs: DataFrame, gram_lane: str = "arrow") -> DataFram
         gram = gram_matrix_exploded(vecs)
     else:  # pragma: no cover - guarded misuse
         raise ValueError(f"unknown gram_lane {gram_lane!r}")
+    return power_rounds_frame(gram)
+
+
+def power_rounds_frame(gram: DataFrame, adaptive_cap: bool = True) -> DataFrame:
+    """Two integer power rounds + Rayleigh quotient over an (i, j, g)
+    int64 Gram frame.
+
+    Normalization cap (round-8 verdict task #2 — the admitted int64
+    cliff, de-cliffed): each round renormalizes to |v| ≤ B where
+    ``B = least(1000, greatest(1, 2^61 div (dim · max|G|)))`` computed
+    IN-PLAN from G itself (one skinny agg, broadcast everywhere).  The
+    mat-vec intermediate is then |Σⱼ G·v| ≤ dim·max|G|·B ≤ 2^61 < 2^63
+    by construction at ANY corpus size — the old constant-1000 cap
+    overflowed past n ≈ 1.4e10 vectors.  Below that cliff the adaptive
+    term exceeds 1000, least() picks the constant, and results are
+    BIT-IDENTICAL to the recorded hashes (at the test SFs the adaptive
+    term is ≥ 1e13); past it the cap shrinks exactly as the old
+    docstring prescribed.  The remaining boundary is round 0's
+    un-normalizable v₀ = 1 (|G·1| ≤ dim·max|G|, int64-safe to
+    n ≈ 1.4e13 vectors ≈ 3.5 PB fp32 at dim 64) — three orders past
+    the old cliff and past a 100 TB corpus.  ``adaptive_cap=False``
+    keeps the legacy constant-1000 math; it exists so
+    tests/test_scale_operators.py can demonstrate the overflow the
+    adaptive cap removes (Spark 4 ANSI mode turns the wraparound into
+    an explicit error)."""
+    if adaptive_cap:
+        # The d·max|G| product is computed in decimal(38,0): at G's own
+        # int64 limit (≈9e18) the bigint product d·gmax would itself
+        # overflow before the div could shrink the cap.
+        cap = gram.agg(
+            F.countDistinct("i").alias("d"),
+            F.max(F.abs(F.col("g"))).alias("gmax"),
+        ).select(
+            F.expr(
+                f"least(cast(1000 as bigint), greatest(cast(1 as bigint), "
+                f"cast(cast({2**61} as decimal(38,0)) div "
+                f"(cast(d as decimal(38,0)) * greatest(gmax, 1)) as bigint)))"
+            ).alias("b")
+        )
+    else:
+        cap = gram.sparkSession.range(1).select(
+            F.lit(1000).cast("bigint").alias("b")
+        )
 
     def _mult(v: DataFrame) -> DataFrame:
         return (
@@ -304,7 +359,10 @@ def power_iteration_frame(vecs: DataFrame, gram_lane: str = "arrow") -> DataFram
         )
 
     def _normalize(w: DataFrame) -> DataFrame:
-        s = w.agg((F.expr("max(abs(w)) div 1000") + F.lit(1)).alias("s"))
+        s = (
+            w.crossJoin(F.broadcast(cap))
+            .agg((F.expr("max(abs(w)) div min(b)") + F.lit(1)).alias("s"))
+        )
         return w.crossJoin(F.broadcast(s)).select(
             F.col("i").alias("j"), F.expr("w div s").alias("v")
         )
@@ -313,10 +371,19 @@ def power_iteration_frame(vecs: DataFrame, gram_lane: str = "arrow") -> DataFram
     v1 = _normalize(w1)
     v2 = _normalize(_mult(v1))
     w3 = _mult(v2)
+    # Rayleigh quotient in decimal(38,0): the numerator's bound is
+    # dim·B·max|w| ≤ dim·1000·2^61 ≈ 1.5e26 — exact in decimal128 but
+    # past int64 whenever the cap engages (and latently so under the
+    # old constant cap).  Mirrors the DuckDB oracle, whose bigint SUMs
+    # are hugeint (int128) natively; `div` truncates toward zero in
+    # both engines, decimals included.
     ray = (
         v2.join(w3, v2.j == w3.i)
         .agg(
-            F.expr("sum(v * w) div sum(v * v)").alias("lam"),
+            F.expr(
+                "cast(sum(cast(v as decimal(38,0)) * w)"
+                " div sum(cast(v as decimal(38,0)) * v) as bigint)"
+            ).alias("lam"),
         )
     )
     return v2.crossJoin(F.broadcast(ray)).select(
