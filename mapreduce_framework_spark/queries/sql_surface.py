@@ -318,3 +318,82 @@ def sql_q19_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
     (revenue, count) row, decimal-exact."""
     _views(spark, sf_dir, ("lineitem", "part"))
     return spark.sql(_Q19)
+
+
+# TPC-H Q17 shape (small-quantity-order revenue — the correlated
+# per-group AVG scalar subquery, THE decorrelation classic), adapted to
+# this schema (p_size stands in for the absent p_container; the /7.0
+# "yearly" divisor kept from the original).  Determinism: l_quantity is
+# integer-valued, so avg() is an exact-int division in both engines;
+# the revenue SUM runs on DECIMAL(18,4).
+_Q17 = """
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / 7.0
+         AS avg_yearly
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE p_brand = 'Brand#1'
+  AND p_size < 15
+  AND l_quantity < (
+    SELECT 0.2 * avg(l_quantity)
+    FROM lineitem l2
+    WHERE l2.l_partkey = p_partkey
+  )
+""".strip()
+
+
+@register("sql_q17_shape", oracle=_Q17, tags=("sql", "subquery", "agg"))
+def sql_q17_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape — a correlated scalar subquery computing a
+    PER-GROUP aggregate (0.2·avg quantity of the same part), the
+    canonical decorrelation stress test: a naive engine re-runs the
+    inner aggregate per outer row (O(n²) over the fact); Catalyst must
+    rewrite it to ONE per-part aggregate joined back on l_partkey.
+    tests/test_plans.py::test_q17_decorrelates_to_aggregate_join pins
+    exactly that: an Aggregate over lineitem grouped by l_partkey in
+    the plan, no scalar-subquery node surviving.  At 100 TB the
+    decorrelated form is two co-partitioned passes over the fact —
+    the subquery form would be a disaster the pin makes impossible."""
+    _views(spark, sf_dir, ("lineitem", "part"))
+    return spark.sql(_Q17)
+
+
+# TPC-H Q21 shape (suppliers who kept orders waiting — stacked EXISTS +
+# NOT EXISTS over self-joins of the fact), adapted to this schema:
+# "late" is l_returnflag = 'R' (no l_receiptdate/l_commitdate in the
+# testdata), i.e. the one supplier whose items came back on a finished
+# multi-supplier order.  NATION_3 picked to keep the result non-empty
+# at sf0.001.
+_Q21 = """
+SELECT s_name, count(*) AS numwait
+FROM supplier
+JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+JOIN orders ON o_orderkey = l1.l_orderkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE o_orderstatus = 'F'
+  AND l1.l_returnflag = 'R'
+  AND n_name = 'NATION_3'
+  AND EXISTS (
+    SELECT 1 FROM lineitem l2
+    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+  )
+  AND NOT EXISTS (
+    SELECT 1 FROM lineitem l3
+    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+      AND l3.l_returnflag = 'R'
+  )
+GROUP BY s_name
+""".strip()
+
+
+@register("sql_q21_shape", oracle=_Q21, tags=("sql", "subquery", "join"))
+def sql_q21_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape — the OTHER decorrelation classic: an EXISTS and
+    a NOT EXISTS, both correlated self-joins of the fact table, stacked
+    on one outer fact scan.  Catalyst must turn the pair into a
+    LeftSemi and a LeftAnti join on l_orderkey (pinned by
+    tests/test_plans.py::test_q21_exists_stack_becomes_semi_anti) — the
+    per-row form would re-scan lineitem twice per outer row.  At scale
+    all three lineitem legs shuffle on the same l_orderkey key, so AQE
+    can co-plan them; the supplier/nation dimensions broadcast."""
+    _views(spark, sf_dir, ("supplier", "lineitem", "orders", "nation"))
+    return spark.sql(_Q21)

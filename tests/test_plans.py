@@ -1069,3 +1069,28 @@ def test_graph_persisted_matches_rederived(spark):
     assert sorted(
         map(tuple, _q(spark, "graph_kcore_persisted").collect())
     ) == sorted(map(tuple, _q(spark, "graph_kcore").collect()))
+
+
+def test_q17_decorrelates_to_aggregate_join(spark):
+    """TPC-H Q17's correlated per-group AVG scalar subquery must be
+    DECORRELATED: one avg(l_quantity) aggregate grouped by l_partkey,
+    joined back to the outer fact — never a per-row subquery (no
+    Subquery node survives in the physical plan)."""
+    from mapreduce_framework_spark.plans import formatted_plan
+
+    plan = formatted_plan(_q(spark, "sql_q17_shape"))
+    assert "partial_avg(l_quantity" in plan, "per-part AVG aggregate missing"
+    assert "Keys [1]: [l_partkey" in plan, "AVG not grouped by l_partkey"
+    assert "Subquery" not in plan, "scalar subquery survived decorrelation"
+
+
+def test_q21_exists_stack_becomes_semi_anti(spark):
+    """TPC-H Q21's stacked EXISTS + NOT EXISTS over self-joins of the
+    fact must become one LeftSemi and one LeftAnti join on l_orderkey —
+    the per-row form would re-scan lineitem twice per outer row."""
+    from mapreduce_framework_spark.plans import formatted_plan
+
+    plan = formatted_plan(_q(spark, "sql_q21_shape"))
+    assert "LeftSemi" in plan, "EXISTS did not become a semi join"
+    assert "LeftAnti" in plan, "NOT EXISTS did not become an anti join"
+    assert "Subquery" not in plan, "correlated EXISTS survived as a subquery"
