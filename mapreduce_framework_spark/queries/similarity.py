@@ -970,3 +970,127 @@ def sim_search_doc_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(docs, topk["vec_id"] == docs["doc_id"])
         .select("doc_id", "cos_sim", "lang", "source", "n_chars")
     )
+
+
+def _per_sf_cached_index(spark: SparkSession, sf_dir: str, kind: str, build):
+    """Per-SF build-once cache for a persisted ANN index (round-8
+    verdict task #4 — the probe-only steady-state lane): keyed by
+    (sf, embeddings file identity, index kind) — a pure function of
+    immutable inputs, exactly _spill_corpus's contract
+    (queries/mapreduce_job.py) — staged privately and atomically
+    renamed into place, so concurrent sessions race safely and readers
+    only ever see a complete index.  The *_persisted keys keep pricing
+    build+probe per invocation; the *_probe keys below read this cache,
+    so bench's min-of-3 records pure serving latency on a prebuilt
+    index — the number that matters at 100 TB, where the build
+    amortizes across every query."""
+    import os
+    import shutil
+    import tempfile
+
+    st = os.stat(os.path.join(sf_dir, "embeddings.parquet"))
+    ident = (
+        f"{os.path.basename(os.path.normpath(sf_dir))}"
+        f"_{st.st_size}_{st.st_mtime_ns}"
+    )
+    dest = os.path.join(tempfile.gettempdir(), f"mfs_idx_cache_{kind}_{ident}")
+    if not os.path.isdir(dest):
+        stage = tempfile.mkdtemp(prefix=f"mfs_idx_cache_{kind}_stage_")
+        staged = os.path.join(stage, "idx")
+        build(staged)
+        try:
+            os.rename(staged, dest)
+        except OSError:
+            pass  # concurrent session published first; its copy is complete
+        shutil.rmtree(stage, ignore_errors=True)
+    return dest
+
+
+@register(
+    "sim_search_pq_probe",
+    # Identical pipeline to sim_search_pq_persisted — the cache must be
+    # invisible to the answer.
+    oracle=_PQ_ORACLE,
+    tags=("similarity", "ann", "quantization"),
+    bench=True,
+)
+def sim_search_pq_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sim_search_pq_persisted's PROBE-ONLY steady-state lane: the PQ
+    index builds ONCE per SF into an atomically-published cache and
+    every subsequent invocation answers from the existing parquet —
+    bench's min-of-3 therefore records pure probe latency (scan M small
+    ints per vector + a 32-row broadcast LUT join), the serving number
+    a 100 TB deployment gates on, while sim_search_pq_persisted keeps
+    pricing the full build+probe path.  Results are bit-identical to
+    sim_search_pq / sim_search_pq_persisted by construction."""
+    from mapreduce_framework_spark.operators.annsearch import (
+        persist_pq_index,
+        pq_subvectors,
+        probe_pq_index,
+    )
+    from mapreduce_framework_spark.operators.kmeans import quantize as kquantize
+
+    qvecs = table(spark, sf_dir, "embeddings").select(
+        "vec_id", kquantize(F.col("embedding")).alias("v")
+    )
+    dest = _per_sf_cached_index(
+        spark,
+        sf_dir,
+        "pq",
+        lambda path: persist_pq_index(qvecs, path, n_sub=4, sub_dim=16, n_seeds=8),
+    )
+    codes = spark.read.parquet(f"{dest}/codes")
+    codebook = spark.read.parquet(f"{dest}/codebook")
+    query_sub = pq_subvectors(
+        qvecs.where(F.col("vec_id") == 0), n_sub=4, sub_dim=16
+    ).select("m", "sp", F.col("val").alias("qval"))
+    return probe_pq_index(
+        codes.where(F.col("vec_id") != 0), codebook, query_sub, k=10, scale_sq=1e8
+    )
+
+
+@register(
+    "sim_search_ivf_pq_probe",
+    oracle=_IVF_PQ_ORACLE,
+    tags=("similarity", "ann", "quantization"),
+    bench=True,
+)
+def sim_search_ivf_pq_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sim_search_ivf_pq_persisted's PROBE-ONLY steady-state lane (same
+    per-SF build-once cache as sim_search_pq_probe): the gated number is
+    the serving probe — dynamic partition pruning over the n_probe cell
+    directories × a codes-only ReadSchema — on a prebuilt FAISS-IVFPQ-
+    shaped layout.  Bit-identical results to sim_search_ivf_pq by
+    construction."""
+    from mapreduce_framework_spark.operators.annsearch import (
+        persist_ivf_pq_index,
+        pq_subvectors,
+        probe_ivf_pq_index,
+    )
+    from mapreduce_framework_spark.operators.kmeans import quantize as kquantize
+
+    vectors = _vectors(spark, sf_dir)
+    centroids = (
+        vectors.orderBy("vec_id")
+        .limit(16)
+        .select(F.col("vec_id").cast("int").alias("cell_id"), F.col("v").alias("cv"))
+    )
+    qvecs = table(spark, sf_dir, "embeddings").select(
+        "vec_id", kquantize(F.col("embedding")).alias("v")
+    )
+    dest = _per_sf_cached_index(
+        spark,
+        sf_dir,
+        "ivfpq",
+        lambda path: persist_ivf_pq_index(
+            vectors.where(F.col("vec_id") != 0), qvecs, centroids, path
+        ),
+    )
+    codes = spark.read.parquet(f"{dest}/codes")
+    codebook = spark.read.parquet(f"{dest}/codebook")
+    query_sub = pq_subvectors(
+        qvecs.where(F.col("vec_id") == 0), n_sub=4, sub_dim=16
+    ).select("m", "sp", F.col("val").alias("qval"))
+    return probe_ivf_pq_index(
+        codes, codebook, centroids, _query_vec(vectors), query_sub
+    )
