@@ -779,3 +779,77 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = table(spark, sf_dir, "events").select("ts", "event_id", "user_id", "event_type")
     return run_file_stream(spark, ev, enrich, output_mode="append")
+
+
+@register(
+    "stream_session_timers",
+    # Sessions CLOSED by the final watermark (wm = max(ts) - 10 s):
+    # either proven closed by a later event (gap exceeded) or timed out
+    # by the event-time timer.  Spark's event-time timeout fires when
+    # the watermark moves STRICTLY past the armed timestamp, hence the
+    # strict `<` cutoff.  Open sessions stay unemitted on both sides.
+    oracle="""
+WITH e AS (SELECT user_id, CAST(epoch_ms(ts) AS BIGINT) AS ms FROM events),
+f AS (
+  SELECT user_id, ms,
+         CASE WHEN ms - lag(ms) OVER (PARTITION BY user_id ORDER BY ms)
+                   > 43200000
+                OR lag(ms) OVER (PARTITION BY user_id ORDER BY ms) IS NULL
+              THEN 1 ELSE 0 END AS ns
+  FROM e
+),
+s AS (
+  SELECT user_id, ms,
+         SUM(ns) OVER (PARTITION BY user_id ORDER BY ms
+                       ROWS UNBOUNDED PRECEDING) AS sid
+  FROM f
+),
+a AS (
+  SELECT user_id, sid, min(ms) AS start_ms, max(ms) AS end_ms,
+         count(*) AS n_events
+  FROM s GROUP BY 1, 2
+),
+wm AS (SELECT max(ms) - 10000 AS w FROM e)
+SELECT user_id, start_ms, end_ms, CAST(n_events AS BIGINT) AS n_events
+FROM a, wm
+WHERE end_ms + 43200000 < w
+""".strip(),
+    tags=("streaming", "stateful", "timers"),
+)
+def stream_session_timers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIMER-DRIVEN session emission on the real micro-batch path
+    (round-8 verdict task #5): per-user 12 h-gap sessions where the
+    closing row is produced because TIME passed — the event-time timer
+    re-armed at last_ts + gap fires when the watermark crosses it and
+    emits the session — not because an input row arrived (arriving
+    rows only emit the PREVIOUS session when they prove the gap
+    exceeded).  Open sessions at end-of-stream are deliberately held:
+    they are not closed yet, and the oracle applies the same
+    final-watermark cutoff.
+
+    Lane selection: Spark 4's ``transformWithStateInPandas``
+    (streaming/stateful.py timer_sessions — arbitrary named timers,
+    TTL, evolved-state API) is preferred but its Python↔JVM state
+    protocol needs google.protobuf, which THIS container lacks — so
+    the import-gated fallback is ``applyInPandasWithState`` +
+    ``EventTimeTimeout`` (timeout_sessions), one event-time timer per
+    key, which sessionization needs exactly.  Both lanes implement the
+    identical emission contract; tests/test_streaming.py pins their
+    parity whenever protobuf is available (skipped here, same policy
+    as the multimodal real-codec seam)."""
+    from mapreduce_framework_spark.streaming.stateful import (
+        timeout_sessions,
+        timer_sessions,
+    )
+
+    try:  # pragma: no cover - protobuf absent in this container
+        import google.protobuf  # noqa: F401
+
+        transform = timer_sessions
+    except ImportError:
+        transform = timeout_sessions
+
+    ev = table(spark, sf_dir, "events").select("ts", "user_id")
+    return run_file_stream(
+        spark, ev, transform, watermark=("ts", "10 seconds"), output_mode="append"
+    )

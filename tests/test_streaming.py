@@ -375,3 +375,56 @@ def test_cdc_upsert_tombstone_semantics(spark):
         .select("user_id", "s.event_type", "s.value")
     )
     assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, merged2.collect()))
+
+
+def test_session_timers_batching_invariant(spark, events):
+    """The timer-emitted session set must depend only on the FINAL
+    watermark, not on batching: replaying one file per trigger vs
+    everything in one batch changes which micro-batch each timer fires
+    in, but the emitted sessions are identical (availableNow's no-data
+    final batch advances the watermark to max(ts) - delay and fires
+    every remaining eligible timer)."""
+    from mapreduce_framework_spark.streaming.runner import run_file_stream
+    from mapreduce_framework_spark.streaming.stateful import timeout_sessions
+
+    ev = events.select("ts", "user_id")
+    per_file = run_file_stream(
+        spark, ev, timeout_sessions,
+        watermark=("ts", "10 seconds"), output_mode="append",
+    )
+    one_shot = run_file_stream(
+        spark, ev, timeout_sessions,
+        watermark=("ts", "10 seconds"), output_mode="append",
+        max_files_per_trigger=None,
+    )
+    assert sorted(map(tuple, per_file.collect())) == sorted(
+        map(tuple, one_shot.collect())
+    )
+
+
+def test_session_timer_lanes_identical(spark, events):
+    """timer_sessions (transformWithStateInPandas) and timeout_sessions
+    (applyInPandasWithState + EventTimeTimeout) implement the same
+    emission contract — pinned whenever the TWS lane's protobuf
+    dependency is available.  Skipped in this container (no
+    google.protobuf), same policy as the multimodal real-codec seam."""
+    pytest.importorskip(
+        "google.protobuf",
+        reason="transformWithStateInPandas state protocol needs protobuf",
+    )
+    from mapreduce_framework_spark.streaming.runner import run_file_stream
+    from mapreduce_framework_spark.streaming.stateful import (
+        timeout_sessions,
+        timer_sessions,
+    )
+
+    ev = events.select("ts", "user_id")
+    tws = run_file_stream(
+        spark, ev, timer_sessions,
+        watermark=("ts", "10 seconds"), output_mode="append",
+    )
+    legacy = run_file_stream(
+        spark, ev, timeout_sessions,
+        watermark=("ts", "10 seconds"), output_mode="append",
+    )
+    assert sorted(map(tuple, tws.collect())) == sorted(map(tuple, legacy.collect()))
