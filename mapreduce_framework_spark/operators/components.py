@@ -27,11 +27,42 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def iter_checkpoint(
+    df: DataFrame, reliable: bool = False, checkpoint_dir: str | None = None
+) -> DataFrame:
+    """Lineage-truncating materialization for iterative operators
+    (round-8 verdict task #6).  Default: ``localCheckpoint`` — blocks
+    live in executor storage, fastest, but unreplicated: on a
+    multi-tenant cluster an executor loss kills every round that
+    descended from its blocks.  ``reliable=True`` switches to
+    ``checkpoint()`` against the SparkContext's checkpoint directory
+    (set from ``checkpoint_dir`` if given and not already set) — blocks
+    land on the reliable FS (HDFS/object store), surviving executor
+    loss at the price of a write per cadence.  Results are
+    bit-identical on either path (pinned by
+    tests/test_scale_operators.py::test_reliable_checkpoint_identical);
+    pick by failure budget: short local jobs default, anything
+    long-running on preemptible/shared capacity reliable."""
+    if not reliable:
+        return df.localCheckpoint(eager=True)
+    sc = df.sparkSession.sparkContext
+    if checkpoint_dir is not None and sc.getCheckpointDir() is None:
+        sc.setCheckpointDir(checkpoint_dir)
+    if sc.getCheckpointDir() is None:
+        raise ValueError(
+            "reliable=True needs a checkpoint dir: pass checkpoint_dir= or "
+            "call sparkContext.setCheckpointDir() first"
+        )
+    return df.checkpoint(eager=True)
+
+
 def connected_components(
     edges: DataFrame,
     src: str,
     dst: str,
     max_iter: int = 20,
+    reliable: bool = False,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """DataFrame[node, component] — component = min node id reachable.
 
@@ -54,11 +85,10 @@ def connected_components(
         .persist()
     )
 
-    labels = (
-        sym.select("u")
-        .distinct()
-        .select("u", F.col("u").alias("component"))
-        .localCheckpoint(eager=True)
+    labels = iter_checkpoint(
+        sym.select("u").distinct().select("u", F.col("u").alias("component")),
+        reliable,
+        checkpoint_dir,
     )
 
     try:
@@ -80,8 +110,8 @@ def connected_components(
                         F.coalesce("nbr_min", F.col("component")) < F.col("component")
                     ).alias("_changed"),
                 )
-                .localCheckpoint(eager=True)
             )
+            updated = iter_checkpoint(updated, reliable, checkpoint_dir)
             changed = updated.where(F.col("_changed")).limit(1).count()
             labels = updated.drop("_changed")
             if changed == 0:

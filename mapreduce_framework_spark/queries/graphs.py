@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from mapreduce_framework_spark.io import table
+from mapreduce_framework_spark.operators.components import iter_checkpoint
 from mapreduce_framework_spark.registry import register
 
 _N_ITER = 3
@@ -66,7 +67,11 @@ _PR_ORACLE = _pr_oracle(_N_ITER)
 
 
 def pagerank(
-    edges: DataFrame, rounds: int = 3, checkpoint_every: int | None = None
+    edges: DataFrame,
+    rounds: int = 3,
+    checkpoint_every: int | None = None,
+    reliable: bool = False,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Integer-unit PageRank over an (src, dst) edge frame: rank₀ =
     1e6 per node, each round ``new = 150000 + floor(0.85 · Σ
@@ -119,14 +124,14 @@ def pagerank(
             )
         )
         if checkpoint_every and (i + 1) % checkpoint_every == 0 and (i + 1) < rounds:
-            ranks = ranks.localCheckpoint(eager=True)
+            ranks = iter_checkpoint(ranks, reliable, checkpoint_dir)
     if checkpoint_every:
         # Final eager checkpoint makes the returned frame independent
         # of the persisted edge frame, so we can release it here — in
         # local mode persisted blocks live in the DRIVER's JVM, and a
         # leak per run is what pushed a long multi-query session into
         # broadcast OOM (round-5 sf0.1 sweep finding).
-        ranks = ranks.localCheckpoint(eager=True)
+        ranks = iter_checkpoint(ranks, reliable, checkpoint_dir)
         edges_deg.unpersist()
     return ranks
 
@@ -671,7 +676,12 @@ def graph_kcore_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def kcore_frame(
-    edges: DataFrame, k: int, rounds: int, checkpoint_every: int | None = None
+    edges: DataFrame,
+    k: int,
+    rounds: int,
+    checkpoint_every: int | None = None,
+    reliable: bool = False,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """k-core peeling on a canonical undirected (u, v) edge frame:
     ``rounds`` unrolled (degree → survivors → restrict) steps, then the
@@ -696,7 +706,7 @@ def kcore_frame(
     measured cadence as graph_pagerank_deep (c=2; SCALE.md §Iterative
     prices rounds∈{3,6,10}).  Bit-identical results with or without —
     pinned by tests/test_scale_operators.py."""
-    edges = edges.localCheckpoint(eager=True)
+    edges = iter_checkpoint(edges, reliable, checkpoint_dir)
     for r in range(rounds):
         deg = (
             edges.select(F.col("u").alias("node"))
@@ -709,7 +719,7 @@ def kcore_frame(
             alive.withColumnRenamed("node", "u"), "u", "left_semi"
         ).join(alive.withColumnRenamed("node", "v"), "v", "left_semi")
         if checkpoint_every and (r + 1) % checkpoint_every == 0 and (r + 1) < rounds:
-            edges = edges.localCheckpoint(eager=True)
+            edges = iter_checkpoint(edges, reliable, checkpoint_dir)
     return (
         edges.select(F.col("u").alias("node"))
         .unionByName(edges.select(F.col("v").alias("node")))

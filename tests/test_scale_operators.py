@@ -636,3 +636,75 @@ def test_power_iteration_adaptive_cap_survives_huge_gram(spark):
         pass  # ANSI mode: overflow raises — the cliff is real
     else:
         assert legacy != rounds(1000), "expected int64 wraparound or error"
+
+
+def test_reliable_checkpoint_identical(spark, tmp_path):
+    """round-8 verdict task #6: the reliable-checkpoint option (blocks
+    on the reliable FS, surviving executor loss) must be result-
+    invisible — pagerank, kcore, and connected components produce
+    bit-identical frames on the localCheckpoint and checkpoint() paths."""
+    from mapreduce_framework_spark.io import table
+    from mapreduce_framework_spark.operators.components import connected_components
+    from mapreduce_framework_spark.queries.graphs import (
+        _customer_supplier_edges,
+        kcore_frame,
+        knn_edges_frame,
+        pagerank,
+    )
+
+    ckpt = str(tmp_path / "reliable_ckpt")
+    l = table(spark, SF_DIR, "lineitem").select("l_orderkey", "l_suppkey")
+    edges = knn_edges_frame(l, k=5).localCheckpoint(eager=True)
+
+    local_kcore = sorted(map(tuple, kcore_frame(edges, k=3, rounds=3).collect()))
+    rel_kcore = sorted(
+        map(
+            tuple,
+            kcore_frame(
+                edges, k=3, rounds=3, reliable=True, checkpoint_dir=ckpt
+            ).collect(),
+        )
+    )
+    assert local_kcore == rel_kcore
+
+    pr_edges = _customer_supplier_edges(spark, SF_DIR)
+    local_pr = sorted(
+        map(tuple, pagerank(pr_edges, rounds=4, checkpoint_every=2).collect())
+    )
+    rel_pr = sorted(
+        map(
+            tuple,
+            pagerank(
+                pr_edges, rounds=4, checkpoint_every=2,
+                reliable=True, checkpoint_dir=ckpt,
+            ).collect(),
+        )
+    )
+    assert local_pr == rel_pr
+
+    local_cc = sorted(
+        map(tuple, connected_components(edges, "u", "v").collect())
+    )
+    rel_cc = sorted(
+        map(
+            tuple,
+            connected_components(
+                edges, "u", "v", reliable=True, checkpoint_dir=ckpt
+            ).collect(),
+        )
+    )
+    assert local_cc == rel_cc
+
+
+def test_reliable_checkpoint_requires_dir(spark):
+    """reliable=True without any checkpoint dir must fail loudly, not
+    fall back to the unreplicated local path."""
+    import pytest
+
+    from mapreduce_framework_spark.operators.components import iter_checkpoint
+
+    if spark.sparkContext.getCheckpointDir() is not None:
+        pytest.skip("a checkpoint dir is already set session-wide")
+    df = spark.range(3)
+    with pytest.raises(ValueError, match="checkpoint dir"):
+        iter_checkpoint(df, reliable=True)
