@@ -333,6 +333,12 @@ def power_rounds_frame(gram: DataFrame, adaptive_cap: bool = True) -> DataFrame:
     adaptive cap removes (Spark 4 ANSI mode turns the wraparound into
     an explicit error)."""
     if adaptive_cap:
+        # Materialize G once: the cap aggregate lives under a broadcast
+        # exchange, which ReuseExchange does NOT dedupe against the
+        # round subtrees — without this the corpus-sized Gram pass ran
+        # twice (measured 2.0 s vs 1.35 s legacy at sf0.1; with the
+        # checkpoint the plan pays one pass plus a dim²-row write).
+        gram = gram.localCheckpoint(eager=True)
         # The d·max|G| product is computed in decimal(38,0): at G's own
         # int64 limit (≈9e18) the bigint product d·gmax would itself
         # overflow before the div could shrink the cap.
