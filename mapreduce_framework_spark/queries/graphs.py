@@ -675,6 +675,52 @@ def graph_kcore_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kcore_frame(edges, k=3, rounds=3)
 
 
+@register(
+    "graph_components_persisted",
+    # The oracle computes EXACT components as a recursive transitive
+    # closure (node, min reachable id) — fixpoint by UNION dedup, no
+    # round count to keep in sync with the Spark side's convergence
+    # loop.  Closure size is Σ|component|² — fine at oracle SFs, and
+    # exactly why the ENGINE side uses min-label propagation instead.
+    oracle=_ADJ_CTE
+    + """,
+reach AS (
+  WITH RECURSIVE r(a, b) AS (
+    SELECT src, dst FROM adj
+    UNION
+    SELECT r.a, e.dst FROM r JOIN adj e ON r.b = e.src
+  ) SELECT * FROM r
+)
+SELECT a AS node, least(a, min(b)) AS component
+FROM reach GROUP BY a
+""",
+    tags=("graph", "iterative", "sink"),
+)
+def graph_components_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components of the co-supply graph, served from the
+    persisted adjacency artifact — the graph-family twin of
+    dedup_clusters' min-label propagation (operators/components.py:
+    converged early-stop loop, per-round lineage truncation, optional
+    reliable checkpointing), probing the same write-once edge table as
+    the degree/kcore/neighborhood keys, so the co-occurrence shuffle
+    is amortized here too (no lineitem scan — covered by the family
+    plan pin's artifact).  Hash-checked against an exact transitive-
+    closure oracle: label propagation CONVERGES (the loop stops when a
+    round changes nothing), so no round-count coupling exists between
+    the engines — the comparison is the fixpoint itself.
+
+    Scale: propagation is one skinny (node, label) shuffle per round,
+    rounds = O(component diameter); the closure the oracle builds is
+    the O(Σ|c|²) object the engine-side algorithm exists to avoid."""
+    from mapreduce_framework_spark.operators.components import (
+        connected_components,
+    )
+
+    adj = persisted_cosupply_adjacency(spark, sf_dir)
+    edges = adj.where(F.col("src") < F.col("dst")).select("src", "dst")
+    return connected_components(edges, "src", "dst")
+
+
 def kcore_frame(
     edges: DataFrame,
     k: int,

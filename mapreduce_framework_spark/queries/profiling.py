@@ -954,3 +954,97 @@ def profile_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("chi_contrib"),
         )
     )
+
+
+_CORR_COLS = (
+    ("quantity", "CAST(round(l_quantity) AS BIGINT)"),
+    ("price_cents", "CAST(round(l_extendedprice * 100) AS BIGINT)"),
+    ("discount_pct", "CAST(round(l_discount * 100) AS BIGINT)"),
+    ("tax_pct", "CAST(round(l_tax * 100) AS BIGINT)"),
+)
+
+
+def _corr_oracle() -> str:
+    lat = ", ".join(f"{expr} AS {name}" for name, expr in _CORR_COLS)
+    stats = ["CAST(count(*) AS DECIMAL(38,0)) AS n"]
+    for name, _ in _CORR_COLS:
+        stats.append(f"CAST(SUM(CAST({name} AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS s_{name}")
+    names = [n for n, _ in _CORR_COLS]
+    for i, x in enumerate(names):
+        for y in names[i:]:
+            stats.append(
+                f"CAST(SUM(CAST({x} * {y} AS DECIMAL(38,0))) AS DECIMAL(38,0))"
+                f" AS s_{x}_{y}"
+            )
+    pairs = []
+    for i, x in enumerate(names):
+        for y in names[i + 1:]:
+            pairs.append(
+                f"SELECT '{x}' AS col_x, '{y}' AS col_y,\n"
+                f"  round(CAST(n * s_{x}_{y} - s_{x} * s_{y} AS DOUBLE)\n"
+                f"        / sqrt(CAST(n * s_{x}_{x} - s_{x} * s_{x} AS DOUBLE))\n"
+                f"        / sqrt(CAST(n * s_{y}_{y} - s_{y} * s_{y} AS DOUBLE)), 6)\n"
+                f"    AS pearson_r FROM st"
+            )
+    return (
+        f"WITH lat AS (SELECT {lat} FROM lineitem),\n"
+        f"st AS (SELECT {', '.join(stats)} FROM lat)\n"
+        + "\nUNION ALL ".join(pairs)
+    )
+
+
+@register(
+    "profile_correlation_matrix",
+    oracle=_corr_oracle(),
+    tags=("profiling", "agg"),
+)
+def profile_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Pearson correlation matrix over lineitem's numeric columns
+    — the profiling primitive behind feature selection and redundancy
+    detection, computed the 100 TB way: ONE scan collapses to a single
+    row of sufficient statistics (n, Σx, Σxy per pair — 15 decimal
+    sums), and every r is arithmetic on that row.  No per-pair scans,
+    no corr() UDAF whose double accumulation is partition-order-
+    dependent: values quantize to their integer lattice (cents /
+    percent — the kmeans convention), per-term products stay int64,
+    sums run exact in decimal(38,0) (DuckDB mirrors with hugeint→
+    decimal), and only the final r = cov/(σx·σy) touches IEEE doubles —
+    three deterministic ops on exact integers, rounded to 6 dp.
+    Engine-exact, hash-checked; output long-form (col_x, col_y, r) for
+    the 6 unordered pairs."""
+    li = table(spark, sf_dir, "lineitem")
+    lat = li.select(
+        *[F.expr(expr).alias(name) for name, expr in _CORR_COLS]
+    )
+    names = [n for n, _ in _CORR_COLS]
+    aggs = [F.expr("CAST(count(*) AS DECIMAL(38,0))").alias("n")]
+    for x in names:
+        aggs.append(
+            F.expr(f"CAST(SUM(CAST({x} AS DECIMAL(38,0))) AS DECIMAL(38,0))").alias(
+                f"s_{x}"
+            )
+        )
+    for i, x in enumerate(names):
+        for y in names[i:]:
+            aggs.append(
+                F.expr(
+                    f"CAST(SUM(CAST({x} * {y} AS DECIMAL(38,0))) AS DECIMAL(38,0))"
+                ).alias(f"s_{x}_{y}")
+            )
+    st = lat.agg(*aggs)
+    # All 6 pairs unfold from the ONE stats row via stack() — a union
+    # of per-pair selects would re-run the corpus aggregate per pair
+    # (measured 6 lineitem scans, no ReuseExchange across the union).
+    cells = []
+    for i, x in enumerate(names):
+        for y in names[i + 1:]:
+            cells.append(f"'{x}'")
+            cells.append(f"'{y}'")
+            cells.append(
+                f"round(CAST(n * s_{x}_{y} - s_{x} * s_{y} AS DOUBLE)"
+                f" / sqrt(CAST(n * s_{x}_{x} - s_{x} * s_{x} AS DOUBLE))"
+                f" / sqrt(CAST(n * s_{y}_{y} - s_{y} * s_{y} AS DOUBLE)), 6)"
+            )
+    return st.select(
+        F.expr(f"stack(6, {', '.join(cells)}) AS (col_x, col_y, pearson_r)")
+    )

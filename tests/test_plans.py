@@ -1094,3 +1094,13 @@ def test_q21_exists_stack_becomes_semi_anti(spark):
     assert "LeftSemi" in plan, "EXISTS did not become a semi join"
     assert "LeftAnti" in plan, "NOT EXISTS did not become an anti join"
     assert "Subquery" not in plan, "correlated EXISTS survived as a subquery"
+
+
+def test_correlation_matrix_is_single_scan(spark):
+    """All 6 Pearson pairs must unfold from ONE sufficient-statistics
+    aggregate — a per-pair union re-ran the corpus scan six times
+    (caught at authoring time; this pins the fix)."""
+    from mapreduce_framework_spark.plans import formatted_plan
+
+    plan = formatted_plan(_q(spark, "profile_correlation_matrix"))
+    assert plan.count("lineitem.parquet") == 1, "stats aggregate re-scans per pair"
