@@ -1673,3 +1673,127 @@ def dedup_ladder_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_kept"
         ),
     )
+
+
+# The five crawl-variant shapes of the same page the fixture plants
+# (case/www, trailing slash + reordered params, default port +
+# tracking params, fragment) — the documents table carries no URL
+# column, so both engines derive the SAME urls from doc_id; the
+# canonicalizer's work is what the hash check compares.
+_URL_ORACLE = r"""
+WITH urls AS (
+  SELECT doc_id,
+    CASE CAST(doc_id % 5 AS INT)
+      WHEN 0 THEN 'https://example' || CAST(doc_id % 50 AS VARCHAR)
+                  || '.com/page/' || CAST(doc_id % 20 AS VARCHAR)
+      WHEN 1 THEN 'HTTPS://WWW.EXAMPLE' || CAST(doc_id % 50 AS VARCHAR)
+                  || '.COM/page/' || CAST(doc_id % 20 AS VARCHAR)
+      WHEN 2 THEN 'https://example' || CAST(doc_id % 50 AS VARCHAR)
+                  || '.com/page/' || CAST(doc_id % 20 AS VARCHAR)
+                  || '/?z=1&a=2&utm_campaign=x'
+      WHEN 3 THEN 'https://example' || CAST(doc_id % 50 AS VARCHAR)
+                  || '.com:443/page/' || CAST(doc_id % 20 AS VARCHAR)
+                  || '?utm_source=feed&gclid=abc'
+      ELSE 'https://example' || CAST(doc_id % 50 AS VARCHAR)
+           || '.com/page/' || CAST(doc_id % 20 AS VARCHAR) || '#section-2'
+    END AS u
+  FROM documents
+),
+step AS (
+  SELECT doc_id, regexp_replace(u, '#.*$', '') AS u FROM urls
+),
+parts AS (
+  SELECT doc_id, u,
+         regexp_extract(u, '^[^:]+://[^/?]*', 0) AS sh0,
+         substr(u, length(regexp_extract(u, '^[^:]+://[^/?]*', 0)) + 1) AS rest
+  FROM step
+),
+canon AS (
+  SELECT doc_id,
+    regexp_replace(
+      regexp_replace(lower(sh0), '^([a-z]+)://www\.', '\1://'),
+      ':(80|443)$', ''
+    )
+    || regexp_replace(regexp_extract(rest, '^[^?]*', 0), '/+$', '')
+    || CASE WHEN cq <> '' THEN '?' || cq ELSE '' END AS canonical_url
+  FROM (
+    SELECT doc_id, sh0, rest,
+      array_to_string(list_sort(list_filter(
+        string_split(CASE WHEN position('?' IN rest) > 0
+                          THEN split_part(rest, '?', 2) ELSE '' END, '&'),
+        x -> x <> '' AND NOT starts_with(x, 'utm_')
+             AND NOT starts_with(x, 'fbclid=')
+             AND NOT starts_with(x, 'gclid=')
+             AND NOT starts_with(x, 'ref='))), '&') AS cq
+    FROM parts
+  )
+)
+SELECT canonical_url, count(*) AS n_docs,
+       CAST(min(doc_id) AS BIGINT) AS keep_doc_id
+FROM canon
+GROUP BY canonical_url
+""".strip()
+
+
+@register(
+    "dedup_url",
+    oracle=_URL_ORACLE,
+    tags=("dedup", "text"),
+)
+def dedup_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-canonicalization dedup — the stage every web-corpus pipeline
+    runs BEFORE touching document text (CCNet/RefinedWeb: the same page
+    recrawled as ``HTTPS://WWW.X.COM/a/?utm_source=f#top`` and
+    ``https://x.com/a`` is one document): canonicalize with
+    :func:`functions.urlnorm.canonicalize_url` (fragment → case → www →
+    default port → tracking-param drop + bytewise param sort → trailing
+    slash; all codegen string ops, no UDF), then one hash groupBy on
+    the canonical key with min-id keeper — identical plan shape to
+    dedup_exact, shuffling short canonical strings, never text.
+
+    The documents table has no URL column, so both engines derive the
+    same five crawl-variant shapes from doc_id (the planted-duplicate
+    fixture pattern); what the hash check compares is the
+    canonicalizer itself, step for step against the DuckDB mirror.
+
+    Scale: canonicalization is map-side in the scan stage; the groupBy
+    shuffles one short string + id per document.  At 100 TB this is
+    the cheapest dedup tier and runs first in the ladder."""
+    from mapreduce_framework_spark.functions.urlnorm import canonicalize_url
+
+    d = table(spark, sf_dir, "documents").select("doc_id")
+    site = (F.col("doc_id") % 50).cast("string")
+    page = (F.col("doc_id") % 20).cast("string")
+    variant = (F.col("doc_id") % 5).cast("int")
+    plain = F.concat(
+        F.lit("https://example"), site, F.lit(".com/page/"), page
+    )
+    u = (
+        F.when(variant == 0, plain)
+        .when(
+            variant == 1,
+            F.concat(
+                F.lit("HTTPS://WWW.EXAMPLE"), site, F.lit(".COM/page/"), page
+            ),
+        )
+        .when(variant == 2, F.concat(plain, F.lit("/?z=1&a=2&utm_campaign=x")))
+        .when(
+            variant == 3,
+            F.concat(
+                F.lit("https://example"),
+                site,
+                F.lit(".com:443/page/"),
+                page,
+                F.lit("?utm_source=feed&gclid=abc"),
+            ),
+        )
+        .otherwise(F.concat(plain, F.lit("#section-2")))
+    )
+    return (
+        d.select("doc_id", canonicalize_url(u).alias("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("keep_doc_id"),
+        )
+    )

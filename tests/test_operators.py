@@ -840,3 +840,31 @@ def test_pq_rerank_recall_dominates_raw_pq(spark):
     assert len(exact & rr) >= len(exact & pq), (
         f"re-rank lost recall: pq={sorted(pq)}, rerank={sorted(rr)}"
     )
+
+
+def test_canonicalize_url_contract(spark):
+    """The documented canonicalization order, case by case: fragment,
+    scheme/host case, www, default ports, tracking-param drop +
+    bytewise sort, trailing slash — and the invariants that paths keep
+    their case and non-tracking params survive."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_framework_spark.functions.urlnorm import canonicalize_url
+
+    cases = {
+        "HTTPS://WWW.Example.COM/a/?utm_source=feed#top": "https://example.com/a",
+        "https://example.com/a": "https://example.com/a",
+        "http://example.com:80/a/b/?z=1&a=2&utm_campaign=x":
+            "http://example.com/a/b?a=2&z=1",
+        "https://example.com:443/a?gclid=abc": "https://example.com/a",
+        "https://example.com/a?b=2&id=7": "https://example.com/a?b=2&id=7",
+        "https://example.com": "https://example.com",
+        "https://example.com/?ref=hn": "https://example.com",
+        "https://example.com/CaseSensitive/Path": "https://example.com/CaseSensitive/Path",
+        "https://example.com:8080/a": "https://example.com:8080/a",
+    }
+    df = spark.createDataFrame([(k,) for k in cases], "u string").select(
+        "u", canonicalize_url(F.col("u")).alias("c")
+    )
+    got = {r.u: r.c for r in df.collect()}
+    assert got == cases

@@ -71,6 +71,16 @@ PINNED_KEYS = [
     "sim_search_ivf_pq_persisted",
     "text_ngram_novelty",
     "stream_static_enrich",
+    # round-9 families: decimal-exact sufficient statistics (Pearson),
+    # min-label fixpoint over the persisted adjacency, probe-only ADC
+    # ranking from the per-SF index cache, timer-driven session
+    # emission on the replay path, and the Q17 decorrelated aggregate
+    # join (decimal sum / exact-int avg).
+    "profile_correlation_matrix",
+    "graph_components_persisted",
+    "sim_search_pq_probe",
+    "stream_session_timers",
+    "sql_q17_shape",
 ]
 
 
