@@ -538,3 +538,113 @@ def zorder_box_probe(
             & (F.col("y") < y_hi)
         )
     )
+
+
+@register(
+    "sink_snapshot_time_travel",
+    # The oracle reconstructs BOTH versions straight from the source
+    # table: v1 = the base projection; v2 = v1 with bucket-3 orders
+    # marked 'X' at an exact-decimal 1.1 markup (sink_merge_upsert's
+    # arithmetic convention).  The engine must read each version from
+    # its MANIFEST — v1 re-read after the v2 commit proves snapshot
+    # isolation.
+    oracle="""
+WITH base AS (
+  SELECT o_orderkey, CAST(o_orderkey % 8 AS INT) AS bucket,
+         o_orderstatus, o_totalprice
+  FROM orders
+),
+v2 AS (
+  SELECT o_orderkey, bucket,
+         CASE WHEN bucket = 3 THEN 'X' ELSE o_orderstatus END AS o_orderstatus,
+         CASE WHEN bucket = 3
+              THEN CAST(CAST(o_totalprice AS DECIMAL(18,2))
+                        * CAST('1.1' AS DECIMAL(3,2)) AS DOUBLE)
+              ELSE o_totalprice END AS o_totalprice
+  FROM base
+)
+SELECT 1 AS version, o_orderstatus, count(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+FROM base GROUP BY o_orderstatus
+UNION ALL
+SELECT 2 AS version, o_orderstatus, count(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+FROM v2 GROUP BY o_orderstatus
+""".strip(),
+    tags=("sink", "merge"),
+)
+def sink_snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot isolation + time travel on plain parquet — the table-
+    format capability class (Delta/Iceberg are unavailable as plain
+    PySpark in this environment, so the layout IS the point): data
+    lives in per-bucket parquet directories, each COMMIT is an
+    immutable JSON manifest listing the file set of that version, and
+    a reader binds to a manifest, never to a directory listing.
+
+    The run commits v1 (8 bucket files), then a copy-on-write update
+    of bucket 3 only (status 'X', exact-decimal 1.1 markup) — v2's
+    manifest swaps ONE bucket file and shares the other 7 untouched
+    (asserted), which is the Iceberg/Delta cost model: rewrite touched
+    files, share the rest, O(changed data) per commit at 100 TB.  The
+    returned frame aggregates BOTH versions read back through their
+    manifests — reading v1 AFTER the v2 commit must still see the
+    original rows (snapshot isolation), and the oracle checks both
+    reconstructions by value.  The manifest read is a driver-side
+    metadata op (a few hundred bytes), the same class as a table
+    format's snapshot log."""
+    import json
+    import os
+
+    base = table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        (F.col("o_orderkey") % 8).cast("int").alias("bucket"),
+        "o_orderstatus",
+        "o_totalprice",
+    )
+    root = tempfile.mkdtemp(prefix="mfs_tt_")
+    for b in range(8):
+        base.where(F.col("bucket") == b).write.mode("overwrite").parquet(
+            os.path.join(root, f"bucket={b}-v1")
+        )
+    v1_files = [os.path.join(root, f"bucket={b}-v1") for b in range(8)]
+    with open(os.path.join(root, "manifest-v1.json"), "w") as fh:
+        json.dump({"version": 1, "files": v1_files}, fh)
+
+    # Copy-on-write commit: ONLY bucket 3 is rewritten.
+    updated = (
+        spark.read.parquet(v1_files[3])
+        .withColumn("o_orderstatus", F.lit("X"))
+        .withColumn(
+            "o_totalprice",
+            (
+                F.col("o_totalprice").cast("decimal(18,2)")
+                * F.lit("1.1").cast("decimal(3,2)")
+            ).cast("double"),
+        )
+    )
+    updated.write.mode("overwrite").parquet(os.path.join(root, "bucket=3-v2"))
+    v2_files = list(v1_files)
+    v2_files[3] = os.path.join(root, "bucket=3-v2")
+    with open(os.path.join(root, "manifest-v2.json"), "w") as fh:
+        json.dump({"version": 2, "files": v2_files}, fh)
+    assert sum(a != b for a, b in zip(v1_files, v2_files)) == 1  # CoW: 1 file swapped
+
+    outs = []
+    for version in (1, 2):
+        with open(os.path.join(root, f"manifest-v{version}.json")) as fh:
+            manifest = json.load(fh)
+        snap = spark.read.parquet(*manifest["files"])
+        outs.append(
+            snap.groupBy("o_orderstatus").agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+                .cast("double")
+                .alias("total"),
+            ).select(
+                F.lit(version).alias("version"),
+                "o_orderstatus",
+                "n_orders",
+                "total",
+            )
+        )
+    return outs[0].unionByName(outs[1])
