@@ -397,3 +397,71 @@ def sql_q21_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
     can co-plan them; the supplier/nation dimensions broadcast."""
     _views(spark, sf_dir, ("supplier", "lineitem", "orders", "nation"))
     return spark.sql(_Q21)
+
+
+# TPC-H Q4 shape (order-priority checking — the EXISTS-into-semi-join
+# classic on a date-pruned fact slice), adapted: "late line item" is
+# l_shipdate > o_orderdate (no l_commitdate/l_receiptdate in the
+# testdata).
+_Q4 = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1997-04-01 00:00:00'
+  AND EXISTS (
+    SELECT 1 FROM lineitem
+    WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate
+  )
+GROUP BY o_orderpriority
+""".strip()
+
+
+@register("sql_q4_shape", oracle=_Q4, tags=("sql", "subquery", "agg"))
+def sql_q4_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape — a correlated EXISTS whose predicate references
+    BOTH sides (l_shipdate > o_orderdate): the semi-join must carry the
+    cross-side comparison as its join condition, and the quarter filter
+    must prune the orders scan before the join probes lineitem.  With
+    Q17 (correlated scalar AVG), Q18 (IN over a grouped HAVING), Q21
+    (EXISTS + NOT EXISTS stack), Q22 (NOT EXISTS + uncorrelated scalar)
+    and the two plain subquery keys, the subquery-decorrelation surface
+    now covers every TPC-H subquery class."""
+    _views(spark, sf_dir, ("orders", "lineitem"))
+    return spark.sql(_Q4)
+
+
+# TPC-H Q22 shape (global sales opportunity — anti-join against orders
+# plus an uncorrelated scalar threshold), adapted: c_nationkey stands
+# in for the phone country code, and the anti-join target is "no
+# order above 300k" (nearly every customer in this data has SOME
+# order, which would leave the classic no-orders predicate a
+# near-empty fixture).  The threshold average is computed as
+# an EXACT decimal sum cast to double ONCE, then one IEEE divide —
+# avg() over raw doubles is partition-order-dependent, and a last-ulp
+# threshold wiggle flips boundary customers between engines.
+_Q22 = """
+SELECT c_nationkey AS cntrycode, count(*) AS numcust,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+FROM customer c
+WHERE c_acctbal > (
+    SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+    FROM customer WHERE c_acctbal > 0.0
+  )
+  AND NOT EXISTS (
+    SELECT 1 FROM orders
+    WHERE o_custkey = c.c_custkey AND o_totalprice > 300000.0
+  )
+GROUP BY c_nationkey
+""".strip()
+
+
+@register("sql_q22_shape", oracle=_Q22, tags=("sql", "subquery", "agg"))
+def sql_q22_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape — the customers-without-orders anti-join gated
+    by an uncorrelated scalar subquery threshold: the NOT EXISTS must
+    become a LeftAnti join on o_custkey, and the scalar average
+    evaluates ONCE (a broadcast one-row subquery), never per row.
+    Exactness note in _Q22: the threshold is decimal-exact before its
+    single double divide, so the boundary set is engine-stable."""
+    _views(spark, sf_dir, ("customer", "orders"))
+    return spark.sql(_Q22)
