@@ -1739,6 +1739,7 @@ GROUP BY canonical_url
     "dedup_url",
     oracle=_URL_ORACLE,
     tags=("dedup", "text"),
+    bench=True,
 )
 def dedup_url(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL-canonicalization dedup — the stage every web-corpus pipeline

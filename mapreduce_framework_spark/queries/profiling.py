@@ -997,6 +997,7 @@ def _corr_oracle() -> str:
     "profile_correlation_matrix",
     oracle=_corr_oracle(),
     tags=("profiling", "agg"),
+    bench=True,
 )
 def profile_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact Pearson correlation matrix over lineitem's numeric columns

@@ -815,6 +815,7 @@ FROM a, wm
 WHERE end_ms + 43200000 < w
 """.strip(),
     tags=("streaming", "stateful", "timers"),
+    bench=True,
 )
 def stream_session_timers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TIMER-DRIVEN session emission on the real micro-batch path

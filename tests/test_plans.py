@@ -1104,3 +1104,31 @@ def test_correlation_matrix_is_single_scan(spark):
 
     plan = formatted_plan(_q(spark, "profile_correlation_matrix"))
     assert plan.count("lineitem.parquet") == 1, "stats aggregate re-scans per pair"
+
+
+def test_q4_exists_semi_join_carries_cross_side_condition(spark):
+    """Q4's EXISTS compares both sides (l_shipdate > o_orderdate): the
+    decorrelated LeftSemi must carry that comparison as its join
+    condition, and the quarter filter must prune the orders scan."""
+    from mapreduce_framework_spark.plans import formatted_plan, pushed_filters
+
+    df = _q(spark, "sql_q4_shape")
+    plan = formatted_plan(df)
+    assert "LeftSemi" in plan, "EXISTS did not become a semi join"
+    assert "Subquery" not in plan
+    assert "l_shipdate" in plan and "o_orderdate" in plan
+    assert "o_orderdate" in " ".join(pushed_filters(df)), (
+        "quarter filter not pushed to the orders scan"
+    )
+
+
+def test_q22_anti_join_with_single_scalar_eval(spark):
+    """Q22: NOT EXISTS → LeftAnti on o_custkey; the uncorrelated scalar
+    threshold evaluates once as a subquery plan, never per row."""
+    from mapreduce_framework_spark.plans import formatted_plan
+
+    plan = formatted_plan(_q(spark, "sql_q22_shape"))
+    assert "LeftAnti" in plan, "NOT EXISTS did not become an anti join"
+    assert "Subquery" in plan, (
+        "expected the uncorrelated scalar threshold as a one-shot subquery"
+    )
