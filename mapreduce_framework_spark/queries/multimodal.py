@@ -188,3 +188,142 @@ def multimodal_payload_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_copies"),
         )
     )
+
+
+@register(
+    "multimodal_wav_real_decode",
+    # The fixture signal is an exact integer function of doc_id, so the
+    # oracle reconstructs every decoded feature analytically — per-row
+    # sample expansion via unnest(range(n)).
+    oracle="""
+WITH s AS (
+  SELECT doc_id, unnest(range(1000 + doc_id % 500)) AS i FROM documents
+)
+SELECT doc_id,
+       8000 AS sample_rate,
+       count(*) AS n_samples,
+       count(*) * 1000 // 8000 AS duration_ms,
+       CAST(max(abs((doc_id + i) % 199 - 99)) AS BIGINT) AS peak,
+       CAST(SUM(((doc_id + i) % 199 - 99) * ((doc_id + i) % 199 - 99))
+            AS BIGINT) AS energy
+FROM s GROUP BY doc_id
+""".strip(),
+    tags=("multimodal", "udf"),
+)
+def multimodal_wav_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode, no external library (round-9 upgrade of the
+    family's documented jpeg/mp4 stub seam): stage 1 synthesizes a
+    spec-compliant RIFF/WAVE 16-bit PCM payload per document (writer
+    proven against the stdlib ``wave`` parser in tests), stage 2 —
+    the product under test — struct-parses the RIFF header with
+    magic/chunk/size validation and computes exact integer audio
+    features (duration, peak, Σ-squares energy) from the raw PCM with
+    numpy.  Both stages are Arrow-batched mapInPandas lanes over a
+    true binary column — the exact shape a 100 TB audio pipeline has,
+    with only the codec call swapped for real corpora.  Malformed
+    payloads raise per-row (fail loudly, never emit garbage metadata)."""
+    import pandas as pd
+    from pyspark import cloudpickle
+
+    from mapreduce_framework_spark.multimodal import codecs
+    from mapreduce_framework_spark.multimodal.codecs import (
+        parse_wav,
+        synth_wav_bytes,
+    )
+
+    # The lanes reference module-level codec functions; ship the module
+    # BY VALUE so executors need no package on their import path (the
+    # driver contract may run from any cwd — same policy as the
+    # locally-defined stateful UDFs, streaming/stateful.py).
+    cloudpickle.register_pickle_by_value(codecs)
+
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": [synth_wav_bytes(int(d)) for d in pdf["doc_id"]],
+                }
+            )
+
+    payloads = docs.mapInPandas(synth, "doc_id long, payload binary")
+
+    def decode(batches):
+        for pdf in batches:
+            out = [
+                {"doc_id": int(d), **parse_wav(bytes(p))}
+                for d, p in zip(pdf["doc_id"], pdf["payload"])
+            ]
+            yield pd.DataFrame(out)
+
+    return payloads.mapInPandas(
+        decode,
+        "doc_id long, sample_rate int, n_samples long, duration_ms long, "
+        "peak long, energy long",
+    )
+
+
+@register(
+    "multimodal_bmp_real_decode",
+    oracle="""
+SELECT doc_id,
+       CAST(1 + doc_id % 64 AS INT) AS width,
+       CAST(1 + doc_id % 48 AS INT) AS height,
+       24 AS bpp,
+       CAST(((1 + doc_id % 64) * 3 + 3) // 4 * 4 AS BIGINT) AS row_stride,
+       CAST(((1 + doc_id % 64) * 3 + 3) // 4 * 4 * (1 + doc_id % 48)
+            AS BIGINT) AS n_pixel_bytes
+FROM documents
+""".strip(),
+    tags=("multimodal", "udf"),
+)
+def multimodal_bmp_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image-container decode, no external library: synthesizes a
+    complete 24-bpp bottom-up BMP per document (BITMAPFILEHEADER +
+    BITMAPINFOHEADER + 4-byte-padded pixel rows), then struct-parses it
+    back — magic, header sizes, and the padded-row arithmetic must
+    account for every byte in the file or the row fails loudly.  The
+    oracle checks the parser's output (width/height/bpp/stride/pixel
+    bytes) against the analytic derivation.  Same Arrow-batched binary
+    lane as the WAV key; the compressed-codec seam
+    (multimodal/decode.py) remains the documented stub for formats
+    that genuinely need external libraries."""
+    import pandas as pd
+    from pyspark import cloudpickle
+
+    from mapreduce_framework_spark.multimodal import codecs
+    from mapreduce_framework_spark.multimodal.codecs import (
+        parse_bmp,
+        synth_bmp_bytes,
+    )
+
+    cloudpickle.register_pickle_by_value(codecs)  # see the WAV key
+
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": [synth_bmp_bytes(int(d)) for d in pdf["doc_id"]],
+                }
+            )
+
+    payloads = docs.mapInPandas(synth, "doc_id long, payload binary")
+
+    def decode(batches):
+        for pdf in batches:
+            out = [
+                {"doc_id": int(d), **parse_bmp(bytes(p))}
+                for d, p in zip(pdf["doc_id"], pdf["payload"])
+            ]
+            yield pd.DataFrame(out)
+
+    return payloads.mapInPandas(
+        decode,
+        "doc_id long, width int, height int, bpp int, "
+        "row_stride long, n_pixel_bytes long",
+    )

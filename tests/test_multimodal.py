@@ -92,3 +92,64 @@ def test_codec_auto_detect_seam(spark):
     )
     row = decode_images(real, codec="auto").collect()[0]
     assert (row.width, row.height, row.format) == (5, 7, "png")
+
+
+def test_wav_writer_is_spec_compliant_per_stdlib():
+    """The WAV fixture writer must emit bytes an INDEPENDENT parser
+    accepts: the stdlib `wave` module reads every synthesized payload
+    and agrees with our parser on rate/channels/width/frames."""
+    import io
+    import wave
+
+    from mapreduce_framework_spark.multimodal.codecs import (
+        SAMPLE_RATE,
+        parse_wav,
+        synth_pcm,
+        synth_wav_bytes,
+    )
+
+    for d in (0, 1, 63, 499, 1999, 123456):
+        payload = synth_wav_bytes(d)
+        wf = wave.open(io.BytesIO(payload))
+        meta = parse_wav(payload)
+        assert wf.getframerate() == SAMPLE_RATE == meta["sample_rate"]
+        assert wf.getnchannels() == 1 and wf.getsampwidth() == 2
+        assert wf.getnframes() == meta["n_samples"] == len(synth_pcm(d))
+        pcm = synth_pcm(d)
+        assert meta["peak"] == max(abs(x) for x in pcm)
+        assert meta["energy"] == sum(x * x for x in pcm)
+
+
+def test_codec_parsers_reject_malformed_payloads():
+    """A 100 TB decode stage must fail loudly per row: truncated,
+    wrong-magic, and size-mismatched payloads all raise."""
+    import pytest
+
+    from mapreduce_framework_spark.multimodal.codecs import (
+        parse_bmp,
+        parse_wav,
+        synth_bmp_bytes,
+        synth_wav_bytes,
+    )
+
+    wav, bmp = synth_wav_bytes(7), synth_bmp_bytes(7)
+    for bad in (b"", b"RIFF", wav[:43], b"XXXX" + wav[4:], wav[:-2]):
+        with pytest.raises(ValueError):
+            parse_wav(bad)
+    for bad in (b"", b"BM", bmp[:53], b"XX" + bmp[2:], bmp[:-1]):
+        with pytest.raises(ValueError):
+            parse_bmp(bad)
+
+
+def test_bmp_roundtrip_dimensions():
+    from mapreduce_framework_spark.multimodal.codecs import (
+        parse_bmp,
+        synth_bmp_bytes,
+    )
+
+    for d in (0, 1, 63, 47, 64 * 48 - 1, 987654):
+        meta = parse_bmp(synth_bmp_bytes(d))
+        assert meta["width"] == 1 + d % 64
+        assert meta["height"] == 1 + d % 48
+        assert meta["bpp"] == 24
+        assert meta["row_stride"] % 4 == 0
