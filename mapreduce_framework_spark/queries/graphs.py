@@ -721,6 +721,83 @@ def graph_components_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(edges, "src", "dst")
 
 
+def bfs_hops(
+    adj: DataFrame,
+    source: int,
+    max_hops: int = 25,
+    reliable: bool = False,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Single-source BFS hop distances over a directed (src, dst)
+    adjacency frame — frontier expansion, the third iterative-dataflow
+    class in the graph family after damped flow (pagerank) and peeling
+    (kcore): each round joins ONLY the current frontier against the
+    adjacency (frontier-sized, not graph-sized work), anti-joins out
+    already-settled nodes, and stops when the frontier empties (true
+    BFS converges in diameter rounds; ``max_hops`` is a runaway bound,
+    not a tuning knob).  Per-round lineage truncation + the optional
+    reliable-checkpoint switch follow components.py's hygiene.
+
+    Scale: round r shuffles |frontier_r| + its out-edges — total work
+    across all rounds is O(|E|) like any BFS; the settled set is
+    (node, hops) longs only.  The driver loop iterates ROUNDS (bounded
+    by diameter), never rows — the emptiness check is a limit-1
+    count."""
+    spark = adj.sparkSession
+    dist = iter_checkpoint(
+        spark.createDataFrame([(source, 0)], "node long, hops int"),
+        reliable,
+        checkpoint_dir,
+    )
+    frontier = dist.select("node")
+    for h in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(adj, frontier.node == adj.src)
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(dist.select("node"), "node", "left_anti")
+            .select("node", F.lit(h).cast("int").alias("hops"))
+        )
+        nxt = iter_checkpoint(nxt, reliable, checkpoint_dir)
+        if nxt.limit(1).count() == 0:
+            break
+        dist = iter_checkpoint(dist.unionByName(nxt), reliable, checkpoint_dir)
+        frontier = nxt.select("node")
+    return dist
+
+
+@register(
+    "graph_bfs_persisted",
+    # Exact recursive closure over (node, hops) pairs — UNION (not
+    # UNION ALL) dedupes states, so the walk explores ≤ n·max_hops
+    # rows, then min(hops) per node is the BFS distance.  Same
+    # no-round-coupling contract as the components oracle.
+    oracle=_ADJ_CTE
+    + """,
+walk AS (
+  WITH RECURSIVE w(node, hops) AS (
+    SELECT CAST(1 AS BIGINT), 0
+    UNION
+    SELECT a.dst, w.hops + 1 FROM w JOIN adj a ON a.src = w.node
+    WHERE w.hops < 25
+  ) SELECT * FROM w
+)
+SELECT node, CAST(min(hops) AS INT) AS hops FROM walk GROUP BY node
+""",
+    tags=("graph", "iterative"),
+)
+def graph_bfs_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hop distance from supplier 1 to every reachable node of the
+    co-supply graph, served from the persisted adjacency artifact —
+    frontier-expansion BFS (see :func:`bfs_hops`) probing the same
+    write-once edge table as the degree/kcore/components keys.
+    Reachability radius is the first thing a graph practitioner asks
+    after degree; at 100 TB the frontier join is bucket-prunable on
+    the same src_bucket layout the neighborhood probe uses."""
+    adj = persisted_cosupply_adjacency(spark, sf_dir)
+    return bfs_hops(adj.select("src", "dst"), source=1)
+
+
 def kcore_frame(
     edges: DataFrame,
     k: int,
