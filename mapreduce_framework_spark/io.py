@@ -38,6 +38,23 @@ def sf_dir_from_env(default: str = DEFAULT_SF_DIR) -> str:
     return os.environ.get("SPARK_GRAFT_SF_DIR", default)
 
 
+def user_cache_root() -> str:
+    """Mode-0700 per-user root for the build-once artifact caches
+    (spilled corpora, persisted adjacency/index caches).  These caches
+    are deliberately shared ACROSS PROCESSES of one user — keyed by
+    source-file identity, atomic-rename published — but a predictable
+    name directly under world-writable /tmp would let another local
+    user pre-create the path and poison every reader (the round-8
+    ADVICE class); the per-user subdirectory closes that while keeping
+    the within-user sharing the caches exist for."""
+    import tempfile
+
+    root = os.path.join(tempfile.gettempdir(), f"mfs_cache_u{os.getuid()}")
+    os.makedirs(root, mode=0o700, exist_ok=True)
+    os.chmod(root, 0o700)  # pre-existing dir keeps its old mode otherwise
+    return root
+
+
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one table. Parquet scan → column pruning + predicate pushdown
     happen automatically once the caller selects/filters.

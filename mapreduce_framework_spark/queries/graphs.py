@@ -543,7 +543,9 @@ def persisted_cosupply_adjacency(
         f"{os.path.basename(os.path.normpath(sf_dir))}"
         f"_{st.st_size}_{st.st_mtime_ns}_k{k}b{n_buckets}"
     )
-    dest = os.path.join(tempfile.gettempdir(), f"mfs_graph_adj_{ident}")
+    from mapreduce_framework_spark.io import user_cache_root
+
+    dest = os.path.join(user_cache_root(), f"mfs_graph_adj_{ident}")
     if not os.path.isdir(dest):
         l = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
         edges = knn_edges_frame(l, k)

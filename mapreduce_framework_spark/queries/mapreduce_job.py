@@ -47,7 +47,9 @@ def _spill_corpus(spark: SparkSession, sf_dir: str) -> str:
     under the published name)."""
     st = os.stat(os.path.join(sf_dir, "documents.parquet"))
     key = f"{os.path.basename(sf_dir)}_{st.st_size}_{st.st_mtime_ns}"
-    dest = os.path.join(tempfile.gettempdir(), f"mfs_mr_corpus_{key}")
+    from mapreduce_framework_spark.io import user_cache_root
+
+    dest = os.path.join(user_cache_root(), f"mfs_mr_corpus_{key}")
     if not os.path.isdir(dest):
         stage = tempfile.mkdtemp(prefix="mfs_mr_corpus_stage_")
         staged = os.path.join(stage, "corpus")

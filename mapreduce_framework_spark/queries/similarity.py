@@ -993,7 +993,9 @@ def _per_sf_cached_index(spark: SparkSession, sf_dir: str, kind: str, build):
         f"{os.path.basename(os.path.normpath(sf_dir))}"
         f"_{st.st_size}_{st.st_mtime_ns}"
     )
-    dest = os.path.join(tempfile.gettempdir(), f"mfs_idx_cache_{kind}_{ident}")
+    from mapreduce_framework_spark.io import user_cache_root
+
+    dest = os.path.join(user_cache_root(), f"mfs_idx_cache_{kind}_{ident}")
     if not os.path.isdir(dest):
         stage = tempfile.mkdtemp(prefix=f"mfs_idx_cache_{kind}_stage_")
         staged = os.path.join(stage, "idx")
