@@ -507,8 +507,14 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kcore_frame(knn_edges_frame(l, k=5), k=3, rounds=3)
 
 
+# One bucket-count constant shared by the artifact builder and every
+# probe that derives a bucket predicate from it — a silent mismatch
+# would partition-prune probes into empty results.
+_ADJ_BUCKETS = 16
+
+
 def persisted_cosupply_adjacency(
-    spark: SparkSession, sf_dir: str, k: int = 5, n_buckets: int = 16
+    spark: SparkSession, sf_dir: str, k: int = 5, n_buckets: int = _ADJ_BUCKETS
 ) -> DataFrame:
     """WRITE-ONCE co-supply adjacency artifact (round-8 verdict task #1
     — serving parity with the ANN family's persist_*/probe_* split):
@@ -649,7 +655,7 @@ def graph_neighborhood_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     node = F.lit(1).cast("bigint")
     return (
         adj.where(
-            (F.col("src_bucket") == F.pmod(node, F.lit(16)).cast("int"))
+            (F.col("src_bucket") == F.pmod(node, F.lit(_ADJ_BUCKETS)).cast("int"))
             & (F.col("src") == node)
         )
         .select(F.col("dst").alias("neighbor"))
