@@ -445,6 +445,21 @@ def build_tiers(spark, small: int, big: int) -> dict[str, dict[int, callable]]:
             (F.col("src_bucket") == 1) & (F.col("src") == node)
         ).count()
 
+    def t_bfs(n):
+        # Frontier-expansion BFS on the synthetic membership's kNN
+        # graph (diameter-bounded rounds; total work O(E)).  Source =
+        # the lowest supplier id, present at every size.
+        from mapreduce_framework_spark.queries.graphs import (
+            bfs_hops,
+            knn_edges_frame,
+        )
+
+        edges = knn_edges_frame(corpus("membership", n), 5)
+        adj = edges.select(
+            F.col("u").alias("src"), F.col("v").alias("dst")
+        ).unionByName(edges.select(F.col("v").alias("src"), F.col("u").alias("dst")))
+        return bfs_hops(adj, source=0).count()
+
     def t_session_timers(n):
         # Timer-driven sessionization on the real micro-batch replay:
         # per-user event-time timeout state, emission on watermark
@@ -564,6 +579,10 @@ def build_tiers(spark, small: int, big: int) -> dict[str, dict[int, callable]]:
         "session_timers": {
             small: lambda: t_session_timers(small),
             big: lambda: t_session_timers(big),
+        },
+        "bfs": {
+            10 * small: lambda: t_bfs(10 * small),
+            10 * big: lambda: t_bfs(10 * big),
         },
     }
 
