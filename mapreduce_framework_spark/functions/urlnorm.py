@@ -41,11 +41,18 @@ def canonicalize_url(url: Column) -> Column:
     rest = F.substring(u, F.length(scheme_host) + 1, 1_000_000)
     sh = F.lower(scheme_host)  # 2. scheme+host case
     sh = F.regexp_replace(sh, r"^([a-z]+)://www\.", r"$1://")  # 3. www
-    sh = F.regexp_replace(sh, r":(80|443)$", "")  # 4. default port
+    # 4. default ports are SCHEME-RELATIVE: :80 is only default for
+    # http and :443 only for https — http://x:443 is a distinct origin
+    # and must NOT collapse.
+    sh = F.regexp_replace(sh, r"^http://([^:]*):80$", r"http://$1")
+    sh = F.regexp_replace(sh, r"^https://([^:]*):443$", r"https://$1")
     path = F.regexp_extract(rest, r"^[^?]*", 0)
     path = F.regexp_replace(path, r"/+$", "")  # 6. trailing slash
+    # Query = everything after the FIRST '?' (RFC 3986 — later '?'s
+    # are legal query characters and belong to it).
     query = F.when(
-        F.instr(rest, "?") > 0, F.substring_index(rest, "?", -1)
+        F.instr(rest, "?") > 0,
+        F.substring(rest, F.instr(rest, "?") + 1, 1_000_000),
     ).otherwise(F.lit(""))
     params = F.filter(
         F.split(query, "&"),

@@ -38,21 +38,53 @@ def sf_dir_from_env(default: str = DEFAULT_SF_DIR) -> str:
     return os.environ.get("SPARK_GRAFT_SF_DIR", default)
 
 
-def user_cache_root() -> str:
-    """Mode-0700 per-user root for the build-once artifact caches
-    (spilled corpora, persisted adjacency/index caches).  These caches
-    are deliberately shared ACROSS PROCESSES of one user — keyed by
-    source-file identity, atomic-rename published — but a predictable
-    name directly under world-writable /tmp would let another local
-    user pre-create the path and poison every reader (the round-8
-    ADVICE class); the per-user subdirectory closes that while keeping
-    the within-user sharing the caches exist for."""
+def user_tmp_root(prefix: str) -> str:
+    """Mode-0700 per-user directory under the temp dir — the ONE
+    implementation of the pattern (a predictable name directly under
+    world-writable /tmp would let another local user pre-create and
+    poison the path; the round-8 ADVICE class).  Shared by the cache
+    root below and the scratch roots, so a future hardening (e.g. an
+    ownership check against symlink races) lands once."""
     import tempfile
 
-    root = os.path.join(tempfile.gettempdir(), f"mfs_cache_u{os.getuid()}")
+    root = os.path.join(tempfile.gettempdir(), f"{prefix}_u{os.getuid()}")
     os.makedirs(root, mode=0o700, exist_ok=True)
     os.chmod(root, 0o700)  # pre-existing dir keeps its old mode otherwise
     return root
+
+
+def user_cache_root() -> str:
+    """Per-user root for the build-once artifact caches (spilled
+    corpora, persisted adjacency/index caches) — deliberately shared
+    ACROSS PROCESSES of one user: keyed by source-file identity,
+    atomic-rename published."""
+    return user_tmp_root("mfs_cache")
+
+
+def user_scratch_dir(kind: str) -> str:
+    """Pid-scoped FIXED scratch path under a per-user 0700 root, with
+    a dead-pid sweep of sibling entries so crashed runs don't orphan
+    their scratch forever (the streaming module's sweep contract).
+    Fixed, not mkdtemp-fresh: repeated invocations in one process —
+    bench min-of-3, sweep re-runs — overwrite instead of accrete.
+    Returns the path; the caller creates/overwrites it."""
+    import shutil
+
+    root = user_tmp_root("mfs_scratch")
+    for entry in os.listdir(root):
+        try:
+            pid = int(entry.rsplit("_", 1)[1])
+        except (ValueError, IndexError):
+            continue
+        if pid == os.getpid():
+            continue
+        try:
+            os.kill(pid, 0)
+        except ProcessLookupError:
+            shutil.rmtree(os.path.join(root, entry), ignore_errors=True)
+        except PermissionError:
+            pass  # live pid owned by someone else — leave it
+    return os.path.join(root, f"{kind}_{os.getpid()}")
 
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

@@ -46,13 +46,23 @@ def iter_checkpoint(
     if not reliable:
         return df.localCheckpoint(eager=True)
     sc = df.sparkSession.sparkContext
-    if checkpoint_dir is not None and sc.getCheckpointDir() is None:
-        sc.setCheckpointDir(checkpoint_dir)
+    if checkpoint_dir is not None:
+        current = sc.getCheckpointDir()
+        # The dir is SparkContext-global; honor an explicit request to
+        # point somewhere else rather than silently writing to whatever
+        # an earlier caller set (round-9 review finding).  Spark
+        # resolves the dir to a run-scoped subdirectory, so comparing
+        # the prefix is the right idempotence test.
+        if current is None or not current.startswith(checkpoint_dir):
+            sc.setCheckpointDir(checkpoint_dir)
     if sc.getCheckpointDir() is None:
         raise ValueError(
             "reliable=True needs a checkpoint dir: pass checkpoint_dir= or "
             "call sparkContext.setCheckpointDir() first"
         )
+    # NOTE: non-streaming checkpoint() data is NOT cleaned up by Spark;
+    # long-running reliable jobs should point checkpoint_dir at a
+    # TTL'd/lifecycle-managed location (SCALE.md §Recovery).
     return df.checkpoint(eager=True)
 
 

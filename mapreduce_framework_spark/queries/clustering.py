@@ -226,9 +226,13 @@ w3 AS (
   FROM g JOIN v2 USING (j) GROUP BY 1
 ),
 ray AS (
-  -- SUM over BIGINT is HUGEINT in DuckDB (int128-exact, the decimal
-  -- lane's mirror); cast AFTER the division.
-  SELECT CAST(SUM(v2.v * w3.w) // SUM(v2.v * v2.v) AS BIGINT) AS lam
+  -- The PER-TERM product must be hugeint too: when the adaptive cap
+  -- engages, |w| is bounded only by 2^61 and v*w can exceed int64 —
+  -- a bigint product would raise exactly in the regime the cap
+  -- exists for (round-9 review finding).  The SUM is then int128-
+  -- exact, the decimal lane's mirror; cast AFTER the division.
+  SELECT CAST(SUM(CAST(v2.v AS HUGEINT) * w3.w)
+              // SUM(CAST(v2.v AS HUGEINT) * v2.v) AS BIGINT) AS lam
   FROM v2 JOIN w3 ON v2.j = w3.i
 )
 SELECT v2.j AS dim, v2.v AS loading, ray.lam AS rayleigh_lambda

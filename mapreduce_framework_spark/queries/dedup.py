@@ -1711,8 +1711,10 @@ parts AS (
 canon AS (
   SELECT doc_id,
     regexp_replace(
-      regexp_replace(lower(sh0), '^([a-z]+)://www\.', '\1://'),
-      ':(80|443)$', ''
+      regexp_replace(
+        regexp_replace(lower(sh0), '^([a-z]+)://www\.', '\1://'),
+        '^http://([^:]*):80$', 'http://\1'),
+      '^https://([^:]*):443$', 'https://\1'
     )
     || regexp_replace(regexp_extract(rest, '^[^?]*', 0), '/+$', '')
     || CASE WHEN cq <> '' THEN '?' || cq ELSE '' END AS canonical_url
@@ -1720,7 +1722,8 @@ canon AS (
     SELECT doc_id, sh0, rest,
       array_to_string(list_sort(list_filter(
         string_split(CASE WHEN position('?' IN rest) > 0
-                          THEN split_part(rest, '?', 2) ELSE '' END, '&'),
+                          THEN substr(rest, position('?' IN rest) + 1)
+                          ELSE '' END, '&'),
         x -> x <> '' AND NOT starts_with(x, 'utm_')
              AND NOT starts_with(x, 'fbclid=')
              AND NOT starts_with(x, 'gclid=')

@@ -595,18 +595,22 @@ def sink_snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     import json
     import os
 
+    from mapreduce_framework_spark.io import user_scratch_dir
+
     base = table(spark, sf_dir, "orders").select(
         "o_orderkey",
         (F.col("o_orderkey") % 8).cast("int").alias("bucket"),
         "o_orderstatus",
         "o_totalprice",
     )
-    root = tempfile.mkdtemp(prefix="mfs_tt_")
-    for b in range(8):
-        base.where(F.col("bucket") == b).write.mode("overwrite").parquet(
-            os.path.join(root, f"bucket={b}-v1")
-        )
-    v1_files = [os.path.join(root, f"bucket={b}-v1") for b in range(8)]
+    # Pid-scoped fixed scratch (swept on crash, overwritten on re-run —
+    # a fresh mkdtemp per invocation leaked two orders copies per run,
+    # round-9 review finding); ONE partitioned write replaces the 8
+    # per-bucket jobs that each re-scanned orders.
+    root = user_scratch_dir("tt")
+    v1_dir = os.path.join(root, "v1")
+    base.write.mode("overwrite").partitionBy("bucket").parquet(v1_dir)
+    v1_files = [os.path.join(v1_dir, f"bucket={b}") for b in range(8)]
     with open(os.path.join(root, "manifest-v1.json"), "w") as fh:
         json.dump({"version": 1, "files": v1_files}, fh)
 
@@ -622,9 +626,9 @@ def sink_snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("double"),
         )
     )
-    updated.write.mode("overwrite").parquet(os.path.join(root, "bucket=3-v2"))
+    updated.write.mode("overwrite").parquet(os.path.join(root, "v2-bucket3"))
     v2_files = list(v1_files)
-    v2_files[3] = os.path.join(root, "bucket=3-v2")
+    v2_files[3] = os.path.join(root, "v2-bucket3")
     with open(os.path.join(root, "manifest-v2.json"), "w") as fh:
         json.dump({"version": 2, "files": v2_files}, fh)
     assert sum(a != b for a, b in zip(v1_files, v2_files)) == 1  # CoW: 1 file swapped

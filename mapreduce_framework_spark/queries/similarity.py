@@ -23,34 +23,13 @@ def _query_vec(vectors: DataFrame) -> DataFrame:
 
 
 def _scratch_idx_dir(name: str) -> str:
-    """Pid-scoped FIXED scratch path for a persisted index, under a
-    mode-0700 per-user subdirectory of the temp dir (not a predictable
-    world-writable /tmp name), with the streaming module's stale-root
-    sweep (prefix + dead-pid check) so crashed runs don't orphan one
-    directory pair per process forever — round-8 ADVICE item.  Fixed
-    (not mkdtemp-fresh) so repeated invocations in one process — bench
-    min-of-3, sweep re-runs — overwrite instead of accrete."""
-    import os
-    import shutil
-    import tempfile
+    """Pid-scoped fixed scratch path for a per-invocation persisted
+    index (round-8 ADVICE item) — the 0700-root + dead-pid-sweep
+    pattern lives once in io.user_scratch_dir (round-9 review
+    consolidation)."""
+    from mapreduce_framework_spark.io import user_scratch_dir
 
-    user_root = os.path.join(tempfile.gettempdir(), f"mfs_idx_u{os.getuid()}")
-    os.makedirs(user_root, mode=0o700, exist_ok=True)
-    os.chmod(user_root, 0o700)  # pre-existing dir keeps its old mode otherwise
-    for entry in os.listdir(user_root):
-        try:
-            pid = int(entry.rsplit("_", 1)[1])
-        except (ValueError, IndexError):
-            continue
-        if pid == os.getpid():
-            continue
-        try:
-            os.kill(pid, 0)
-        except ProcessLookupError:
-            shutil.rmtree(os.path.join(user_root, entry), ignore_errors=True)
-        except PermissionError:
-            pass  # live pid owned by someone else — leave it
-    return os.path.join(user_root, f"{name}_{os.getpid()}")
+    return user_scratch_dir(f"idx_{name}")
 
 
 @register(
@@ -972,7 +951,9 @@ def sim_search_doc_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _per_sf_cached_index(spark: SparkSession, sf_dir: str, kind: str, build):
+def _per_sf_cached_index(
+    spark: SparkSession, sf_dir: str, kind: str, params: str, build
+):
     """Per-SF build-once cache for a persisted ANN index (round-8
     verdict task #4 — the probe-only steady-state lane): keyed by
     (sf, embeddings file identity, index kind) — a pure function of
@@ -989,9 +970,13 @@ def _per_sf_cached_index(spark: SparkSession, sf_dir: str, kind: str, build):
     import tempfile
 
     st = os.stat(os.path.join(sf_dir, "embeddings.parquet"))
+    # ``params`` folds every index-build parameter into the key (the
+    # adjacency cache's k/n_buckets convention): without it, changing
+    # n_sub/n_seeds/centroids would silently serve a stale index built
+    # with the OLD parameters — round-9 review finding.
     ident = (
         f"{os.path.basename(os.path.normpath(sf_dir))}"
-        f"_{st.st_size}_{st.st_mtime_ns}"
+        f"_{st.st_size}_{st.st_mtime_ns}_{params}"
     )
     from mapreduce_framework_spark.io import user_cache_root
 
@@ -1039,6 +1024,7 @@ def sim_search_pq_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark,
         sf_dir,
         "pq",
+        "ns4sd16se8",
         lambda path: persist_pq_index(qvecs, path, n_sub=4, sub_dim=16, n_seeds=8),
     )
     codes = spark.read.parquet(f"{dest}/codes")
@@ -1084,6 +1070,7 @@ def sim_search_ivf_pq_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark,
         sf_dir,
         "ivfpq",
+        "c16ns4sd16",
         lambda path: persist_ivf_pq_index(
             vectors.where(F.col("vec_id") != 0), qvecs, centroids, path
         ),

@@ -783,11 +783,14 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "stream_session_timers",
-    # Sessions CLOSED by the final watermark (wm = max(ts) - 10 s):
-    # either proven closed by a later event (gap exceeded) or timed out
-    # by the event-time timer.  Spark's event-time timeout fires when
-    # the watermark moves STRICTLY past the armed timestamp, hence the
-    # strict `<` cutoff.  Open sessions stay unemitted on both sides.
+    # Emission contract, mirrored exactly (round-9 review fix — the
+    # old oracle applied the watermark cutoff to ALL sessions, but the
+    # engine emits a PROOF-CLOSED session the moment its successor
+    # event arrives, watermark or not): every session except the
+    # user's LAST is proof-closed by construction (its successor
+    # exists in the stream), so it always emits; the last session
+    # emits only via the timer, i.e. iff the final watermark
+    # (max(ts) - 10 s) moved STRICTLY past end + gap.
     oracle="""
 WITH e AS (SELECT user_id, CAST(epoch_ms(ts) AS BIGINT) AS ms FROM events),
 f AS (
@@ -809,10 +812,11 @@ a AS (
          count(*) AS n_events
   FROM s GROUP BY 1, 2
 ),
+m AS (SELECT user_id, max(sid) AS max_sid FROM a GROUP BY user_id),
 wm AS (SELECT max(ms) - 10000 AS w FROM e)
-SELECT user_id, start_ms, end_ms, CAST(n_events AS BIGINT) AS n_events
-FROM a, wm
-WHERE end_ms + 43200000 < w
+SELECT a.user_id, start_ms, end_ms, CAST(n_events AS BIGINT) AS n_events
+FROM a JOIN m ON a.user_id = m.user_id, wm
+WHERE a.sid < m.max_sid OR end_ms + 43200000 < w
 """.strip(),
     tags=("streaming", "stateful", "timers"),
     bench=True,

@@ -125,10 +125,12 @@ def timer_sessions(stream_df: DataFrame, gap_ms: int = 43_200_000) -> DataFrame:
                         closed.append((int(key[0]), start, last, cnt))
                         start, last, cnt = t, t, 1
                     else:
-                        # max() guards equal-ts rows split across the
-                        # batch boundary; earlier rows can't arrive
-                        # (time-ordered replay within the watermark).
-                        last, cnt = max(last, t), cnt + 1
+                        # min/max guards: out-of-order arrivals within
+                        # the watermark delay land INSIDE the session
+                        # span (delay ≪ gap is the operating envelope),
+                        # so the span must absorb them on both ends —
+                        # matching the globally-ordered oracle.
+                        start, last, cnt = min(start, t), max(last, t), cnt + 1
             if start is not None:
                 new_timer = last + gap_ms
                 if old_timer is not None and old_timer != new_timer:
@@ -207,7 +209,8 @@ def timeout_sessions(stream_df: DataFrame, gap_ms: int = 43_200_000) -> DataFram
                     closed.append((int(key[0]), start, last, cnt))
                     start, last, cnt = t, t, 1
                 else:
-                    last, cnt = max(last, t), cnt + 1
+                    # same bounded-disorder absorption as timer_sessions
+                    start, last, cnt = min(start, t), max(last, t), cnt + 1
         if start is not None:
             state.update((start, last, cnt))
             state.setTimeoutTimestamp(last + gap_ms)

@@ -862,6 +862,12 @@ def test_canonicalize_url_contract(spark):
         "https://example.com/?ref=hn": "https://example.com",
         "https://example.com/CaseSensitive/Path": "https://example.com/CaseSensitive/Path",
         "https://example.com:8080/a": "https://example.com:8080/a",
+        # default ports are scheme-relative: these are DISTINCT origins
+        # and must not collapse (round-9 review finding)
+        "http://example.com:443/a": "http://example.com:443/a",
+        "https://example.com:80/a": "https://example.com:80/a",
+        # '?' is a legal query character: query = after the FIRST '?'
+        "https://example.com/p?a=1?b=2": "https://example.com/p?a=1?b=2",
     }
     df = spark.createDataFrame([(k,) for k in cases], "u string").select(
         "u", canonicalize_url(F.col("u")).alias("c")

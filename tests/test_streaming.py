@@ -428,3 +428,36 @@ def test_session_timer_lanes_identical(spark, events):
         watermark=("ts", "10 seconds"), output_mode="append",
     )
     assert sorted(map(tuple, tws.collect())) == sorted(map(tuple, legacy.collect()))
+
+
+def test_session_proof_closed_emits_even_inside_watermark(spark):
+    """Round-9 review regression: a session closed by its SUCCESSOR
+    event (gap exceeded) emits immediately — even when the closed
+    session's timer expiry is still within the final watermark, where
+    a timer-only contract would hold it.  u1's first session closes
+    5 s past the gap boundary with max(ts) only 5 s later: the
+    watermark (max - 10 s) never passes start+gap, so only the
+    proof-closed path can emit it."""
+    import datetime
+
+    from mapreduce_framework_spark.streaming.runner import run_file_stream
+    from mapreduce_framework_spark.streaming.stateful import timeout_sessions
+
+    base = datetime.datetime(2024, 1, 1)
+    gap_s = 43_200
+    rows = [
+        (base, 1),
+        (base + datetime.timedelta(seconds=gap_s + 5), 1),  # proof-closes s1
+        (base + datetime.timedelta(seconds=gap_s + 10), 2),  # max ts carrier
+    ]
+    ev = spark.createDataFrame(rows, "ts timestamp, user_id long")
+    out = run_file_stream(
+        spark, ev, timeout_sessions,
+        watermark=("ts", "10 seconds"), output_mode="append",
+        n_batches=2,
+    )
+    got = {(r.user_id, r.n_events) for r in out.collect()}
+    # s1 (one event at base) is proof-closed and MUST emit; the two
+    # successor sessions are still open at the final watermark.
+    assert (1, 1) in got
+    assert len(got) == 1
