@@ -465,3 +465,370 @@ def sql_q22_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
     single double divide, so the boundary set is engine-stable."""
     _views(spark, sf_dir, ("customer", "orders"))
     return spark.sql(_Q22)
+
+
+# ---------------------------------------------------------------------------
+# Round 9 completion: the remaining ten TPC-H query shapes.  The testdata has
+# no partsupp table and no l_shipmode/l_commitdate/l_receiptdate columns, so
+# the partsupp-based queries (Q2/Q9/Q11/Q16/Q20) treat LINEITEM as the
+# part-supplier supply relation (each (l_partkey, l_suppkey) pair is a supply
+# fact) and Q12's ship modes become l_returnflag — every adapted query keeps
+# the ORIGINAL's plan-shape stress (the correlated MIN of Q2, the nested
+# half-average of Q20, the HAVING-vs-global-scalar of Q11, ...), which is
+# what the engine is being graded on.  With these ten, all 22 TPC-H shapes
+# are dialect-shared strings run verbatim by Spark and DuckDB.
+# ---------------------------------------------------------------------------
+
+# TPC-H Q2 shape (minimum-cost supplier): a correlated scalar MIN subquery
+# that repeats the OUTER query's own join tree inside the correlation.
+# Equality on l_extendedprice is exact: both engines compare the same stored
+# double against a MIN over the same stored doubles (no arithmetic).
+_Q2 = """
+SELECT s_acctbal, s_name, n_name, p_partkey, p_brand,
+       l_extendedprice AS supply_price
+FROM part
+JOIN lineitem ON p_partkey = l_partkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'EUROPE'
+  AND p_size < 10
+  AND l_extendedprice = (
+    SELECT MIN(l2.l_extendedprice)
+    FROM lineitem l2
+    JOIN supplier s2 ON s2.s_suppkey = l2.l_suppkey
+    JOIN nation n2   ON s2.s_nationkey = n2.n_nationkey
+    JOIN region r2   ON n2.n_regionkey = r2.r_regionkey
+    WHERE l2.l_partkey = p_partkey AND r2.r_name = 'EUROPE'
+  )
+""".strip()
+
+
+@register("sql_q2_shape", oracle=_Q2, tags=("sql", "subquery", "join"))
+def sql_q2_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape — the correlated scalar MIN whose subquery repeats
+    the outer join tree.  Catalyst must decorrelate it to ONE
+    min(l_extendedprice) aggregate grouped by l_partkey over the
+    region-filtered supply join, joined back on (partkey, price) —
+    never a per-part re-execution of the inner 4-way join (pinned by
+    tests/test_plans.py::test_q2_correlated_min_decorrelates).  At
+    100 TB both legs shuffle on l_partkey and the three dimension
+    tables broadcast into each leg, so the whole query is two
+    co-partitioned passes over the supply fact."""
+    _views(spark, sf_dir, ("part", "lineitem", "supplier", "nation", "region"))
+    return spark.sql(_Q2)
+
+
+# TPC-H Q6 shape (forecast revenue change): the pure scan-side query — one
+# fact, three range predicates, one aggregate, NO join and NO group-by.
+_Q6 = """
+SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,4))) AS DOUBLE)
+         AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+""".strip()
+
+
+@register("sql_q6_shape", oracle=_Q6, tags=("sql", "agg", "filter"))
+def sql_q6_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape — the canonical predicate-pushdown measuring
+    stick: every one of the four range predicates must reach the
+    parquet scan as a PushedFilter and the ReadSchema must carry only
+    the four referenced columns; the aggregate itself is a one-row
+    partial/final pair with no shuffle wider than 1.  At 100 TB this
+    query IS its scan — row-group statistics prune on l_shipdate, so
+    the decisive factor is how little of the fact gets read."""
+    _views(spark, sf_dir, ("lineitem",))
+    return spark.sql(_Q6)
+
+
+# TPC-H Q8 shape (national market share): the deepest join tree in TPC-H —
+# eight relations with nation joined TWICE under different roles — feeding a
+# conditional-share aggregate.  Both SUMs run on DECIMAL(18,4) and are cast
+# to double before the ONE division per group, so the share is engine-exact.
+_Q8 = """
+SELECT o_year,
+       CAST(SUM(CASE WHEN nation = 'NATION_2' THEN volume_dec
+                     ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+       / CAST(SUM(volume_dec) AS DOUBLE) AS mkt_share
+FROM (
+  SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS o_year,
+         CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)) AS volume_dec,
+         n2.n_name AS nation
+  FROM part
+  JOIN lineitem ON p_partkey = l_partkey
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+  JOIN region   ON n1.n_regionkey = r_regionkey
+  WHERE r_name = 'AMERICA' AND p_type = (SELECT MIN(p_type) FROM part)
+) all_nations
+GROUP BY o_year
+""".strip()
+
+
+@register("sql_q8_shape", oracle=_Q8, tags=("sql", "join", "agg"), bench=True)
+def sql_q8_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape — the 8-relation join with a SELF-ALIASED
+    dimension (nation under two roles: customer's and supplier's) and a
+    conditional market-share aggregate.  The join-order stress: the
+    p_type filter (an uncorrelated scalar MIN evaluated once) must
+    shrink part BEFORE the fact join, the two nation legs and region
+    broadcast, and the only big shuffles are lineitem⋈orders and
+    orders⋈customer on their natural keys.  Q8 is gated in bench
+    because join ORDER, not join algorithm, dominates it at scale."""
+    _views(
+        spark, sf_dir,
+        ("part", "lineitem", "supplier", "orders", "customer", "nation", "region"),
+    )
+    return spark.sql(_Q8)
+
+
+# TPC-H Q9 shape (product-type profit by nation and year).  No partsupp in
+# the testdata, so profit = revenue − quantity·tax (all lineitem-local);
+# the original's shape — LIKE-filtered part driving a 5-relation join into
+# a (nation, year) rollup — is intact.  The profit expression runs entirely
+# in DECIMAL before the final double cast.
+_Q9 = """
+SELECT nation, o_year,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) - l_quantity * l_tax
+                 AS DECIMAL(18,4))) AS DOUBLE) AS sum_profit
+FROM (
+  SELECT n_name AS nation,
+         CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS o_year,
+         l_extendedprice, l_discount, l_quantity, l_tax
+  FROM part
+  JOIN lineitem ON p_partkey = l_partkey
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN nation   ON s_nationkey = n_nationkey
+  WHERE p_name LIKE '%widget%'
+) profit
+GROUP BY nation, o_year
+""".strip()
+
+
+@register("sql_q9_shape", oracle=_Q9, tags=("sql", "join", "agg"))
+def sql_q9_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape — a non-anchored LIKE ('%widget%', no prefix) that
+    can NOT become a range predicate, so the plan must still push it to
+    the part scan as a post-decode filter, then semi-reduce lineitem
+    via the part join before touching orders.  The (nation, year)
+    group-by is tiny (25×7 groups) — at 100 TB the entire cost is the
+    two fact shuffles, which AQE coalesces after the LIKE slashes the
+    build side."""
+    _views(spark, sf_dir, ("part", "lineitem", "supplier", "orders", "nation"))
+    return spark.sql(_Q9)
+
+
+# TPC-H Q11 shape (important stock): GROUP BY + HAVING against an
+# UNCORRELATED scalar subquery that re-aggregates the same filtered join.
+# The original's fixed fraction (0.0001/SF) is data-size-dependent; the
+# scale-free equivalent — parts whose supply value exceeds 2× the mean
+# part value — keeps the result non-degenerate at every SF.  Both sides
+# of the HAVING comparison derive from exact DECIMAL sums.
+_Q11 = """
+SELECT l_partkey,
+       CAST(SUM(CAST(l_extendedprice * l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+         AS part_value
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+GROUP BY l_partkey
+HAVING SUM(CAST(l_extendedprice * l_quantity AS DECIMAL(18,4))) >
+  (SELECT 2.0 * CAST(SUM(CAST(l_extendedprice * l_quantity AS DECIMAL(18,4)))
+                 AS DOUBLE) / count(DISTINCT l_partkey)
+   FROM lineitem
+   JOIN supplier ON l_suppkey = s_suppkey
+   JOIN nation   ON s_nationkey = n_nationkey
+   JOIN region   ON n_regionkey = r_regionkey
+   WHERE r_name = 'ASIA')
+""".strip()
+
+
+@register("sql_q11_shape", oracle=_Q11, tags=("sql", "subquery", "agg"))
+def sql_q11_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape — HAVING filtered by an uncorrelated scalar
+    subquery over the SAME filtered join as the outer aggregate.  The
+    scalar evaluates once and broadcasts into the HAVING filter; the
+    outer group-by is one shuffle on l_partkey.  (Spark does not reuse
+    the filtered-join subplan between the two legs — at 100 TB you
+    would CACHE/materialize the region slice once; the two-pass form
+    here is still linear and documents that trade.)"""
+    _views(spark, sf_dir, ("lineitem", "supplier", "nation", "region"))
+    return spark.sql(_Q11)
+
+
+# TPC-H Q12 shape (shipping-mode priority): conditional priority counting
+# per mode, adapted (l_returnflag stands in for l_shipmode; "late" is
+# l_shipdate > o_orderdate as in the Q4 adaptation).  The CASE sums are
+# cast to BIGINT: DuckDB's SUM(int) widens to HUGEINT, which pandas
+# coerces to float64 and the driver's hash would flag against Spark's
+# int64 even with equal values.
+_Q12 = """
+SELECT l_returnflag AS shipmode,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM orders
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE l_shipdate > o_orderdate
+  AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1999-01-01 00:00:00'
+GROUP BY l_returnflag
+""".strip()
+
+
+@register("sql_q12_shape", oracle=_Q12, tags=("sql", "join", "agg"))
+def sql_q12_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape — a fact⋈fact join where the AGGREGATE carries
+    the conditionals (two CASE-counts per group) instead of the WHERE.
+    The date window pushes to the lineitem scan; the cross-side
+    predicate (l_shipdate > o_orderdate) rides the join; the group-by
+    output is 3 rows, so partial aggregation collapses everything
+    map-side before the single narrow shuffle."""
+    _views(spark, sf_dir, ("orders", "lineitem"))
+    return spark.sql(_Q12)
+
+
+# TPC-H Q13 shape (customer order-count distribution): LEFT OUTER JOIN with
+# the filter IN THE JOIN CONDITION (not WHERE — moving it would drop
+# customers), then a group-by OF a group-by result.
+_Q13 = """
+SELECT c_count, count(*) AS custdist
+FROM (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer
+  LEFT OUTER JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey
+) c_orders
+GROUP BY c_count
+""".strip()
+
+
+@register("sql_q13_shape", oracle=_Q13, tags=("sql", "join", "agg"))
+def sql_q13_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape — the outer-join-aware aggregation classic: the
+    priority filter must stay in the LEFT JOIN's ON clause (pushing it
+    to WHERE would silently delete zero-order customers, the exact rows
+    the query exists to count), count(o_orderkey) must count only
+    matched rows, and the distribution is an aggregate OVER an
+    aggregate.  At scale the first group-by shares the join's
+    o_custkey/c_custkey partitioning (no extra shuffle); the second is
+    a ~50-group rollup that collapses map-side."""
+    _views(spark, sf_dir, ("customer", "orders"))
+    return spark.sql(_Q13)
+
+
+# TPC-H Q15 shape (top supplier): the original defines a revenue VIEW used
+# twice — once as the join input, once under MAX().  Expressed as a CTE;
+# the MAX-equality is exact because total_revenue is a DECIMAL sum (ties,
+# if any, are exact ties in both engines, and ALL tied rows are returned —
+# no nondeterministic LIMIT 1).
+_Q15 = """
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
+           AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, CAST(total_revenue AS DOUBLE) AS total_revenue
+FROM supplier
+JOIN revenue ON s_suppkey = supplier_no
+WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+""".strip()
+
+
+@register("sql_q15_shape", oracle=_Q15, tags=("sql", "subquery", "agg"))
+def sql_q15_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape — one named subresult (the revenue CTE) consumed
+    by BOTH the join and the scalar MAX threshold.  Spark inlines the
+    CTE into each consumer (two lineitem passes; the date filter pushes
+    into both scans), DuckDB materializes it — the dialect-shared
+    string proves the RESULTS agree regardless.  The argmax-by-
+    threshold form returns all exact ties, making it deterministic
+    where the classic ORDER BY + LIMIT 1 would not be."""
+    _views(spark, sf_dir, ("supplier", "lineitem"))
+    return spark.sql(_Q15)
+
+
+# TPC-H Q16 shape (supplier relationship count): COUNT(DISTINCT) per part
+# attribute group with a NOT IN exclusion subquery (itself gated by a
+# nested uncorrelated scalar — the testdata's stand-in for the original's
+# '%Customer%Complaints%' comment filter).
+_Q16 = """
+SELECT p_brand, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE p_brand <> 'Brand#1'
+  AND p_size IN (1, 4, 7, 10, 13, 16, 19, 22)
+  AND l_suppkey NOT IN (
+    SELECT s_suppkey FROM supplier
+    WHERE s_acctbal < (SELECT MIN(s_acctbal) + 1.0 FROM supplier)
+  )
+GROUP BY p_brand, p_size
+""".strip()
+
+
+@register("sql_q16_shape", oracle=_Q16, tags=("sql", "subquery", "agg"))
+def sql_q16_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape — NOT IN against a subquery (null-aware anti
+    join: one NULL in the exclusion list must empty the result, a
+    semantics plain LeftAnti gets wrong), feeding a COUNT(DISTINCT) per
+    (brand, size).  The exclusion list is tiny and broadcasts; the
+    distinct-count expands to a two-phase aggregate (distinct on
+    group+suppkey, then count) — both shuffles on the same group keys.
+    """
+    _views(spark, sf_dir, ("lineitem", "part", "supplier"))
+    return spark.sql(_Q16)
+
+
+# TPC-H Q20 shape (potential part promotion): the DEEPEST nesting in
+# TPC-H — an IN whose subquery compares TWO correlated scalar aggregates
+# (the supplier's own max shipment vs half the part's average shipment).
+# The distinct (l_suppkey, l_partkey) pairs play partsupp.  Determinism:
+# l_quantity is integer-valued, so SUM/COUNT are exact and AVG is one
+# IEEE divide; MAX is exact; both comparison sides are engine-identical.
+_Q20 = """
+SELECT s_suppkey, s_name
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+WHERE n_name IN ('NATION_0', 'NATION_1', 'NATION_2', 'NATION_3', 'NATION_4')
+  AND s_suppkey IN (
+    SELECT ps.l_suppkey
+    FROM (SELECT DISTINCT l_suppkey, l_partkey FROM lineitem) ps
+    WHERE ps.l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE '%bolt%')
+      AND (SELECT MAX(l.l_quantity) FROM lineitem l
+           WHERE l.l_partkey = ps.l_partkey AND l.l_suppkey = ps.l_suppkey)
+          > (SELECT 0.5 * AVG(l2.l_quantity) FROM lineitem l2
+             WHERE l2.l_partkey = ps.l_partkey)
+  )
+""".strip()
+
+
+@register("sql_q20_shape", oracle=_Q20, tags=("sql", "subquery", "join"), bench=True)
+def sql_q20_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape — the nesting stress test: IN(subquery) whose
+    WHERE compares two DIFFERENTLY-correlated scalar aggregates (MAX
+    per (part, supplier) vs AVG per part).  Catalyst must decorrelate
+    BOTH into grouped aggregates over lineitem joined back on their
+    correlation keys, then collapse the IN chain into semi joins — zero
+    Subquery nodes may survive (pinned by tests/test_plans.py::
+    test_q20_nested_correlation_decorrelates).  At 100 TB all three
+    lineitem derivations shuffle on l_partkey(+l_suppkey) — co-
+    partitioned passes, never per-row re-scans; gated in bench as the
+    priciest decorrelation in the suite."""
+    _views(spark, sf_dir, ("supplier", "nation", "lineitem", "part"))
+    return spark.sql(_Q20)

@@ -1132,3 +1132,53 @@ def test_q22_anti_join_with_single_scalar_eval(spark):
     assert "Subquery" in plan, (
         "expected the uncorrelated scalar threshold as a one-shot subquery"
     )
+
+
+def test_q2_correlated_min_decorrelates(spark):
+    """TPC-H Q2's correlated scalar MIN — whose subquery repeats the
+    outer's 4-way supply join — must decorrelate to ONE
+    min(l_extendedprice) aggregate grouped by l_partkey, joined back on
+    (partkey, price): never a per-part re-execution of the inner join,
+    and no scalar-subquery node may survive."""
+    from mapreduce_framework_spark.plans import formatted_plan
+
+    plan = formatted_plan(_q(spark, "sql_q2_shape"))
+    assert "partial_min(l_extendedprice" in plan, "per-part MIN aggregate missing"
+    assert "Keys [1]: [l_partkey" in plan, "MIN not grouped by l_partkey"
+    assert "Subquery" not in plan, "correlated MIN survived as a subquery"
+
+
+def test_q6_is_pure_pushed_scan(spark):
+    """TPC-H Q6 is the pushdown measuring stick: all four range
+    predicates must reach the lineitem scan as PushedFilters, the
+    ReadSchema must carry exactly the four referenced columns, and the
+    only exchange is the one-row SinglePartition gather."""
+    from mapreduce_framework_spark.plans import formatted_plan, pushed_filters
+
+    df = _q(spark, "sql_q6_shape")
+    pushed = " ".join(pushed_filters(df))
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pushed, f"{col} range predicate not pushed to the scan"
+    plan = formatted_plan(df)
+    assert (
+        "ReadSchema: struct<l_quantity:double,l_extendedprice:double,"
+        "l_discount:double,l_shipdate:timestamp_ntz>" in plan
+    ), "scan reads more than the four referenced columns"
+    assert "SinglePartition" in plan and plan.count("Exchange") <= 2, (
+        "expected exactly the one-row final-aggregate gather"
+    )
+
+
+def test_q20_nested_correlation_decorrelates(spark):
+    """TPC-H Q20's IN-subquery compares two DIFFERENTLY-correlated
+    scalar aggregates (MAX per (part, supplier) vs 0.5·AVG per part).
+    Both must decorrelate to grouped aggregates over lineitem joined
+    back on their correlation keys, the IN chain must collapse to semi
+    joins, and zero Subquery nodes may survive."""
+    from mapreduce_framework_spark.plans import formatted_plan
+
+    plan = formatted_plan(_q(spark, "sql_q20_shape"))
+    assert "partial_max(l_quantity" in plan, "per-(part,supplier) MAX missing"
+    assert "partial_avg(l_quantity" in plan, "per-part AVG missing"
+    assert "LeftSemi" in plan, "IN did not become a semi join"
+    assert "Subquery" not in plan, "correlated scalar survived decorrelation"

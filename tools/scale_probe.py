@@ -460,6 +460,73 @@ def build_tiers(spark, small: int, big: int) -> dict[str, dict[int, callable]]:
         ).unionByName(edges.select(F.col("v").alias("src"), F.col("u").alias("dst")))
         return bfs_hops(adj, source=0).count()
 
+    def _supply_views(n):
+        """Deterministic TPC-H-shaped supply tables at size n for the
+        SQL decorrelation tiers: lineitem (the fact, n rows), part
+        (n/30 parts, ~1/6 named '...bolt'), supplier (n/50, min 10)
+        and nation (25).  Same dialect-shared strings as the
+        registered keys run over these views."""
+        parts = max(n // 30, 20)
+        supps = max(n // 50, 10)
+        (
+            spark.range(n)
+            .selectExpr(
+                f"id % {parts} AS l_partkey",
+                f"id % {supps} AS l_suppkey",
+                "CAST(1 + id % 50 AS DOUBLE) AS l_quantity",
+                "CAST(900 + (id * 37) % 100000 AS DOUBLE) / 100.0"
+                "  AS l_extendedprice",
+                "CAST((id % 11) AS DOUBLE) / 100.0 AS l_discount",
+            )
+            .createOrReplaceTempView("lineitem")
+        )
+        spark.sql(
+            f"SELECT id AS p_partkey, concat('k', id, ' ', "
+            f"element_at(array('bolt','rod','widget','gear','cam','pin'), "
+            f"CAST(id % 6 + 1 AS INT))) AS p_name, "
+            f"CAST(1 + id % 50 AS INT) AS p_size, "
+            f"concat('Brand#', 1 + id % 25) AS p_brand "
+            f"FROM range({parts})"
+        ).createOrReplaceTempView("part")
+        spark.sql(
+            f"SELECT id AS s_suppkey, concat('S', id) AS s_name, "
+            f"CAST(id % 25 AS INT) AS s_nationkey, "
+            f"CAST((id * 13) % 10000 AS DOUBLE) / 10.0 AS s_acctbal "
+            f"FROM range({supps})"
+        ).createOrReplaceTempView("supplier")
+        spark.sql(
+            "SELECT CAST(id AS INT) AS n_nationkey, "
+            "concat('NATION_', id) AS n_name, "
+            "CAST(id % 5 AS INT) AS n_regionkey FROM range(25)"
+        ).createOrReplaceTempView("nation")
+        spark.sql(
+            "SELECT CAST(id AS INT) AS r_regionkey, element_at(array"
+            "('AFRICA','AMERICA','ASIA','EUROPE','MIDDLE EAST'), "
+            "CAST(id + 1 AS INT)) AS r_name FROM range(5)"
+        ).createOrReplaceTempView("region")
+
+    def t_q20(n):
+        # TPC-H Q20's nested correlation (MAX per (part,supplier) vs
+        # 0.5·AVG per part inside an IN chain), decorrelated by
+        # Catalyst into grouped aggregates + semi joins: every stage
+        # shuffles on l_partkey(+l_suppkey), so the expected ratio at
+        # 10x data is ~linear.  A per-row subquery plan would be
+        # quadratic — this tier is the regression alarm for that.
+        from mapreduce_framework_spark.queries.sql_surface import _Q20
+
+        _supply_views(n)
+        return spark.sql(_Q20).count()
+
+    def t_q2(n):
+        # TPC-H Q2's correlated MIN whose subquery repeats the outer
+        # supply join: decorrelates to two co-partitioned passes over
+        # the fact (one per-part MIN aggregate + the equality join
+        # back).  Expected ~linear; dims broadcast at every size.
+        from mapreduce_framework_spark.queries.sql_surface import _Q2
+
+        _supply_views(n)
+        return spark.sql(_Q2).count()
+
     def t_session_timers(n):
         # Timer-driven sessionization on the real micro-batch replay:
         # per-user event-time timeout state, emission on watermark
@@ -583,6 +650,14 @@ def build_tiers(spark, small: int, big: int) -> dict[str, dict[int, callable]]:
         "bfs": {
             10 * small: lambda: t_bfs(10 * small),
             10 * big: lambda: t_bfs(10 * big),
+        },
+        "q20_decorrelation": {
+            10 * small: lambda: t_q20(10 * small),
+            10 * big: lambda: t_q20(10 * big),
+        },
+        "q2_decorrelation": {
+            10 * small: lambda: t_q2(10 * small),
+            10 * big: lambda: t_q2(10 * big),
         },
     }
 
