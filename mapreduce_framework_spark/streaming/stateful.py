@@ -225,3 +225,68 @@ def timeout_sessions(stream_df: DataFrame, gap_ms: int = 43_200_000) -> DataFram
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
+
+
+TTL_OUTPUT_SCHEMA = "user_id bigint, n_events bigint, evicted boolean"
+
+
+def ttl_evicting_totals(stream_df: DataFrame, ttl_ms: int = 2_000) -> DataFrame:
+    """Per-key running totals whose state EXPIRES after ``ttl_ms`` of
+    processing-time inactivity — the ``applyInPandasWithState`` +
+    ``ProcessingTimeTimeout`` expression of state TTL, the third and
+    last state-lifecycle mode next to ``running_totals`` (NoTimeout)
+    and ``timeout_sessions`` (EventTimeTimeout).  Spark 4's
+    ``transformWithStateInPandas`` exposes the same semantics
+    declaratively (``getValueState(..., ttlDurationMs=...)`` — any
+    update resets expiry to now + TTL), but its state-server protocol
+    needs google.protobuf, absent in this container, so this lane is
+    the one that runs here; the contract is identical by construction
+    (each update re-arms ``setTimeoutDuration(ttl_ms)``).
+
+    Semantics: every batch that touches a key emits its running count
+    with ``evicted=false`` and re-arms the TTL; a later batch finds
+    every key idle past the TTL, emits its FINAL count with
+    ``evicted=true`` and removes the state (keys receiving data in
+    that same batch are updates, never evictions — Spark only times
+    out keys absent from the batch's input).
+
+    State posture at 100 TB: state size tracks keys seen within the
+    last TTL window, not key-space history — exactly the bound an
+    unbounded-cardinality corpus (URLs, session tokens) needs to run
+    a continuous pipeline without state-store growth.
+
+    Operational caveat (measured, not documented upstream): run this
+    under a CONTINUOUS trigger.  Timers need live batches to fire, so
+    an ``availableNow`` run with pending processing-time timeouts does
+    not self-terminate — Spark keeps scheduling empty batches to
+    service them.  Processing-time expiry is wall-clock-dependent by
+    definition, so this operator is pinned by
+    tests/test_streaming.py::test_processing_time_ttl_evicts (one
+    continuous-trigger query: accumulate-within-TTL, evict-once-after,
+    fresh-state-on-refeed) rather than by a hash-checked registry
+    key."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        cols = ["user_id", "n_events", "evicted"]
+        if state.hasTimedOut:
+            (cnt,) = state.get
+            state.remove()
+            yield pd.DataFrame([(int(key[0]), cnt, True)], columns=cols)
+            return
+        (cnt,) = state.get if state.exists else (0,)
+        for pdf in pdfs:
+            cnt += len(pdf)
+        state.update((cnt,))
+        state.setTimeoutDuration(ttl_ms)
+        yield pd.DataFrame([(int(key[0]), cnt, False)], columns=cols)
+
+    return stream_df.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=TTL_OUTPUT_SCHEMA,
+        stateStructType="cnt long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )

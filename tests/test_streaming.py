@@ -461,3 +461,113 @@ def test_session_proof_closed_emits_even_inside_watermark(spark):
     # successor sessions are still open at the final watermark.
     assert (1, 1) in got
     assert len(got) == 1
+
+
+def test_processing_time_ttl_evicts(spark, events):
+    """State TTL (round-8 verdict task #5's second half): per-key state
+    must EXPIRE after ttl_ms of processing-time inactivity and LEAVE
+    the store.  One continuous-trigger query (ProcessingTimeTimeout
+    needs live batches to service timers — an availableNow run never
+    self-terminates with timers pending, see ttl_evicting_totals'
+    docstring): feed users 1-4, then more rows for user 1 inside the
+    TTL (state must survive and accumulate), then idle past the TTL
+    (every key must emit exactly one evicted=true row with its final
+    count), then feed user 2 again — its count must restart FRESH,
+    proving the eviction removed the state rather than masking it."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+    import time
+
+    from pyspark.sql import functions as F
+
+    from mapreduce_framework_spark.streaming.stateful import ttl_evicting_totals
+
+    src = tempfile.mkdtemp(prefix="ttl_src_")
+    ckpt = tempfile.mkdtemp(prefix="ttl_ckpt_")
+
+    def stage_file(df, name):
+        d = tempfile.mkdtemp(prefix="ttl_stage_")
+        df.coalesce(1).write.mode("overwrite").parquet(d)
+        part = sorted(glob.glob(os.path.join(d, "part-*")))[0]
+        shutil.copy(part, os.path.join(src, name))
+
+    def wait_until(pred, timeout_s, what):
+        deadline = time.time() + timeout_s
+        while time.time() < deadline:
+            if pred():
+                return
+            time.sleep(0.5)
+        raise AssertionError(f"timed out waiting for {what}")
+
+    def rows():
+        return spark.table("ttl_sink").collect()
+
+    four = events.where(F.col("user_id").isin(1, 2, 3, 4))
+    n1 = events.where(F.col("user_id") == 1).count()
+    n2 = events.where(F.col("user_id") == 2).count()
+    counts0 = {
+        r.user_id: r.cnt
+        for r in four.groupBy("user_id").agg(F.count("*").alias("cnt")).collect()
+    }
+
+    stage_file(four, "b0.parquet")
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        ttl_evicting_totals(stream, ttl_ms=10_000)
+        .writeStream.format("memory")
+        .queryName("ttl_sink")
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(processingTime="500 milliseconds")
+        .start()
+    )
+    try:
+        wait_until(lambda: len(rows()) >= 4, 60, "first updates for users 1-4")
+        assert {r.user_id for r in rows() if not r.evicted} == {1, 2, 3, 4}
+        assert not any(r.evicted for r in rows()), "eviction before TTL elapsed"
+
+        # Inside the TTL window: user 1's state must survive + accumulate.
+        stage_file(events.where(F.col("user_id") == 1), "b1.parquet")
+        wait_until(
+            lambda: any(
+                not r.evicted and r.user_id == 1 and r.n_events == counts0[1] + n1
+                for r in rows()
+            ),
+            60,
+            "user 1's accumulated second update",
+        )
+
+        # Idle past the TTL: exactly one eviction per key, final counts.
+        wait_until(
+            lambda: sum(1 for r in rows() if r.evicted) >= 4, 90, "4 evictions"
+        )
+        evicted = [r for r in rows() if r.evicted]
+        assert {r.user_id for r in evicted} == {1, 2, 3, 4}
+        assert len(evicted) == 4, "a key must evict exactly once"
+        by_user = {r.user_id: r.n_events for r in evicted}
+        assert by_user[1] == counts0[1] + n1
+        assert {u: by_user[u] for u in (2, 3, 4)} == {
+            u: counts0[u] for u in (2, 3, 4)
+        }
+
+        # Re-feed an evicted key: the count must restart FRESH.
+        stage_file(events.where(F.col("user_id") == 2), "b2.parquet")
+        wait_until(
+            lambda: any(
+                not r.evicted
+                and r.user_id == 2
+                and r.n_events == n2
+                and r.n_events != counts0[2] + n2
+                for r in rows()
+            ),
+            60,
+            "user 2's fresh post-eviction state",
+        )
+    finally:
+        q.stop()
