@@ -333,3 +333,66 @@ def source_csv_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_chars",
         F.col("_corrupt_record").isNotNull().alias("is_corrupt"),
     )
+
+
+def _kv_sink_cache(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once `key:value` sink of the wordcount result, R=5 shard
+    files (the reference's graded small-run reducer count), keyed by
+    documents.parquet identity and atomic-rename published — the
+    mapreduce_job corpus-cache contract (queries/mapreduce_job.py
+    _spill_corpus): inputs are pure functions of the source parquet,
+    so bench min-of-3 and sweep re-runs share one copy."""
+    import shutil
+
+    from mapreduce_framework_spark.compat import write_kv_text
+    from mapreduce_framework_spark.io import user_cache_root
+    from mapreduce_framework_spark.queries.wordcount import wordcount
+
+    st = os.stat(os.path.join(sf_dir, "documents.parquet"))
+    key = f"{os.path.basename(sf_dir)}_{st.st_size}_{st.st_mtime_ns}"
+    dest = os.path.join(user_cache_root(), f"mfs_kvsink_{key}")
+    if not os.path.isdir(dest):
+        stage = tempfile.mkdtemp(prefix="mfs_kvsink_stage_")
+        staged = os.path.join(stage, "sink")
+        counts = wordcount(spark, sf_dir).select(
+            F.col("word").alias("key"), F.col("cnt").alias("value")
+        )
+        write_kv_text(counts.repartition(5, "key"), staged)
+        try:
+            os.rename(staged, dest)
+        except OSError:
+            pass  # a concurrent session published first; its copy is complete
+        shutil.rmtree(stage, ignore_errors=True)
+    return dest
+
+
+def _load_kvtext_oracle() -> str:
+    from mapreduce_framework_spark.queries.wordcount import _ORACLE
+
+    return _ORACLE
+
+
+@register(
+    "source_kvtext_datasource",
+    oracle=_load_kvtext_oracle(),
+    tags=("source", "compat"),
+)
+def source_kvtext_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's `key:value` sink format read back as a
+    FIRST-CLASS registered source — ``spark.read.format("kvtext")`` via
+    the Spark 4 Python DataSource API (sources/kvtext_datasource.py):
+    one InputPartition per reducer-shard file, EqualTo(key) pushdown
+    applied inside the reader.  The sink under test is the wordcount
+    result written once through compat.write_kv_text (R=5 shards), so
+    the oracle is wordcount's own: a hash match proves the format is
+    lossless THROUGH the custom source path — scan, partition planning,
+    Arrow transfer and parse all included.  The JVM
+    ``compat.read_kv_text`` lane remains the scan-throughput path;
+    tests/test_kvtext_source.py pins the two lanes row-identical."""
+    from mapreduce_framework_spark.sources.kvtext_datasource import register_kvtext
+
+    path = _kv_sink_cache(spark, sf_dir)
+    register_kvtext(spark)
+    return spark.read.format("kvtext").load(path).select(
+        F.col("key").alias("word"), F.col("value").alias("cnt")
+    )
