@@ -105,3 +105,79 @@ def test_contradictory_key_equalities_yield_empty(spark, kv_dir):
         .where((F.col("key") == "alpha") & (F.col("key") == "beta"))
     )
     assert df.collect() == []
+
+
+def test_writer_roundtrip_and_commit_protocol(spark):
+    """df.write.format('kvtext') must stage .tmp files and publish
+    complete part-NNNNN shards at commit — readable back identically
+    by BOTH lanes, with no staging debris left behind."""
+    df = spark.createDataFrame(
+        [("x", 1), ("y:z", 2), ("w", 3)], ["key", "value"]
+    )
+    register_kvtext(spark)
+    path = os.path.join(tempfile.mkdtemp(prefix="kvtext_w_"), "sink")
+    df.repartition(2).write.format("kvtext").mode("append").save(path)
+
+    names = sorted(os.listdir(path))
+    assert all(n.startswith("part-") for n in names), names
+    assert not any(n.endswith(".tmp") for n in names), "staging debris"
+    expect = sorted([("x", 1), ("y:z", 2), ("w", 3)])
+    assert sorted(tuple(r) for r in read_kv_text(spark, path).collect()) == expect
+    assert (
+        sorted(tuple(r) for r in spark.read.format("kvtext").load(path).collect())
+        == expect
+    )
+
+
+def test_writer_overwrite_replaces_append_accretes(spark):
+    """overwrite clears the previous generation at commit time; append
+    adds shards beside it."""
+    register_kvtext(spark)
+    path = os.path.join(tempfile.mkdtemp(prefix="kvtext_m_"), "sink")
+    one = spark.createDataFrame([("a", 1)], ["key", "value"])
+    two = spark.createDataFrame([("b", 2)], ["key", "value"])
+    one.coalesce(1).write.format("kvtext").mode("append").save(path)
+    two.coalesce(1).write.format("kvtext").mode("append").save(path)
+    got = sorted(tuple(r) for r in spark.read.format("kvtext").load(path).collect())
+    assert got == [("a", 1), ("b", 2)]
+    two.coalesce(1).write.format("kvtext").mode("overwrite").save(path)
+    got = sorted(tuple(r) for r in spark.read.format("kvtext").load(path).collect())
+    assert got == [("b", 2)], "overwrite must drop the old generation"
+
+
+def test_stream_reader_incremental_exactly_once(spark):
+    """The growing sink dir as a micro-batch source: run 1 consumes the
+    initial shards; a shard landing later is picked up by run 2 from
+    the SAME checkpoint with no re-read of the prefix (file-count
+    offsets) — union equals the full sink exactly once."""
+    register_kvtext(spark)
+    path = os.path.join(tempfile.mkdtemp(prefix="kvtext_s_"), "sink")
+    ckpt = tempfile.mkdtemp(prefix="kvtext_s_ckpt_")
+    out = os.path.join(tempfile.mkdtemp(prefix="kvtext_s_out_"), "rows")
+    spark.createDataFrame(
+        [("a", 1), ("b", 2)], ["key", "value"]
+    ).coalesce(1).write.format("kvtext").mode("append").save(path)
+
+    def run():
+        # Parquet sink: the append-mode sink class that supports
+        # checkpoint recovery (memory-sink append does not).
+        q = (
+            spark.readStream.format("kvtext")
+            .load(path)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return sorted(tuple(r) for r in spark.read.parquet(out).collect())
+
+    assert run() == [("a", 1), ("b", 2)]
+    spark.createDataFrame([("c", 3)], ["key", "value"]).coalesce(1).write.format(
+        "kvtext"
+    ).mode("append").save(path)
+    assert run() == [("a", 1), ("b", 2), ("c", 3)], (
+        "resume must read exactly the new shard, never the prefix again"
+    )
