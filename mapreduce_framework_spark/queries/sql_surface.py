@@ -832,3 +832,74 @@ def sql_q20_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
     priciest decorrelation in the suite."""
     _views(spark, sf_dir, ("supplier", "nation", "lineitem", "part"))
     return spark.sql(_Q20)
+
+
+# Correlated LATERAL subquery with ORDER BY + LIMIT (per-customer top-2
+# orders).  Deterministic: the sort key carries o_orderkey as a total
+# tiebreak, so the top-2 set is unique.  Beyond the 22 TPC-H shapes —
+# the remaining ANSI construct classes the surface lacked.
+_LATERAL = """
+SELECT c_custkey, t.o_orderkey, t.o_totalprice
+FROM customer,
+LATERAL (SELECT o_orderkey, o_totalprice FROM orders
+         WHERE o_custkey = c_custkey AND o_orderstatus = 'F'
+         ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+WHERE c_mktsegment = 'BUILDING'
+""".strip()
+
+
+@register("sql_lateral_topk", oracle=_LATERAL, tags=("sql", "subquery", "window"))
+def sql_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL with ORDER BY + LIMIT — per-group top-k as a
+    join-shaped query.  Catalyst must NOT execute the subquery per
+    customer row: it rewrites the lateral into a WindowGroupLimit over
+    orders partitioned by o_custkey (a partial/final per-group limit —
+    the top-k analog of a map-side combine: each task keeps its own
+    top-2 per key before the shuffle, the winner set finalizes after)
+    joined back to the filtered customers (pinned by tests/test_plans.
+    py::test_lateral_topk_becomes_window_group_limit).  At 100 TB
+    that is one fact shuffle keyed by customer with k-bounded state
+    per key — the per-row form would re-sort orders once per customer.
+    """
+    _views(spark, sf_dir, ("customer", "orders"))
+    return spark.sql(_LATERAL)
+
+
+# Recursive CTE (Spark 4.0+): hierarchical traversal of the implicit
+# supplier binary tree (parent = floor(suppkey/2) — a pure function of
+# the ids, so the hierarchy derives from the data at every SF and the
+# recursion DEPTH grows with log2(supplier count): 4 levels at
+# sf0.001, 10 at sf0.1).  floor(x/2.0) instead of integer-div syntax:
+# `DIV`/`//` spell division differently across the two engines, floor
+# is dialect-shared and exact below 2^52.  node_sum is cast to BIGINT
+# (DuckDB SUM(int) widens to HUGEINT → pandas float64 → driver-hash
+# mismatch against Spark's int64).
+_RECURSIVE = """
+WITH RECURSIVE chain(node, root, depth) AS (
+  SELECT s_suppkey AS node, s_suppkey AS root, 0 AS depth
+  FROM supplier WHERE s_suppkey <= 1
+  UNION ALL
+  SELECT s.s_suppkey, c.root, c.depth + 1
+  FROM supplier s
+  JOIN chain c ON CAST(floor(s.s_suppkey / 2.0) AS BIGINT) = c.node
+  WHERE s.s_suppkey > 1
+)
+SELECT depth, count(*) AS n, CAST(sum(node) AS BIGINT) AS node_sum
+FROM chain GROUP BY depth
+""".strip()
+
+
+@register("sql_recursive_cte", oracle=_RECURSIVE, tags=("sql", "graph"))
+def sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITH RECURSIVE — the declarative twin of the graph family's
+    frontier iteration (graph_bfs_persisted walks the persisted
+    adjacency imperatively; this walks a hierarchy in pure SQL, new in
+    Spark 4.0).  Each recursion level is one join of the previous
+    frontier against the anchor table — the same per-round
+    frontier⋈edges shape as operators/components.py, but planned by
+    the engine with the UnionLoop operator.  Depth is data-driven
+    (log2 of the supplier count), so the key exercises real multi-level
+    recursion at every SF, and the per-depth rollup keeps the result
+    compact and hash-stable."""
+    _views(spark, sf_dir, ("supplier",))
+    return spark.sql(_RECURSIVE)

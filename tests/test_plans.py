@@ -1182,3 +1182,22 @@ def test_q20_nested_correlation_decorrelates(spark):
     assert "partial_avg(l_quantity" in plan, "per-part AVG missing"
     assert "LeftSemi" in plan, "IN did not become a semi join"
     assert "Subquery" not in plan, "correlated scalar survived decorrelation"
+
+
+def test_lateral_topk_becomes_window_group_limit(spark):
+    """The correlated LATERAL (ORDER BY + LIMIT 2) must plan as a
+    WindowGroupLimit over orders keyed by o_custkey — partial top-k
+    before the shuffle, final after — joined back to customers; never
+    a per-customer re-execution of the subquery (no lateral/subquery
+    node survives)."""
+    from mapreduce_framework_spark.plans import formatted_plan
+
+    plan = formatted_plan(_q(spark, "sql_lateral_topk"))
+    assert "WindowGroupLimit" in plan, "per-group top-k operator missing"
+    assert plan.count("WindowGroupLimit") >= 2, (
+        "expected Partial AND Final group-limit stages"
+    )
+    assert "row_number" in plan
+    assert "Subquery" not in plan and "Lateral" not in plan, (
+        "lateral subquery survived to the physical plan"
+    )
