@@ -198,6 +198,45 @@ def scalar_json(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "scalar_variant",
+    oracle="""
+SELECT
+  CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_bucket,
+  count(*) AS n,
+  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+    AS k_sum,
+  CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+    AS k_max
+FROM events
+GROUP BY 1
+""".strip(),
+    tags=("scalar", "json", "variant"),
+)
+def scalar_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VARIANT ingest + typed shredding (Spark 4): ``parse_json`` turns
+    events.props into the binary semi-structured type ONCE, then every
+    downstream access is a ``variant_get`` typed path read — the scale
+    contrast to scalar_json above, whose ``get_json_object`` re-parses
+    the JSON STRING at every extraction (at 100 TB a hot semi-
+    structured column is parsed once at ingest and shredded, not
+    N times per row per query).  The aggregate runs on the extracted
+    bigints, so the oracle is the plain JSON-string arithmetic — a
+    hash match proves the binary encode/decode is value-faithful.
+    DuckDB has no VARIANT; its JSON lane is the semantic oracle."""
+    e = table(spark, sf_dir, "events")
+    k = F.variant_get(F.parse_json(F.col("props")), "$.k", "bigint")
+    return (
+        e.select(k.alias("k"))
+        .groupBy((F.col("k") % 10).alias("k_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").cast("bigint").alias("k_sum"),
+            F.max("k").cast("bigint").alias("k_max"),
+        )
+    )
+
+
+@register(
     "scalar_hash",
     oracle="""
 SELECT
