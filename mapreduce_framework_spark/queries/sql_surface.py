@@ -900,6 +900,13 @@ def sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
     the engine with the UnionLoop operator.  Depth is data-driven
     (log2 of the supplier count), so the key exercises real multi-level
     recursion at every SF, and the per-depth rollup keeps the result
-    compact and hash-stable."""
+    compact and hash-stable.
+
+    Operational note for real corpora (measured by tools/scale_probe.py
+    — its first 5e6-node run died on it): Spark guards recursion with
+    ``spark.sql.cteRecursionRowLimit`` (default 1e6 TOTAL rows emitted
+    across all levels) and ``spark.sql.cteRecursionLevelLimit``; size
+    the row limit to the expected closure before running a traversal
+    at scale.  The test-SF hierarchies stay far below both."""
     _views(spark, sf_dir, ("supplier",))
     return spark.sql(_RECURSIVE)

@@ -527,6 +527,49 @@ def build_tiers(spark, small: int, big: int) -> dict[str, dict[int, callable]]:
         _supply_views(n)
         return spark.sql(_Q2).count()
 
+    def t_lateral_topk(n):
+        # Correlated LATERAL (ORDER BY + LIMIT 2) over n orders and
+        # n/10 customers: Catalyst's WindowGroupLimit rewrite keeps
+        # per-key state k-bounded through one shuffle, so 10x data
+        # should be ~linear.  A per-customer re-sort would be n*log n
+        # PER KEY — the regression this tier alarms on.
+        from mapreduce_framework_spark.queries.sql_surface import _LATERAL
+
+        custs = max(n // 10, 10)
+        spark.range(n).selectExpr(
+            "id AS o_orderkey",
+            f"id % {custs} AS o_custkey",
+            "CAST((id * 97) % 1000000 AS DOUBLE) / 100.0 AS o_totalprice",
+            "CASE WHEN id % 3 = 0 THEN 'F' ELSE 'O' END AS o_orderstatus",
+        ).createOrReplaceTempView("orders")
+        spark.range(custs).selectExpr(
+            "id AS c_custkey",
+            "CASE WHEN id % 5 = 0 THEN 'BUILDING' ELSE 'OTHER' END"
+            "  AS c_mktsegment",
+        ).createOrReplaceTempView("customer")
+        return spark.sql(_LATERAL).count()
+
+    def t_recursive_cte(n):
+        # WITH RECURSIVE over the implicit binary tree of n ids: depth
+        # grows log2(n), each level joins the frontier against the
+        # anchor — total work O(n · log n / n-per-level) = O(n), so
+        # 10x ids (~3 extra levels) should stay near-linear.  The
+        # default spark.sql.cteRecursionRowLimit (1e6 TOTAL rows across
+        # all levels — a safety valve, found by this probe's first run
+        # dying at n=5e6) must be raised to the expected output size
+        # on any real corpus; the test-SF key never nears it.
+        from mapreduce_framework_spark.queries.sql_surface import _RECURSIVE
+
+        prev = spark.conf.get("spark.sql.cteRecursionRowLimit", "1000000")
+        spark.conf.set("spark.sql.cteRecursionRowLimit", str(2 * n + 100))
+        try:
+            spark.range(n).selectExpr(
+                "id AS s_suppkey"
+            ).createOrReplaceTempView("supplier")
+            return spark.sql(_RECURSIVE).count()
+        finally:
+            spark.conf.set("spark.sql.cteRecursionRowLimit", prev)
+
     def t_session_timers(n):
         # Timer-driven sessionization on the real micro-batch replay:
         # per-user event-time timeout state, emission on watermark
@@ -658,6 +701,14 @@ def build_tiers(spark, small: int, big: int) -> dict[str, dict[int, callable]]:
         "q2_decorrelation": {
             10 * small: lambda: t_q2(10 * small),
             10 * big: lambda: t_q2(10 * big),
+        },
+        "lateral_topk": {
+            10 * small: lambda: t_lateral_topk(10 * small),
+            10 * big: lambda: t_lateral_topk(10 * big),
+        },
+        "recursive_cte": {
+            10 * small: lambda: t_recursive_cte(10 * small),
+            10 * big: lambda: t_recursive_cte(10 * big),
         },
     }
 
