@@ -848,7 +848,12 @@ WHERE c_mktsegment = 'BUILDING'
 """.strip()
 
 
-@register("sql_lateral_topk", oracle=_LATERAL, tags=("sql", "subquery", "window"))
+@register(
+    "sql_lateral_topk",
+    oracle=_LATERAL,
+    tags=("sql", "subquery", "window"),
+    bench=True,
+)
 def sql_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Correlated LATERAL with ORDER BY + LIMIT — per-group top-k as a
     join-shaped query.  Catalyst must NOT execute the subquery per
@@ -889,7 +894,7 @@ FROM chain GROUP BY depth
 """.strip()
 
 
-@register("sql_recursive_cte", oracle=_RECURSIVE, tags=("sql", "graph"))
+@register("sql_recursive_cte", oracle=_RECURSIVE, tags=("sql", "graph"), bench=True)
 def sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WITH RECURSIVE — the declarative twin of the graph family's
     frontier iteration (graph_bfs_persisted walks the persisted
