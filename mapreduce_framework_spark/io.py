@@ -61,6 +61,37 @@ def user_cache_root() -> str:
     return user_tmp_root("mfs_cache")
 
 
+def publish_cached(cache_name: str, build) -> str:
+    """The ONE stage-then-atomic-rename cache publish (previously
+    copy-pasted between the mapreduce corpus spill and the kv-sink
+    cache — a hardening of the publish race must land once, here).
+
+    ``build(staged_path)`` materializes the artifact at a private
+    staged path; the finished directory is then renamed to
+    ``user_cache_root()/cache_name``.  Cross-session safe: rename is
+    atomic, the loser of a concurrent-create race discards its copy,
+    and readers only ever see a complete directory.  The CALLER owns
+    key hygiene: ``cache_name`` must encode everything the artifact
+    depends on — source-file identity AND a version component for any
+    code the output derives from (a stale artifact under an
+    input-only key survives code changes and fails oracles forever).
+    """
+    import shutil
+    import tempfile
+
+    dest = os.path.join(user_cache_root(), cache_name)
+    if not os.path.isdir(dest):
+        stage = tempfile.mkdtemp(prefix=f"{cache_name}_stage_")
+        staged = os.path.join(stage, "artifact")
+        build(staged)
+        try:
+            os.rename(staged, dest)
+        except OSError:
+            pass  # a concurrent session published first; its copy is complete
+        shutil.rmtree(stage, ignore_errors=True)
+    return dest
+
+
 def user_scratch_dir(kind: str) -> str:
     """Pid-scoped FIXED scratch path under a per-user 0700 root, with
     a dead-pid sweep of sibling entries so crashed runs don't orphan

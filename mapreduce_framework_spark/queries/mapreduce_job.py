@@ -11,7 +11,6 @@ job runs unchanged AND produces identical answers to the fast path.
 from __future__ import annotations
 
 import os
-import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
@@ -47,21 +46,17 @@ def _spill_corpus(spark: SparkSession, sf_dir: str) -> str:
     under the published name)."""
     st = os.stat(os.path.join(sf_dir, "documents.parquet"))
     key = f"{os.path.basename(sf_dir)}_{st.st_size}_{st.st_mtime_ns}"
-    from mapreduce_framework_spark.io import user_cache_root
+    from mapreduce_framework_spark.io import publish_cached
 
-    dest = os.path.join(user_cache_root(), f"mfs_mr_corpus_{key}")
-    if not os.path.isdir(dest):
-        stage = tempfile.mkdtemp(prefix="mfs_mr_corpus_stage_")
-        staged = os.path.join(stage, "corpus")
+    def build(staged: str) -> None:
         table(spark, sf_dir, "documents").select("text").write.mode(
             "overwrite"
         ).text(staged)
-        try:
-            os.rename(staged, dest)
-        except OSError:
-            pass  # concurrent session published first; its copy is complete
-        shutil.rmtree(stage, ignore_errors=True)
-    return dest
+
+    # Input-identity key alone is sound HERE (unlike the kv-sink cache,
+    # which also hashes its code version): the spill is a pure
+    # projection of documents.parquet, no derivation code to go stale.
+    return publish_cached(f"mfs_mr_corpus_{key}", build)
 
 
 @register("mapreduce_job_wordcount", oracle=_ORACLE, tags=("compat", "udf"), bench=True)

@@ -337,33 +337,32 @@ def source_csv_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _kv_sink_cache(spark: SparkSession, sf_dir: str) -> str:
     """Build-once `key:value` sink of the wordcount result, R=5 shard
-    files (the reference's graded small-run reducer count), keyed by
-    documents.parquet identity and atomic-rename published — the
-    mapreduce_job corpus-cache contract (queries/mapreduce_job.py
-    _spill_corpus): inputs are pure functions of the source parquet,
-    so bench min-of-3 and sweep re-runs share one copy."""
-    import shutil
+    files (the reference's graded small-run reducer count), published
+    through io.publish_cached.  The cache key carries BOTH the input
+    identity (documents.parquet size/mtime) and a code-version
+    component: unlike the corpus spill (a pure projection of the
+    input), this artifact is DERIVED OUTPUT — wordcount through the
+    tokenizer — so a tokenizer/wordcount change must invalidate it, or
+    the key would serve stale counts against a freshly-computed oracle
+    and stay red until someone hand-cleared /tmp.  The oracle SQL
+    string is that version: it encodes the tokenizer rules verbatim."""
+    import hashlib
 
     from mapreduce_framework_spark.compat import write_kv_text
-    from mapreduce_framework_spark.io import user_cache_root
-    from mapreduce_framework_spark.queries.wordcount import wordcount
+    from mapreduce_framework_spark.io import publish_cached
+    from mapreduce_framework_spark.queries.wordcount import _ORACLE, wordcount
 
     st = os.stat(os.path.join(sf_dir, "documents.parquet"))
-    key = f"{os.path.basename(sf_dir)}_{st.st_size}_{st.st_mtime_ns}"
-    dest = os.path.join(user_cache_root(), f"mfs_kvsink_{key}")
-    if not os.path.isdir(dest):
-        stage = tempfile.mkdtemp(prefix="mfs_kvsink_stage_")
-        staged = os.path.join(stage, "sink")
+    ver = hashlib.sha1(_ORACLE.encode()).hexdigest()[:8]
+    key = f"{os.path.basename(sf_dir)}_{st.st_size}_{st.st_mtime_ns}_{ver}"
+
+    def build(staged: str) -> None:
         counts = wordcount(spark, sf_dir).select(
             F.col("word").alias("key"), F.col("cnt").alias("value")
         )
         write_kv_text(counts.repartition(5, "key"), staged)
-        try:
-            os.rename(staged, dest)
-        except OSError:
-            pass  # a concurrent session published first; its copy is complete
-        shutil.rmtree(stage, ignore_errors=True)
-    return dest
+
+    return publish_cached(f"mfs_kvsink_{key}", build)
 
 
 def _load_kvtext_oracle() -> str:

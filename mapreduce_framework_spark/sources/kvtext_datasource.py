@@ -29,9 +29,10 @@ What the DataSource does that a manual parse cannot:
   readers never see a truncated shard, the failure the reference's
   in-place reducer writes could leak into chained jobs.
 - **Incremental reads** (``spark.readStream.format("kvtext")``): a
-  growing sink dir as a micro-batch source with exact file-prefix
-  offsets and deterministic offset-range replay — the chained-job
-  poll loop (client.sh waits for R output blobs) as a real stream.
+  growing sink dir as a micro-batch source with named shard-prefix
+  offsets, a loud mutation guard, and deterministic by-name replay —
+  the chained-job poll loop (client.sh waits for R output blobs) as a
+  real stream.
 
 Scale posture: rows cross Python→JVM as Arrow RecordBatches (~4096
 rows per IPC transfer, not a pickled tuple per row); per-file readers
@@ -60,6 +61,36 @@ from pyspark.sql.datasource import (
 from pyspark.sql.types import StructType
 
 KV_SCHEMA = "key string, value long"
+
+
+def parse_kv_lines(path: str, want: set | None = None):
+    """The ONE kv-line grammar, shared by the batch reader and the
+    stream reader (a fix applied to one lane must not leave the other
+    disagreeing on the same file).  Accepts exactly the JVM lane's
+    ``^(.*):(-?\\d+)$`` — last-colon split, ASCII-digit value, no
+    sign variants/whitespace/underscores/unicode digits (``int()``
+    alone is laxer than the Java regex and would make the two lanes
+    diverge on lenient foreign sinks).  Non-conforming lines are
+    skipped ("not a kv line" — the JVM lane's behavior on them is
+    cast-conf-dependent and the parity pin covers conforming sinks);
+    a grammar-valid value outside int64 raises loudly rather than
+    silently dropping data the schema cannot carry."""
+    import re
+
+    digits = re.compile(r"\A-?[0-9]+\Z")
+    with open(path, encoding="utf-8", errors="replace") as f:
+        for line in f:
+            key, sep, val = line.rstrip("\n").rpartition(":")
+            if not sep or not digits.match(val):
+                continue
+            if want is not None and key not in want:
+                continue
+            v = int(val)
+            if not (-(2**63) <= v < 2**63):
+                raise ValueError(
+                    f"kvtext: value out of int64 range in {path!r}: {val[:40]}"
+                )
+            yield key, v
 
 
 class KvTextPartition(InputPartition):
@@ -121,24 +152,12 @@ class KvTextReader(DataSourceReader):
         def batches():
             keys: list[str] = []
             vals: list[int] = []
-            with open(partition.path, encoding="utf-8", errors="replace") as f:
-                for line in f:
-                    line = line.rstrip("\n")
-                    # Split on the LAST colon (compat.read_kv_text
-                    # contract: keys containing ':' survive).
-                    key, sep, val = line.rpartition(":")
-                    if not sep:
-                        continue
-                    if want is not None and key not in want:
-                        continue
-                    try:
-                        vals.append(int(val))
-                    except ValueError:
-                        continue  # non-numeric tail: not a kv line
-                    keys.append(key)
-                    if len(keys) >= 4096:
-                        yield keys, vals
-                        keys, vals = [], []
+            for key, v in parse_kv_lines(partition.path, want):
+                keys.append(key)
+                vals.append(v)
+                if len(keys) >= 4096:
+                    yield keys, vals
+                    keys, vals = [], []
             if keys:
                 yield keys, vals
 
@@ -162,9 +181,9 @@ class KvTextWriter(DataSourceWriter):
     files in place; a dead reducer left a truncated shard for the
     chained job to mis-read).  Tasks stage ``.part-*.tmp`` files;
     ``commit`` (driver, runs once, only after EVERY task succeeded)
-    renames them all to ``part-NNNNN`` — and under overwrite removes
-    the previous generation's files in the same step; ``abort``
-    deletes the stage.  Readers therefore only ever see complete
+    renames them all to uniquely-suffixed ``part-*`` shards — and
+    under overwrite removes the previous generation's files in the
+    same step; ``abort`` deletes the stage.  Readers therefore only ever see complete
     shards.  Rename-as-commit assumes the sink dir is on a
     rename-atomic FS (local disk/HDFS; on S3-like stores use a
     manifest commit instead — the sink_snapshot_time_travel pattern).
@@ -184,21 +203,34 @@ class KvTextWriter(DataSourceWriter):
         tmp = os.path.join(self._root, f".part-{uuid.uuid4().hex}.tmp")
         with open(tmp, "w", encoding="utf-8") as f:
             for row in iterator:
-                f.write(f"{row[0]}:{row[1]}\n")
+                key, value = row[0], row[1]
+                # Nulls have no representation in the line format: an
+                # f-string would mint the literal string 'None', which
+                # the readers then drop or mis-key — corrupting the
+                # roundtrip silently.  Refuse loudly instead.
+                if key is None or value is None:
+                    raise ValueError(
+                        "kvtext: null key/value is not representable "
+                        f"in the line format (got key={key!r} value={value!r})"
+                    )
+                f.write(f"{key}:{value}\n")
         return KvTextCommit(tmp)
 
     def commit(self, messages) -> None:
         import os
+        import uuid
 
         if self._overwrite:
             for name in os.listdir(self._root):
                 if name.startswith("part-"):
                     os.remove(os.path.join(self._root, name))
-        existing = sum(
-            1 for n in os.listdir(self._root) if n.startswith("part-")
-        )
+        # Shard names carry a unique suffix: naming by count-of-existing
+        # alone lets a concurrent append (or a dir with deleted-shard
+        # gaps) rename onto a LIVE shard — os.rename clobbers silently
+        # and one committed job's data would vanish.
+        run = uuid.uuid4().hex[:8]
         for i, msg in enumerate(m for m in messages if m is not None):
-            final = os.path.join(self._root, f"part-{existing + i:05d}")
+            final = os.path.join(self._root, f"part-{i:05d}-{run}")
             os.rename(msg.tmp_path, final)
 
     def abort(self, messages) -> None:
@@ -210,28 +242,49 @@ class KvTextWriter(DataSourceWriter):
                     os.remove(msg.tmp_path)
                 except OSError:
                     pass
+        # Tasks that died MID-write never returned a commit message, so
+        # their staged files are invisible to the loop above — sweep
+        # every straggler so failed jobs don't accrete hidden debris in
+        # the live sink dir.  (Single-writer-at-a-time per sink, the
+        # same assumption commit's rename step documents: a concurrent
+        # writer's stage would be swept too.)
+        try:
+            for name in os.listdir(self._root):
+                if name.startswith(".part-") and name.endswith(".tmp"):
+                    try:
+                        os.remove(os.path.join(self._root, name))
+                    except OSError:
+                        pass
+        except FileNotFoundError:
+            pass
 
 
 class KvTextStreamReader(SimpleDataSourceStreamReader):
     """``spark.readStream.format("kvtext")`` over a GROWING sink dir —
     the reference's chained-job poll loop (client.sh waits for R output
     blobs) as a real incremental source.  The offset is the sorted
-    prefix of shard files already consumed (``{"nfiles": n}``): a new
-    micro-batch reads exactly the files that appeared since, and
-    ``readBetweenOffsets`` replays any (start, end] range
-    deterministically for recovery — sink files are immutable once
-    committed (the writer above renames complete files into place), so
-    a prefix offset is exact.  Driver-side reads (the Simple reader
-    contract) — right for control-plane-sized sinks; a data-plane
-    volume would use the partition-planning batch reader per
-    micro-batch instead."""
+    LIST OF SHARD NAMES already consumed (``{"names": [...]}``), not a
+    bare count: an overwrite commit (which this very module supports,
+    KvTextWriter) replaces the generation under the stream, and a
+    count-based offset would silently skip the new generation while
+    ``readBetweenOffsets`` replayed the WRONG files under the same
+    indices — exactly-once broken without a sound.  Named offsets make
+    both failure modes loud: ``read`` raises when the consumed prefix
+    no longer matches the directory (restart the stream from a fresh
+    checkpoint after an overwrite), and replay opens files by NAME, so
+    a deleted shard is a FileNotFoundError, never wrong data.
+    Append-committed shards are immutable, so the prefix offset is
+    exact on the supported (append-only) path.  Driver-side reads (the
+    Simple reader contract) — right for control-plane-sized sinks; a
+    data-plane volume would use the partition-planning batch reader
+    per micro-batch instead."""
 
     def __init__(self, options: dict) -> None:
         self._root = options.get("path")
         if not self._root:
             raise ValueError("kvtext: .load(path) is required")
 
-    def _files(self) -> list[str]:
+    def _names(self) -> list[str]:
         import os
 
         try:
@@ -239,37 +292,37 @@ class KvTextStreamReader(SimpleDataSourceStreamReader):
         except FileNotFoundError:
             return []
         return sorted(
-            os.path.join(self._root, n)
-            for n in names
-            if n.startswith("part-") and not n.endswith(".tmp")
+            n for n in names if n.startswith("part-") and not n.endswith(".tmp")
         )
 
-    @staticmethod
-    def _parse(path: str):
-        with open(path, encoding="utf-8", errors="replace") as f:
-            for line in f:
-                key, sep, val = line.rstrip("\n").rpartition(":")
-                if not sep:
-                    continue
-                try:
-                    yield (key, int(val))
-                except ValueError:
-                    continue
+    def _rows(self, names: list[str]):
+        import os
+
+        return [
+            r
+            for n in names
+            for r in parse_kv_lines(os.path.join(self._root, n))
+        ]
 
     def initialOffset(self) -> dict:
-        return {"nfiles": 0}
+        return {"names": []}
 
     def read(self, start: dict):
-        files = self._files()
-        lo = start["nfiles"]
-        rows = [r for p in files[lo:] for r in self._parse(p)]
-        return iter(rows), {"nfiles": len(files)}
+        seen = start["names"]
+        names = self._names()
+        if names[: len(seen)] != seen:
+            raise RuntimeError(
+                "kvtext stream: sink was rewritten under the stream "
+                "(overwrite/compaction) — consumed shards "
+                f"{seen[:3]}... no longer prefix the directory; "
+                "restart from a fresh checkpoint"
+            )
+        new = names[len(seen):]
+        return iter(self._rows(new)), {"names": names}
 
     def readBetweenOffsets(self, start: dict, end: dict):
-        files = self._files()
-        return iter(
-            [r for p in files[start["nfiles"]:end["nfiles"]] for r in self._parse(p)]
-        )
+        # Replay by NAME: exact files, or a loud FileNotFoundError.
+        return iter(self._rows(end["names"][len(start["names"]):]))
 
     def commit(self, end: dict) -> None:
         pass  # shard files are immutable; nothing to clean up

@@ -109,7 +109,7 @@ def test_contradictory_key_equalities_yield_empty(spark, kv_dir):
 
 def test_writer_roundtrip_and_commit_protocol(spark):
     """df.write.format('kvtext') must stage .tmp files and publish
-    complete part-NNNNN shards at commit — readable back identically
+    complete uniquely-suffixed part-* shards at commit — readable back identically
     by BOTH lanes, with no staging debris left behind."""
     df = spark.createDataFrame(
         [("x", 1), ("y:z", 2), ("w", 3)], ["key", "value"]
@@ -148,8 +148,8 @@ def test_writer_overwrite_replaces_append_accretes(spark):
 def test_stream_reader_incremental_exactly_once(spark):
     """The growing sink dir as a micro-batch source: run 1 consumes the
     initial shards; a shard landing later is picked up by run 2 from
-    the SAME checkpoint with no re-read of the prefix (file-count
-    offsets) — union equals the full sink exactly once."""
+    the SAME checkpoint with no re-read of the prefix (named
+    shard-prefix offsets) — union equals the full sink exactly once."""
     register_kvtext(spark)
     path = os.path.join(tempfile.mkdtemp(prefix="kvtext_s_"), "sink")
     ckpt = tempfile.mkdtemp(prefix="kvtext_s_ckpt_")
@@ -181,3 +181,68 @@ def test_stream_reader_incremental_exactly_once(spark):
     assert run() == [("a", 1), ("b", 2), ("c", 3)], (
         "resume must read exactly the new shard, never the prefix again"
     )
+
+
+def test_writer_rejects_nulls(spark):
+    """Nulls have no representation in the line format — the writer
+    must refuse loudly, never mint the literal string 'None' that the
+    readers would then drop or mis-key."""
+    register_kvtext(spark)
+    path = os.path.join(tempfile.mkdtemp(prefix="kvtext_n_"), "sink")
+    bad = spark.createDataFrame([("k", None)], "key string, value long")
+    with pytest.raises(Exception, match="null key/value"):
+        bad.coalesce(1).write.format("kvtext").mode("append").save(path)
+    good = spark.createDataFrame([("k", 1)], "key string, value long")
+    good.coalesce(1).write.format("kvtext").mode("append").save(path)
+    assert [tuple(r) for r in read_kv_text(spark, path).collect()] == [("k", 1)]
+
+
+def test_append_shards_never_clobber(spark):
+    """Repeated appends must accrete distinct shard files — naming by
+    count-of-existing alone would rename the second append's shard onto
+    the first's (silent data loss); unique suffixes make that
+    impossible."""
+    register_kvtext(spark)
+    path = os.path.join(tempfile.mkdtemp(prefix="kvtext_a_"), "sink")
+    for i in range(3):
+        spark.createDataFrame([(f"k{i}", i)], ["key", "value"]).coalesce(
+            1
+        ).write.format("kvtext").mode("append").save(path)
+    assert len(os.listdir(path)) == 3
+    got = sorted(tuple(r) for r in spark.read.format("kvtext").load(path).collect())
+    assert got == [("k0", 0), ("k1", 1), ("k2", 2)]
+
+
+def test_stream_detects_overwrite_under_checkpoint(spark):
+    """An overwrite commit under a running checkpoint invalidates the
+    consumed-shard prefix; the stream must FAIL LOUDLY on resume (the
+    count-based offset design this replaces silently skipped the new
+    generation and replayed wrong files)."""
+    register_kvtext(spark)
+    path = os.path.join(tempfile.mkdtemp(prefix="kvtext_g_"), "sink")
+    ckpt = tempfile.mkdtemp(prefix="kvtext_g_ckpt_")
+    out = os.path.join(tempfile.mkdtemp(prefix="kvtext_g_out_"), "rows")
+    spark.createDataFrame([("a", 1)], ["key", "value"]).coalesce(1).write.format(
+        "kvtext"
+    ).mode("append").save(path)
+
+    def run():
+        q = (
+            spark.readStream.format("kvtext")
+            .load(path)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run()
+    # Overwrite: same row count, DIFFERENT shard name generation.
+    spark.createDataFrame([("b", 2)], ["key", "value"]).coalesce(1).write.format(
+        "kvtext"
+    ).mode("overwrite").save(path)
+    with pytest.raises(Exception, match="rewritten under the stream"):
+        run()

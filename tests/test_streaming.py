@@ -556,18 +556,30 @@ def test_processing_time_ttl_evicts(spark, events):
             u: counts0[u] for u in (2, 3, 4)
         }
 
-        # Re-feed an evicted key: the count must restart FRESH.
+        # Re-feed an evicted key: the count must restart FRESH.  Note
+        # counts0[2] == n2 (the b0 batch already emitted (2, n2, False)),
+        # so a predicate on a single such row would be satisfied before
+        # the refeed even runs — require a SECOND occurrence, which can
+        # only come from the post-eviction batch, and reject the
+        # survived-state value explicitly.
+        n_fresh_before = sum(
+            1 for r in rows() if not r.evicted and r.user_id == 2
+        )
+        assert n_fresh_before == 1
         stage_file(events.where(F.col("user_id") == 2), "b2.parquet")
         wait_until(
-            lambda: any(
-                not r.evicted
-                and r.user_id == 2
-                and r.n_events == n2
-                and r.n_events != counts0[2] + n2
+            lambda: sum(
+                1
                 for r in rows()
-            ),
+                if not r.evicted and r.user_id == 2 and r.n_events == n2
+            )
+            >= 2,
             60,
             "user 2's fresh post-eviction state",
         )
+        assert not any(
+            not r.evicted and r.user_id == 2 and r.n_events == counts0[2] + n2
+            for r in rows()
+        ), "state survived eviction: refeed accumulated onto the old count"
     finally:
         q.stop()
