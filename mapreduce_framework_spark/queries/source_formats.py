@@ -395,3 +395,76 @@ def source_kvtext_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.format("kvtext").load(path).select(
         F.col("key").alias("word"), F.col("value").alias("cnt")
     )
+
+
+@register(
+    "sink_kvtext_writer_roundtrip",
+    oracle=_load_kvtext_oracle(),
+    tags=("sink", "compat"),
+)
+def sink_kvtext_writer_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The kvtext WRITER's two-phase commit under the oracle: wordcount
+    counts written through ``df.write.format("kvtext")`` (tasks stage
+    .tmp shards, the driver commit renames the complete set) into a
+    per-invocation dir, read back through the JVM lane
+    (compat.read_kv_text) — lane-crossing on purpose: the hash only
+    matches if the Python writer's published shards are byte-compatible
+    with the format the fast reader expects.  Complements
+    source_kvtext_datasource (Python READER over a JVM-written sink);
+    together the two keys close the write↔read matrix."""
+    import tempfile
+
+    from mapreduce_framework_spark.compat import read_kv_text
+    from mapreduce_framework_spark.queries.wordcount import wordcount
+    from mapreduce_framework_spark.sources.kvtext_datasource import register_kvtext
+
+    register_kvtext(spark)
+    out = os.path.join(
+        tempfile.mkdtemp(prefix=f"mfs_kvw_{os.path.basename(sf_dir)}_"), "sink"
+    )
+    counts = wordcount(spark, sf_dir).select(
+        F.col("word").alias("key"), F.col("cnt").alias("value")
+    )
+    counts.repartition(3).write.format("kvtext").mode("append").save(out)
+    return read_kv_text(spark, out).select(
+        F.col("key").alias("word"), F.col("value").alias("cnt")
+    )
+
+
+@register(
+    "stream_kvtext_source",
+    oracle=_load_kvtext_oracle(),
+    tags=("stream", "source", "compat"),
+)
+def stream_kvtext_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The kvtext STREAM lane under the oracle: the cached wordcount
+    sink consumed through ``spark.readStream.format("kvtext")`` (named
+    shard-prefix offsets, driver-side Simple reader) in one
+    availableNow pass to a memory sink — the result must equal the
+    batch wordcount exactly, proving the incremental reader loses and
+    duplicates nothing across its per-shard offsets.  The multi-batch
+    resume/mutation behavior is pinned by tests/test_kvtext_source.py;
+    this key puts the lane itself under the driver's hash gate."""
+    import tempfile
+    import uuid
+
+    from mapreduce_framework_spark.sources.kvtext_datasource import register_kvtext
+
+    register_kvtext(spark)
+    path = _kv_sink_cache(spark, sf_dir)
+    ckpt = tempfile.mkdtemp(prefix="mfs_kvstream_ckpt_")
+    sink = f"kvstream_{uuid.uuid4().hex[:8]}"
+    q = (
+        spark.readStream.format("kvtext")
+        .load(path)
+        .writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink).select(
+        F.col("key").alias("word"), F.col("value").alias("cnt")
+    )
