@@ -29,7 +29,7 @@ What the DataSource does that a manual parse cannot:
   readers never see a truncated shard, the failure the reference's
   in-place reducer writes could leak into chained jobs.
 - **Incremental reads** (``spark.readStream.format("kvtext")``): a
-  growing sink dir as a micro-batch source with named shard-prefix
+  growing sink dir as a micro-batch source with consumed-shard set
   offsets, a loud mutation guard, and deterministic by-name replay —
   the chained-job poll loop (client.sh waits for R output blobs) as a
   real stream.
@@ -262,19 +262,23 @@ class KvTextWriter(DataSourceWriter):
 class KvTextStreamReader(SimpleDataSourceStreamReader):
     """``spark.readStream.format("kvtext")`` over a GROWING sink dir —
     the reference's chained-job poll loop (client.sh waits for R output
-    blobs) as a real incremental source.  The offset is the sorted
-    LIST OF SHARD NAMES already consumed (``{"names": [...]}``), not a
-    bare count: an overwrite commit (which this very module supports,
-    KvTextWriter) replaces the generation under the stream, and a
-    count-based offset would silently skip the new generation while
-    ``readBetweenOffsets`` replayed the WRONG files under the same
-    indices — exactly-once broken without a sound.  Named offsets make
-    both failure modes loud: ``read`` raises when the consumed prefix
-    no longer matches the directory (restart the stream from a fresh
-    checkpoint after an overwrite), and replay opens files by NAME, so
-    a deleted shard is a FileNotFoundError, never wrong data.
-    Append-committed shards are immutable, so the prefix offset is
-    exact on the supported (append-only) path.  Driver-side reads (the
+    blobs) as a real incremental source.  The offset is the SET OF
+    SHARD NAMES already consumed (``{"names": [...]}``, sorted for a
+    stable encoding, membership-compared), not a bare count and not a
+    sorted prefix: a count offset silently skips the new generation
+    after an overwrite commit while ``readBetweenOffsets`` replays the
+    WRONG files under the same indices, and a prefix comparison
+    assumes new shards SORT AFTER consumed ones — false under the
+    writer's uniquely-suffixed names (``part-00000-<uuid>`` sorts
+    either side of its predecessor; caught as a 50/50 in-suite flake).
+    Named set-offsets make every failure mode loud: ``read`` raises
+    when any consumed shard vanished from the directory (the overwrite
+    signature — restart from a fresh checkpoint), new shards are
+    whatever names are not yet in the set regardless of sort position,
+    and replay opens files by NAME, so a deleted shard is a
+    FileNotFoundError, never wrong data.  Append-committed shards are
+    immutable, so set membership is exact on the supported
+    (append-only) path.  Driver-side reads (the
     Simple reader contract) — right for control-plane-sized sinks; a
     data-plane volume would use the partition-planning batch reader
     per micro-batch instead."""
@@ -308,21 +312,23 @@ class KvTextStreamReader(SimpleDataSourceStreamReader):
         return {"names": []}
 
     def read(self, start: dict):
-        seen = start["names"]
+        seen = set(start["names"])
         names = self._names()
-        if names[: len(seen)] != seen:
+        missing = seen - set(names)
+        if missing:
             raise RuntimeError(
                 "kvtext stream: sink was rewritten under the stream "
                 "(overwrite/compaction) — consumed shards "
-                f"{seen[:3]}... no longer prefix the directory; "
+                f"{sorted(missing)[:3]} vanished from the directory; "
                 "restart from a fresh checkpoint"
             )
-        new = names[len(seen):]
+        new = [n for n in names if n not in seen]
         return iter(self._rows(new)), {"names": names}
 
     def readBetweenOffsets(self, start: dict, end: dict):
         # Replay by NAME: exact files, or a loud FileNotFoundError.
-        return iter(self._rows(end["names"][len(start["names"]):]))
+        seen = set(start["names"])
+        return iter(self._rows([n for n in end["names"] if n not in seen]))
 
     def commit(self, end: dict) -> None:
         pass  # shard files are immutable; nothing to clean up

@@ -148,8 +148,8 @@ def test_writer_overwrite_replaces_append_accretes(spark):
 def test_stream_reader_incremental_exactly_once(spark):
     """The growing sink dir as a micro-batch source: run 1 consumes the
     initial shards; a shard landing later is picked up by run 2 from
-    the SAME checkpoint with no re-read of the prefix (named
-    shard-prefix offsets) — union equals the full sink exactly once."""
+    the SAME checkpoint with no re-read of consumed shards (set-based
+    name offsets) — union equals the full sink exactly once."""
     register_kvtext(spark)
     path = os.path.join(tempfile.mkdtemp(prefix="kvtext_s_"), "sink")
     ckpt = tempfile.mkdtemp(prefix="kvtext_s_ckpt_")
