@@ -411,21 +411,21 @@ def sink_kvtext_writer_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     matches if the Python writer's published shards are byte-compatible
     with the format the fast reader expects.  Complements
     source_kvtext_datasource (Python READER over a JVM-written sink);
-    together the two keys close the write↔read matrix."""
-    import tempfile
-
+    together the two keys close the write↔read matrix.  Overwrite
+    into the module's pid-scoped fixed path (_tmp) — a per-invocation
+    mkdtemp accreted one full sink per bench/sweep run — and overwrite
+    exercises the SAME two-phase commit plus the old-generation
+    removal step."""
     from mapreduce_framework_spark.compat import read_kv_text
     from mapreduce_framework_spark.queries.wordcount import wordcount
     from mapreduce_framework_spark.sources.kvtext_datasource import register_kvtext
 
     register_kvtext(spark)
-    out = os.path.join(
-        tempfile.mkdtemp(prefix=f"mfs_kvw_{os.path.basename(sf_dir)}_"), "sink"
-    )
+    out = _tmp(sf_dir, "kvw")
     counts = wordcount(spark, sf_dir).select(
         F.col("word").alias("key"), F.col("cnt").alias("value")
     )
-    counts.repartition(3).write.format("kvtext").mode("append").save(out)
+    counts.repartition(3).write.format("kvtext").mode("overwrite").save(out)
     return read_kv_text(spark, out).select(
         F.col("key").alias("word"), F.col("value").alias("cnt")
     )
@@ -438,22 +438,31 @@ def sink_kvtext_writer_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def stream_kvtext_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The kvtext STREAM lane under the oracle: the cached wordcount
-    sink consumed through ``spark.readStream.format("kvtext")`` (named
-    shard-prefix offsets, driver-side Simple reader) in one
+    sink consumed through ``spark.readStream.format("kvtext")`` (consumed-shard set
+    offsets, driver-side Simple reader) in one
     availableNow pass to a memory sink — the result must equal the
     batch wordcount exactly, proving the incremental reader loses and
     duplicates nothing across its per-shard offsets.  The multi-batch
     resume/mutation behavior is pinned by tests/test_kvtext_source.py;
-    this key puts the lane itself under the driver's hash gate."""
-    import tempfile
-    import uuid
+    this key puts the lane itself under the driver's hash gate.
 
+    Resource hygiene (review finding): the checkpoint lives at a
+    pid-scoped FIXED path cleared per invocation (a per-invocation
+    mkdtemp accreted debris; REUSING the checkpoint would make the
+    second availableNow pass read zero new shards and return empty),
+    and the memory sink uses one fixed pid-scoped table name so
+    repeated runs REPLACE the driver-held result instead of
+    accumulating one full copy per invocation."""
+    import shutil
+
+    from mapreduce_framework_spark.io import user_scratch_dir
     from mapreduce_framework_spark.sources.kvtext_datasource import register_kvtext
 
     register_kvtext(spark)
     path = _kv_sink_cache(spark, sf_dir)
-    ckpt = tempfile.mkdtemp(prefix="mfs_kvstream_ckpt_")
-    sink = f"kvstream_{uuid.uuid4().hex[:8]}"
+    ckpt = os.path.join(user_scratch_dir("kvstream"), "ckpt")
+    shutil.rmtree(ckpt, ignore_errors=True)
+    sink = f"kvstream_sink_{os.getpid()}"
     q = (
         spark.readStream.format("kvtext")
         .load(path)

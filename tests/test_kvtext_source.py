@@ -214,8 +214,8 @@ def test_append_shards_never_clobber(spark):
 
 
 def test_stream_detects_overwrite_under_checkpoint(spark):
-    """An overwrite commit under a running checkpoint invalidates the
-    consumed-shard prefix; the stream must FAIL LOUDLY on resume (the
+    """An overwrite commit under a running checkpoint deletes consumed
+    shards; the stream must FAIL LOUDLY on resume (the
     count-based offset design this replaces silently skipped the new
     generation and replayed wrong files)."""
     register_kvtext(spark)
