@@ -73,17 +73,22 @@ def main() -> None:
             timings[name] = min(timings.get(name, dt), dt)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "bench_suite_wall_seconds",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
+    payload = json.dumps(
+        {
+            "metric": "bench_suite_wall_seconds",
+            "value": total,
+            "unit": "sec",
+            "queries": timings,
+            "sf": sf,
+        }
     )
+    print(payload)
+    # Also persist the full line to a file: the driver records only a
+    # bounded tail of stdout, and round 9's BENCH artifact came back
+    # with `parsed: null` because the per-query dict straddled the
+    # truncation point.  BENCH_last.json is the untruncatable copy —
+    # tools/bench_adjudicate.py and the round ledger read it.
+    (Path(__file__).resolve().parent / "BENCH_last.json").write_text(payload + "\n")
 
 
 if __name__ == "__main__":

@@ -170,11 +170,23 @@ def write_kv_text(df: DataFrame, path: str, mode: str = "overwrite") -> None:
 def read_kv_text(spark: SparkSession, path: str) -> DataFrame:
     """Parse a ``key:value`` text sink back to DataFrame[key, value] —
     the closure-under-composition half of design.md:74.  Splits on the
-    LAST colon so keys containing ':' survive a round-trip."""
-    lines = spark.read.text(path)
+    LAST colon so keys containing ':' survive a round-trip (the greedy
+    ``(.*)`` backtracks to the last ':' with an all-digit suffix —
+    exactly ``rpartition`` + digit-check, the Python lane's grammar).
+
+    ONE grammar across lanes (round-9 ADVICE): lines that don't match
+    ``^(.*):(-?[0-9]+)$`` are FILTERED here, identically to the Python
+    DataSource's ``parse_kv_lines`` skip — previously this lane mapped
+    a malformed line to a ``('', NULL)`` row, so the two lanes
+    disagreed on dirty/foreign sinks and a malformed line was
+    indistinguishable from the legitimate empty-string key.  ``[0-9]``
+    not ``\\d``: both lanes mean ASCII digits only (Python's ``\\d``
+    accepts unicode digits that ``CAST AS long`` then rejects)."""
+    pat = r"^(.*):(-?[0-9]+)$"
+    lines = spark.read.text(path).where(F.col("value").rlike(pat))
     return lines.select(
-        F.regexp_extract("value", r"^(.*):(-?\d+)$", 1).alias("key"),
-        F.regexp_extract("value", r"^(.*):(-?\d+)$", 2).cast("long").alias("value"),
+        F.regexp_extract("value", pat, 1).alias("key"),
+        F.regexp_extract("value", pat, 2).cast("long").alias("value"),
     )
 
 

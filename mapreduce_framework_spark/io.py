@@ -61,7 +61,52 @@ def user_cache_root() -> str:
     return user_tmp_root("mfs_cache")
 
 
-def publish_cached(cache_name: str, build) -> str:
+def reap_superseded(family: str, keep: str, age_s: float = 3600.0) -> list[str]:
+    """Generation GC for the build-once artifact caches (round-9
+    verdict task #6: ``user_cache_root()`` accreted one directory per
+    (sf, file-identity, params) forever).  Removes sibling cache dirs
+    that share ``family`` (the stable prefix: artifact kind + every
+    component that may legitimately coexist, e.g. the SF) but are not
+    ``keep`` — i.e. generations whose file-identity/params/version
+    component changed, which by the cache-key contract means their
+    input or code is gone.  The ``age_s`` guard (default 1 h) keeps a
+    concurrent session on an older code version from having its
+    artifact reaped mid-read: a superseded dir is only removed once it
+    has sat untouched past the guard.  Returns the reaped names (for
+    the unit test); never raises — GC must not fail a query."""
+    import shutil
+    import time
+
+    root = user_cache_root()
+    prefix = family if family.endswith("_") else family + "_"
+    if not (keep.startswith(prefix) or keep == family):
+        raise ValueError(
+            f"reap_superseded: keep={keep!r} is not in family {family!r} — "
+            "the sweep would reap the artifact it just published"
+        )
+    reaped: list[str] = []
+    now = time.time()
+    try:
+        names = os.listdir(root)
+    except OSError:
+        return reaped
+    for name in names:
+        if name == keep or not name.startswith(prefix):
+            continue
+        path = os.path.join(root, name)
+        try:
+            if not os.path.isdir(path) or now - os.path.getmtime(path) < age_s:
+                continue
+            shutil.rmtree(path, ignore_errors=True)
+            reaped.append(name)
+        except OSError:
+            continue
+    return reaped
+
+
+def publish_cached(
+    cache_name: str, build, family: str | None = None, reap_age_s: float = 3600.0
+) -> str:
     """The ONE stage-then-atomic-rename cache publish (previously
     copy-pasted between the mapreduce corpus spill and the kv-sink
     cache — a hardening of the publish race must land once, here).
@@ -75,6 +120,11 @@ def publish_cached(cache_name: str, build) -> str:
     depends on — source-file identity AND a version component for any
     code the output derives from (a stale artifact under an
     input-only key survives code changes and fails oracles forever).
+
+    ``family`` opts into generation GC: pass the stable prefix of
+    ``cache_name`` (kind + SF + fixed params — everything EXCEPT the
+    file-identity/version tail) and superseded sibling generations are
+    swept via :func:`reap_superseded` after publish.
     """
     import shutil
     import tempfile
@@ -87,8 +137,19 @@ def publish_cached(cache_name: str, build) -> str:
         try:
             os.rename(staged, dest)
         except OSError:
-            pass  # a concurrent session published first; its copy is complete
+            # Only the lost-race shape is benign (a concurrent session
+            # published first, so dest now exists and is complete).  A
+            # rename that failed for any OTHER reason — EXDEV when
+            # TMPDIR moved across filesystems between calls, EACCES —
+            # must not fall through to "return a path that isn't
+            # there": that surfaces later as a baffling missing-path
+            # error far from the cause (round-9 ADVICE).
+            if not os.path.isdir(dest):
+                shutil.rmtree(stage, ignore_errors=True)
+                raise
         shutil.rmtree(stage, ignore_errors=True)
+    if family is not None:
+        reap_superseded(family, keep=cache_name, age_s=reap_age_s)
     return dest
 
 

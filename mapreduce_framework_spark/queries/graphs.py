@@ -541,25 +541,19 @@ def persisted_cosupply_adjacency(
     place, so concurrent sessions race safely and readers only ever see
     a complete artifact."""
     import os
-    import shutil
-    import tempfile
+
+    from mapreduce_framework_spark.io import publish_cached
 
     st = os.stat(os.path.join(sf_dir, "lineitem.parquet"))
-    ident = (
-        f"{os.path.basename(os.path.normpath(sf_dir))}"
-        f"_{st.st_size}_{st.st_mtime_ns}_k{k}b{n_buckets}"
-    )
-    from mapreduce_framework_spark.io import user_cache_root
+    sf_base = os.path.basename(os.path.normpath(sf_dir))
+    ident = f"{sf_base}_{st.st_size}_{st.st_mtime_ns}_k{k}b{n_buckets}"
 
-    dest = os.path.join(user_cache_root(), f"mfs_graph_adj_{ident}")
-    if not os.path.isdir(dest):
+    def build(staged: str) -> None:
         l = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
         edges = knn_edges_frame(l, k)
         adj = edges.select(
             F.col("u").alias("src"), F.col("v").alias("dst")
         ).unionByName(edges.select(F.col("v").alias("src"), F.col("u").alias("dst")))
-        stage = tempfile.mkdtemp(prefix="mfs_graph_adj_stage_")
-        staged = os.path.join(stage, "adj")
         (
             adj.withColumn(
                 "src_bucket", F.pmod(F.col("src"), F.lit(n_buckets)).cast("int")
@@ -569,11 +563,14 @@ def persisted_cosupply_adjacency(
             .partitionBy("src_bucket")
             .parquet(staged)
         )
-        try:
-            os.rename(staged, dest)
-        except OSError:
-            pass  # concurrent session published first; its copy is complete
-        shutil.rmtree(stage, ignore_errors=True)
+
+    # family = kind + SF: per-SF artifacts coexist (tests/bench/driver
+    # run different SFs concurrently); a changed file identity or
+    # k/n_buckets marks the old generation superseded and the publish
+    # sweep reaps it once it ages past the cross-session guard.
+    dest = publish_cached(
+        f"mfs_graph_adj_{ident}", build, family=f"mfs_graph_adj_{sf_base}"
+    )
     return spark.read.parquet(dest)
 
 

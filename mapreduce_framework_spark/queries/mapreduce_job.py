@@ -56,7 +56,11 @@ def _spill_corpus(spark: SparkSession, sf_dir: str) -> str:
     # Input-identity key alone is sound HERE (unlike the kv-sink cache,
     # which also hashes its code version): the spill is a pure
     # projection of documents.parquet, no derivation code to go stale.
-    return publish_cached(f"mfs_mr_corpus_{key}", build)
+    return publish_cached(
+        f"mfs_mr_corpus_{key}",
+        build,
+        family=f"mfs_mr_corpus_{os.path.basename(sf_dir)}",
+    )
 
 
 @register("mapreduce_job_wordcount", oracle=_ORACLE, tags=("compat", "udf"), bench=True)

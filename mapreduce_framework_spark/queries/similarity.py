@@ -966,31 +966,24 @@ def _per_sf_cached_index(
     index — the number that matters at 100 TB, where the build
     amortizes across every query."""
     import os
-    import shutil
-    import tempfile
+
+    from mapreduce_framework_spark.io import publish_cached
 
     st = os.stat(os.path.join(sf_dir, "embeddings.parquet"))
     # ``params`` folds every index-build parameter into the key (the
     # adjacency cache's k/n_buckets convention): without it, changing
     # n_sub/n_seeds/centroids would silently serve a stale index built
     # with the OLD parameters — round-9 review finding.
-    ident = (
-        f"{os.path.basename(os.path.normpath(sf_dir))}"
-        f"_{st.st_size}_{st.st_mtime_ns}_{params}"
+    sf_base = os.path.basename(os.path.normpath(sf_dir))
+    ident = f"{sf_base}_{st.st_size}_{st.st_mtime_ns}_{params}"
+    # family = kind + SF (the coexistence axes); superseded identity or
+    # params generations are reaped by the publish sweep after the
+    # cross-session age guard (io.reap_superseded).
+    return publish_cached(
+        f"mfs_idx_cache_{kind}_{ident}",
+        build,
+        family=f"mfs_idx_cache_{kind}_{sf_base}",
     )
-    from mapreduce_framework_spark.io import user_cache_root
-
-    dest = os.path.join(user_cache_root(), f"mfs_idx_cache_{kind}_{ident}")
-    if not os.path.isdir(dest):
-        stage = tempfile.mkdtemp(prefix=f"mfs_idx_cache_{kind}_stage_")
-        staged = os.path.join(stage, "idx")
-        build(staged)
-        try:
-            os.rename(staged, dest)
-        except OSError:
-            pass  # concurrent session published first; its copy is complete
-        shutil.rmtree(stage, ignore_errors=True)
-    return dest
 
 
 @register(

@@ -362,7 +362,11 @@ def _kv_sink_cache(spark: SparkSession, sf_dir: str) -> str:
         )
         write_kv_text(counts.repartition(5, "key"), staged)
 
-    return publish_cached(f"mfs_kvsink_{key}", build)
+    return publish_cached(
+        f"mfs_kvsink_{key}",
+        build,
+        family=f"mfs_kvsink_{os.path.basename(sf_dir)}",
+    )
 
 
 def _load_kvtext_oracle() -> str:

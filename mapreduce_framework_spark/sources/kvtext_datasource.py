@@ -71,8 +71,10 @@ def parse_kv_lines(path: str, want: set | None = None):
     sign variants/whitespace/underscores/unicode digits (``int()``
     alone is laxer than the Java regex and would make the two lanes
     diverge on lenient foreign sinks).  Non-conforming lines are
-    skipped ("not a kv line" — the JVM lane's behavior on them is
-    cast-conf-dependent and the parity pin covers conforming sinks);
+    skipped — and since round 10 the JVM lane (compat.read_kv_text)
+    filters the SAME grammar with RLIKE, so both lanes skip
+    identically on dirty/foreign sinks (round-9 ADVICE closed; pinned
+    by tests/test_kvtext_source.py::test_lanes_skip_malformed_identically);
     a grammar-valid value outside int64 raises loudly rather than
     silently dropping data the schema cannot carry."""
     import re
@@ -217,6 +219,20 @@ class KvTextWriter(DataSourceWriter):
         return KvTextCommit(tmp)
 
     def commit(self, messages) -> None:
+        """Publish the staged set.  Atomicity contract, explicitly:
+        PER-SHARD atomic (each rename publishes one complete file —
+        readers never see a truncated shard), NOT per-generation.  An
+        overwrite commit is delete-then-rename across many files, so a
+        concurrent reader listing the dir mid-commit — or a crash
+        between the removal loop and the renames — can observe a torn
+        generation: old shards gone, new ones partially renamed.  The
+        supported concurrency model is single-writer with readers
+        EITHER between commits OR on the append-only path (where the
+        old generation is never touched and the stream reader's
+        set-offsets are exact); a reader racing an OVERWRITE commit
+        needs a manifest/subdirectory-swap sink instead — that pattern
+        lives in queries/scans.py (sink_snapshot_time_travel), where
+        the generation flip IS a single atomic manifest rename."""
         import os
         import uuid
 
@@ -232,6 +248,19 @@ class KvTextWriter(DataSourceWriter):
         for i, msg in enumerate(m for m in messages if m is not None):
             final = os.path.join(self._root, f"part-{i:05d}-{run}")
             os.rename(msg.tmp_path, final)
+        # Failed-then-retried (or lost speculative) task attempts staged
+        # .tmp files that never made it into ``messages`` — only abort()
+        # used to sweep those, so a job that ultimately SUCCEEDED after
+        # task retries left orphan debris in the live sink dir forever
+        # (round-9 ADVICE).  The committed set was renamed away above,
+        # so every remaining .tmp is a straggler; same single-writer
+        # assumption as the rename step.
+        for name in os.listdir(self._root):
+            if name.startswith(".part-") and name.endswith(".tmp"):
+                try:
+                    os.remove(os.path.join(self._root, name))
+                except OSError:
+                    pass
 
     def abort(self, messages) -> None:
         import os
@@ -360,6 +389,20 @@ def register_kvtext(spark) -> None:
     to plan a filtered scan while ``spark.sql.python.filterPushdown.
     enabled`` is false (fail-fast upstream guard), and the conf is
     read at plan time — i.e. at the driver's collect on our lazy
-    frames — so it must be set-and-left, not set-and-restored."""
+    frames — so it must be set-and-left, not set-and-restored.
+
+    By-VALUE pickling is registered explicitly: cloudpickle ships
+    classes that live in an importable module by REFERENCE, so a
+    Python worker whose interpreter lacks this repo on sys.path (an
+    external driver running from its own cwd — the exact standalone
+    contract __spark_entry__ promises) would die with
+    ModuleNotFoundError at DataSource instantiation.  Registering the
+    module for by-value pickling makes the source self-contained on
+    the wire, which the module docstring always intended."""
+    import sys
+
+    from pyspark import cloudpickle
+
+    cloudpickle.register_pickle_by_value(sys.modules[register_kvtext.__module__])
     spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(KvTextDataSource)

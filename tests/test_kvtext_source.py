@@ -246,3 +246,48 @@ def test_stream_detects_overwrite_under_checkpoint(spark):
     ).mode("overwrite").save(path)
     with pytest.raises(Exception, match="rewritten under the stream"):
         run()
+
+
+def test_lanes_skip_malformed_identically(spark):
+    """ONE grammar across lanes (round-9 ADVICE): on a dirty/foreign
+    sink, the Python DataSource and compat.read_kv_text must skip the
+    SAME lines — previously the JVM lane mapped a malformed line to a
+    ('', NULL) row, indistinguishable from the legitimate empty-string
+    key."""
+    d = tempfile.mkdtemp(prefix="kvtext_dirty_")
+    with open(os.path.join(d, "part-00000-dirty"), "w") as f:
+        f.write(
+            "good:1\n"          # conforming
+            "no colon here\n"   # malformed: no colon
+            "trail:12:b\n"      # malformed: non-digit suffix after last colon
+            ":7\n"              # conforming: legitimate empty-string key
+            "neg:-5\n"          # conforming: negative value
+            "uni:１２\n"         # malformed: unicode digits are not the grammar
+            "a:b:34\n"          # conforming: key contains ':'
+            "\n"                # malformed: empty line
+        )
+    register_kvtext(spark)
+    via_ds = sorted(tuple(r) for r in spark.read.format("kvtext").load(d).collect())
+    via_jvm = sorted(tuple(r) for r in read_kv_text(spark, d).collect())
+    expect = [("", 7), ("a:b", 34), ("good", 1), ("neg", -5)]
+    assert via_ds == expect
+    assert via_jvm == expect, "JVM lane must skip exactly the Python lane's skips"
+
+
+def test_commit_sweeps_retry_stragglers(spark):
+    """A task attempt that staged a .tmp and died (retry/speculation)
+    leaves debris invisible to commit's message list; commit must sweep
+    it so a SUCCEEDED job leaves no orphans (round-9 ADVICE — only
+    abort used to sweep)."""
+    register_kvtext(spark)
+    path = os.path.join(tempfile.mkdtemp(prefix="kvtext_strag_"), "sink")
+    os.makedirs(path)
+    straggler = os.path.join(path, ".part-deadbeef.tmp")
+    with open(straggler, "w") as f:
+        f.write("orphan:1\n")
+    spark.createDataFrame([("k", 1)], ["key", "value"]).coalesce(1).write.format(
+        "kvtext"
+    ).mode("append").save(path)
+    names = sorted(os.listdir(path))
+    assert not any(n.endswith(".tmp") for n in names), names
+    assert [tuple(r) for r in read_kv_text(spark, path).collect()] == [("k", 1)]

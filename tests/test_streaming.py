@@ -512,14 +512,23 @@ def test_processing_time_ttl_evicts(spark, events):
         for r in four.groupBy("user_id").agg(F.count("*").alias("cnt")).collect()
     }
 
+    # TTL sizing (round-9 ADVICE flake fix): the mid-TTL phases below —
+    # "no eviction yet" and "user 1 accumulates onto SURVIVING state" —
+    # only hold if their batches process within the TTL of the state's
+    # creation.  At ttl_ms=10s a loaded host's first micro-batches
+    # could take longer than the TTL and evict before b1 landed; 30s
+    # gives the slow-host margin, and the no-eviction assertion is
+    # additionally wall-clock-gated so it can never fire stale.
+    ttl_ms = 30_000
     stage_file(four, "b0.parquet")
+    t0 = time.time()
     stream = (
         spark.readStream.schema(events.schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(src)
     )
     q = (
-        ttl_evicting_totals(stream, ttl_ms=10_000)
+        ttl_evicting_totals(stream, ttl_ms=ttl_ms)
         .writeStream.format("memory")
         .queryName("ttl_sink")
         .outputMode("update")
@@ -530,7 +539,13 @@ def test_processing_time_ttl_evicts(spark, events):
     try:
         wait_until(lambda: len(rows()) >= 4, 60, "first updates for users 1-4")
         assert {r.user_id for r in rows() if not r.evicted} == {1, 2, 3, 4}
-        assert not any(r.evicted for r in rows()), "eviction before TTL elapsed"
+        if time.time() - t0 < 0.8 * ttl_ms / 1000:
+            # Only meaningful while provably inside the TTL window —
+            # on a host slow enough to blow through it, eviction here
+            # is correct behavior, not a failure.
+            assert not any(r.evicted for r in rows()), (
+                "eviction before TTL elapsed"
+            )
 
         # Inside the TTL window: user 1's state must survive + accumulate.
         stage_file(events.where(F.col("user_id") == 1), "b1.parquet")
@@ -545,7 +560,7 @@ def test_processing_time_ttl_evicts(spark, events):
 
         # Idle past the TTL: exactly one eviction per key, final counts.
         wait_until(
-            lambda: sum(1 for r in rows() if r.evicted) >= 4, 90, "4 evictions"
+            lambda: sum(1 for r in rows() if r.evicted) >= 4, 120, "4 evictions"
         )
         evicted = [r for r in rows() if r.evicted]
         assert {r.user_id for r in evicted} == {1, 2, 3, 4}
