@@ -442,8 +442,10 @@ def sink_kvtext_writer_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def stream_kvtext_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The kvtext STREAM lane under the oracle: the cached wordcount
-    sink consumed through ``spark.readStream.format("kvtext")`` (consumed-shard set
-    offsets, driver-side Simple reader) in one
+    sink consumed through ``spark.readStream.format("kvtext")``
+    (consumed-shard set offsets; since round 10 the PARTITION-PLANNED
+    DataSourceStreamReader — one InputPartition per new shard,
+    executor-side Arrow reads, driver only lists the dir) in one
     availableNow pass to a memory sink — the result must equal the
     batch wordcount exactly, proving the incremental reader loses and
     duplicates nothing across its per-shard offsets.  The multi-batch

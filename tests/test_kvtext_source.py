@@ -291,3 +291,74 @@ def test_commit_sweeps_retry_stragglers(spark):
     names = sorted(os.listdir(path))
     assert not any(n.endswith(".tmp") for n in names), names
     assert [tuple(r) for r in read_kv_text(spark, path).collect()] == [("k", 1)]
+
+
+def test_stream_reader_is_partition_planned(spark):
+    """Round-9 verdict task #1's pin: the stream lane must be the
+    partition-planning DataSourceStreamReader (one InputPartition per
+    new shard, executor-side reads), not the driver-materializing
+    Simple variant."""
+    from pyspark.sql.datasource import DataSourceStreamReader
+
+    from mapreduce_framework_spark.sources.kvtext_datasource import (
+        KvTextDataSource,
+        KvTextPartition,
+    )
+
+    d = tempfile.mkdtemp(prefix="kvtext_pp_")
+    for i in range(3):
+        with open(os.path.join(d, f"part-0000{i}-r10"), "w") as f:
+            f.write(f"k{i}:{i}\n")
+    src = KvTextDataSource({"path": d})
+    reader = src.streamReader(None)
+    assert isinstance(reader, DataSourceStreamReader), (
+        "stream lane must plan partitions, not read driver-side"
+    )
+    start, end = reader.initialOffset(), reader.latestOffset()
+    parts = reader.partitions(start, end)
+    assert len(parts) == 3 and all(isinstance(p, KvTextPartition) for p in parts)
+    assert sorted(os.path.basename(p.path) for p in parts) == sorted(
+        end["names"]
+    ), "one InputPartition per new shard, by name"
+    # Consumed-everything: an empty plan, never a re-read.
+    assert reader.partitions(end, end) == []
+    # Each partition must be independently readable (the executor-side
+    # contract: no driver state beyond the shard path).
+    rows = [
+        (k, v)
+        for p in parts
+        for b in reader.read(p)
+        for k, v in zip(b.column(0).to_pylist(), b.column(1).to_pylist())
+    ]
+    assert sorted(rows) == [("k0", 0), ("k1", 1), ("k2", 2)]
+
+
+def test_stream_microbatch_scans_one_task_per_shard(spark):
+    """Executed proof of per-shard parallelism: a 3-shard generation
+    arriving in one micro-batch must scan as 3 distinct input
+    partitions (spark_partition_id over the batch frame), the unit of
+    parallelism the reference's reducer shards define."""
+    register_kvtext(spark)
+    path = os.path.join(tempfile.mkdtemp(prefix="kvtext_tasks_"), "sink")
+    ckpt = tempfile.mkdtemp(prefix="kvtext_tasks_ckpt_")
+    spark.createDataFrame(
+        [("a", 1), ("b", 2), ("c", 3)], ["key", "value"]
+    ).repartition(3).write.format("kvtext").mode("append").save(path)
+
+    n_parts: list[int] = []
+
+    def grab(batch_df, _batch_id):
+        n_parts.append(batch_df.rdd.getNumPartitions())
+
+    q = (
+        spark.readStream.format("kvtext")
+        .load(path)
+        .writeStream.foreachBatch(grab)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert n_parts == [3], (
+        f"3 shards must plan as 3 scan partitions, got {n_parts}"
+    )
