@@ -1404,6 +1404,119 @@ def chunk_dedup_frame(d: DataFrame, span_tokens: int = 16) -> DataFrame:
     )
 
 
+@register(
+    "dedup_span_exact",
+    oracle="""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+grams AS (
+  SELECT doc_id, i.i AS pos,
+         md5(array_to_string(tk[(i.i+1):(i.i+16)], ' ')) AS g
+  FROM toks, LATERAL (SELECT unnest(range(len(tk) - 15)) AS i) i
+  WHERE len(tk) >= 16
+),
+ranked AS (
+  SELECT doc_id, pos,
+         row_number() OVER (PARTITION BY g ORDER BY doc_id, pos) AS rn
+  FROM grams
+),
+dup_pos AS (
+  SELECT DISTINCT doc_id, p
+  FROM (SELECT doc_id, unnest(range(pos, pos + 16)) AS p FROM ranked WHERE rn > 1)
+),
+per_doc AS (SELECT doc_id, count(*) AS n_dup FROM dup_pos GROUP BY doc_id)
+SELECT d.doc_id,
+       len(string_split(d.text, ' ')) AS n_tokens,
+       coalesce(p.n_dup, 0) AS n_dup_tokens,
+       round(coalesce(p.n_dup, 0) / len(string_split(d.text, ' ')), 6) AS dup_ratio
+FROM documents d LEFT JOIN per_doc p USING (doc_id)
+""".strip(),
+    tags=("dedup", "pipeline"),
+    bench=True,
+)
+def dedup_span_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT duplicated-span dedup at ARBITRARY token offsets — the
+    Lee et al. ACL'22 ("Deduplicating Training Data Makes Language
+    Models Better") exact-substring pass as a removal report, closing
+    the offset-alignment miss of dedup_chunk_exact: a span duplicated
+    at offset 3 in one doc and offset 9 in another straddles 16-token
+    ALIGNED chunk boundaries in both and chunk dedup never sees it
+    (round-9 verdict task #2; tests/test_operators.py pins the miss
+    with exactly that fixture).
+
+    Semantics: every 16-token window at EVERY offset (the suffix-array
+    k-gram equivalent; 16 tokens ≈ the paper's 50-char threshold on
+    this corpus) is keyed by content digest; the canonical occurrence
+    of each gram is the (doc_id, pos)-least one (min-owner
+    survivorship, Lee et al. keep-first), every later occurrence —
+    cross-doc or within-doc repeat alike — marks its 16 covered token
+    positions as duplicated; per-doc output is the removal report
+    (n_tokens, n_dup_tokens = distinct covered positions, dup_ratio).
+    A duplicated span of length s ≥ 16 yields s-15 hot grams whose
+    coverage union is exactly its s tokens — the report counts the
+    whole span, not an aligned approximation of it.
+
+    Scale: the fan-out is n grams per n-token doc (16× chunk dedup's
+    n/16, the price of offset-exactness — run AFTER chunk/exact tiers
+    prune), but every shuffled key is a 16-byte md5 digest regardless
+    of span text, the rank shuffle is the ONE corpus-sized exchange
+    (row_number per digest; boilerplate-heavy grams skew a partition —
+    AQE skew split applies, and the digest keyspace is uniform), and
+    the position explode only touches DUPLICATED occurrences (rare by
+    construction in curated corpora).  countDistinct(doc_id, p)
+    collapses overlapping covers before the per-doc re-aggregate."""
+    return span_dedup_frame(table(spark, sf_dir, "documents"))
+
+
+def span_dedup_frame(d: DataFrame, k: int = 16) -> DataFrame:
+    """Offset-exact span-dedup core over a (doc_id, text) frame — the
+    reusable heart of dedup_span_exact, shared with
+    tools/scale_probe.py so the probe times the real operator."""
+    from pyspark.sql import Window
+
+    tk = F.split("text", " ")
+    toks = d.select("doc_id", tk.alias("tk"), F.size(tk).alias("n"))
+    # One gram per offset: struct(pos, digest), exploded.  Docs shorter
+    # than k emit nothing here (F.sequence with start > stop would run
+    # DESCENDING, silently minting phantom grams — hence the filter).
+    grams = (
+        toks.where(F.col("n") >= k)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.col("n") - k),
+                    lambda i: F.struct(
+                        i.alias("pos"),
+                        F.md5(F.array_join(F.slice("tk", i + 1, k), " ")).alias("g"),
+                    ),
+                )
+            ).alias("oc"),
+        )
+        .select("doc_id", F.col("oc.pos").alias("pos"), F.col("oc.g").alias("g"))
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("g").orderBy("doc_id", "pos")
+    )
+    dup = grams.select("doc_id", "pos", rn.alias("rn")).where(F.col("rn") > 1)
+    covered = dup.select(
+        "doc_id", F.explode(F.sequence(F.col("pos"), F.col("pos") + (k - 1))).alias("p")
+    )
+    per_doc = covered.distinct().groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_dup")
+    )
+    n_dup = F.coalesce(F.col("n_dup"), F.lit(0))
+    return (
+        d.select("doc_id", F.size(F.split("text", " ")).alias("n_tokens"))
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            n_dup.cast("bigint").alias("n_dup_tokens"),
+            F.round(n_dup / F.col("n_tokens"), 6).alias("dup_ratio"),
+        )
+    )
+
+
 def containment_pairs(
     d: DataFrame, threshold: float = 0.9, block_cap: int = 1000
 ) -> DataFrame:

@@ -452,6 +452,59 @@ def test_chunk_dedup_conservation(spark):
     assert total_kept == distinct_chunks
 
 
+def test_span_dedup_catches_offset_straddling_duplicate(spark):
+    """The fixture round-9's verdict asked for: a 20-token span
+    duplicated at DIFFERENT offsets (3 in doc 0, 9 in doc 1) straddles
+    16-token aligned chunk boundaries in both docs — dedup_chunk_exact
+    provably reports NO duplication, while the offset-exact span pass
+    reports exactly the span's 20 tokens as duplicated in the later
+    doc and charges the canonical owner nothing."""
+    from mapreduce_framework_spark.queries.dedup import (
+        chunk_dedup_frame,
+        span_dedup_frame,
+    )
+
+    span = [f"shared{i}" for i in range(20)]
+    docA = [f"a{i}" for i in range(3)] + span + [f"a{i}" for i in range(3, 44)]
+    docB = [f"b{i}" for i in range(9)] + span + [f"b{i}" for i in range(9, 44)]
+    d = spark.createDataFrame(
+        [(0, " ".join(docA)), (1, " ".join(docB))], ["doc_id", "text"]
+    )
+
+    chunk = {r.doc_id: r for r in chunk_dedup_frame(d).collect()}
+    assert chunk[0].kept_ratio == 1.0 and chunk[1].kept_ratio == 1.0, (
+        "aligned chunks must MISS the offset-straddling span "
+        "(that miss is the documented gap this fixture pins)"
+    )
+
+    span_out = {r.doc_id: r for r in span_dedup_frame(d).collect()}
+    assert span_out[0].n_dup_tokens == 0, "canonical owner keeps its span"
+    assert span_out[1].n_dup_tokens == 20, (
+        "the later doc's whole 20-token span is duplicated content"
+    )
+    assert span_out[1].n_tokens == 64
+    assert abs(span_out[1].dup_ratio - round(20 / 64, 6)) < 1e-12
+
+
+def test_span_dedup_within_doc_repeat_and_short_docs(spark):
+    """Keep-first applies WITHIN a doc too (Lee et al. semantics): an
+    18-token block repeated twice inside one doc marks the second
+    occurrence's 18 positions; docs shorter than the 16-token window
+    emit no grams and report zero (never phantom descending-sequence
+    grams)."""
+    from mapreduce_framework_spark.queries.dedup import span_dedup_frame
+
+    block = [f"r{i}" for i in range(18)]
+    doc = block + ["mid0", "mid1"] + block
+    d = spark.createDataFrame(
+        [(0, " ".join(doc)), (1, "tiny doc under sixteen tokens")],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r for r in span_dedup_frame(d).collect()}
+    assert out[0].n_dup_tokens == 18, "second within-doc occurrence is duplicated"
+    assert out[1].n_dup_tokens == 0 and out[1].n_tokens == 5
+
+
 def test_triangle_counts_invariants(spark):
     """Triangle participation counts: every reported node is in ≥1
     triangle, and the total participation is divisible by 3 (each

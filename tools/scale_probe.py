@@ -192,6 +192,7 @@ def build_tiers(spark, small: int, big: int) -> dict[str, dict[int, callable]]:
         chunk_dedup_frame,
         containment_pairs,
         semantic_dedup_frame,
+        span_dedup_frame,
     )
     from mapreduce_framework_spark.queries.graphs import pagerank, triangle_knn_frame
     from mapreduce_framework_spark.queries.pipeline import curation_funnel_frame
@@ -308,6 +309,12 @@ def build_tiers(spark, small: int, big: int) -> dict[str, dict[int, callable]]:
 
     def t_chunk_dedup(n):
         return chunk_dedup_frame(corpus("docs", n).select("doc_id", "text")).count()
+
+    def t_span_dedup(n):
+        # The offset-exact tier: n grams per n-token doc (16x chunk
+        # dedup's fan-out) through one digest-keyed rank shuffle — the
+        # ratio verdict must stay linear-class despite the fan-out.
+        return span_dedup_frame(corpus("docs", n).select("doc_id", "text")).count()
 
     def t_lm_perplexity(n):
         return lm_perplexity_frame(corpus("docs", n).select("doc_id", "text")).count()
@@ -623,6 +630,10 @@ def build_tiers(spark, small: int, big: int) -> dict[str, dict[int, callable]]:
         "chunk_dedup": {
             small: lambda: t_chunk_dedup(small),
             big: lambda: t_chunk_dedup(big),
+        },
+        "span_dedup": {
+            small: lambda: t_span_dedup(small),
+            big: lambda: t_span_dedup(big),
         },
         "lm_perplexity": {
             small: lambda: t_lm_perplexity(small),
