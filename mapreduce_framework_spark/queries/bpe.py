@@ -1,0 +1,270 @@
+"""In-plan BPE tokenizer: TRAIN (learned merge table) + APPLY (per-doc
+token counts) as pure DataFrame plans — round-9 verdict task #3,
+closing the last simulated seam in the text family (queries/
+textstats.py's ``token_count`` is a "BPE-ish regex" LENGTH ESTIMATE;
+this is the real thing: greedy most-frequent-pair merges learned from
+the corpus, then applied).
+
+Algorithm (Sennrich et al. ACL'16, the standard subword-BPE loop):
+
+1. words0: distinct corpus words with frequencies; each word becomes a
+   spaced symbol string ``c1 c2 ... cn </w>`` (character symbols plus
+   the end-of-word marker, so merges never cross word boundaries and
+   word-final symbols are distinct from word-internal ones).
+2. round r: count adjacent symbol pairs weighted by word frequency;
+   the most frequent pair (ties broken by pair text — deterministic)
+   becomes merge r; apply it to every word's symbol string.
+3. after N rounds the merge table IS the tokenizer; applying it to a
+   document = per-word symbol counts summed.
+
+Merge application is ``replace(' '||s||' ', ' a b ', ' ab ')`` —
+single-pass leftmost non-overlapping, the ONE semantics Spark's
+``F.replace`` and DuckDB's ``replace`` implement identically (verified
+byte-for-byte on the self-overlap case ``a a a a``: both consume the
+shared delimiter and merge alternate pairs per pass).  That differs
+from greedy-rescan BPE only on immediately-adjacent repeats of the
+same pair — deterministic, documented, and identical across engines,
+which is what the oracle gate needs.
+
+Spark shape: the iteration state (the WORDS frame) is vocab-sized, not
+corpus-sized — one corpus-wide shuffle builds words0, then every merge
+round is a vocab-sized pair aggregate + a TakeOrdered(1) + a broadcast
+one-row join, the kmeans/power-iteration unrolled pattern with
+``iter_checkpoint`` per round (the frame is referenced twice per round
+— by the pair count and by the apply — so eager localCheckpoint both
+truncates the would-be-exponential lineage and avoids recomputation).
+At 100 TB the vocab frame is millions of rows against a corpus of
+trillions of tokens: training cost is N vocab-sized aggregates, and
+the apply is one corpus scan joined to the final vocab (broadcast at
+dictionary sizes, AQE decides).
+
+The DuckDB oracle unrolls the same N rounds as stacked CTEs —
+``AS MATERIALIZED``, because each round references its predecessor
+twice and inlined CTEs would re-evaluate the chain exponentially (3^N;
+measured: the inlined 8-round oracle did not finish in 120 s, the
+materialized one runs in 0.1 s).
+
+Reference anchor: the reference tokenizes by punctuation-stripping
+whitespace split only (w7/src/python/map.py:9-18) — subword
+tokenization is part of the forward LLM-pipeline surface, not
+reference parity.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mapreduce_framework_spark.io import table
+from mapreduce_framework_spark.operators.components import iter_checkpoint
+from mapreduce_framework_spark.registry import register
+
+N_MERGES = 8
+_EOW = "</w>"
+# Never-matching sentinel for the no-pairs-left round: replace() with a
+# NULL pattern would null the whole string in both engines.
+_NO_MATCH = "\x01"
+
+
+def _oracle_ctes(n_rounds: int) -> str:
+    """The shared training CTE chain (words0..wordsN, m1..mN)."""
+    parts = [
+        f"""words0 AS MATERIALIZED (
+  SELECT word, count(*) AS freq,
+         array_to_string(regexp_extract_all(word, '.'), ' ') || ' {_EOW}' AS s
+  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+  WHERE word <> ''
+  GROUP BY word
+)"""
+    ]
+    for r in range(1, n_rounds + 1):
+        parts.append(
+            f"""pairs{r} AS MATERIALIZED (
+  SELECT sym[i.i] AS a, sym[i.i+1] AS b, sum(freq) AS cnt
+  FROM (SELECT freq, string_split(s, ' ') AS sym FROM words{r - 1}) t,
+       LATERAL (SELECT unnest(range(1, len(sym))) AS i) i
+  GROUP BY 1, 2
+)"""
+        )
+        parts.append(
+            f"m{r} AS MATERIALIZED "
+            f"(SELECT a, b, cnt FROM pairs{r} ORDER BY cnt DESC, a, b LIMIT 1)"
+        )
+        parts.append(
+            f"""words{r} AS MATERIALIZED (
+  SELECT word, freq,
+         trim(replace(' ' || s || ' ',
+              coalesce((SELECT ' '||a||' '||b||' ' FROM m{r}), chr(1)),
+              coalesce((SELECT ' '||a||b||' ' FROM m{r}), chr(1)))) AS s
+  FROM words{r - 1}
+)"""
+        )
+    return ",\n".join(parts)
+
+
+def _merges_oracle(n_rounds: int) -> str:
+    union = "\nUNION ALL\n".join(
+        f"SELECT {r} AS merge_rank, a AS left_sym, b AS right_sym, "
+        f"a||b AS merged, CAST(cnt AS BIGINT) AS pair_count FROM m{r}"
+        for r in range(1, n_rounds + 1)
+    )
+    return (
+        "WITH "
+        + _oracle_ctes(n_rounds)
+        + f",\nmerges AS ({union})\n"
+        + "SELECT merge_rank, left_sym, right_sym, merged, pair_count FROM merges"
+    )
+
+
+def _token_count_oracle(n_rounds: int) -> str:
+    return (
+        "WITH "
+        + _oracle_ctes(n_rounds)
+        + f""",
+vocab AS (SELECT word, len(string_split(s, ' ')) AS n_sym FROM words{n_rounds}),
+docwords AS (
+  SELECT doc_id, word
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
+  WHERE word <> ''
+)
+SELECT doc_id,
+       count(*) AS ws_tokens,
+       CAST(sum(n_sym) AS BIGINT) AS bpe_tokens
+FROM docwords JOIN vocab USING (word)
+GROUP BY doc_id"""
+    )
+
+
+def _words0(d: DataFrame) -> DataFrame:
+    """Distinct corpus words with frequency and the initial spaced
+    character-symbol string — the ONE corpus-sized shuffle of training."""
+    chars = F.regexp_extract_all(F.col("word"), F.lit("."), F.lit(0))
+    return (
+        d.select(F.explode(F.split("text", " ")).alias("word"))
+        .where(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .select(
+            "word",
+            "freq",
+            F.concat(F.array_join(chars, " "), F.lit(f" {_EOW}")).alias("s"),
+        )
+    )
+
+
+def _pair_counts(words: DataFrame) -> DataFrame:
+    """Adjacent symbol pairs weighted by word frequency — vocab-sized.
+    zip_with over two shifted slices instead of an index sequence:
+    single-symbol words yield empty slices (length n-1 = 0), never the
+    descending-sequence phantom a ``sequence(0, n-2)`` would mint."""
+    sym = F.split("s", " ")
+    n = F.size(sym)
+    pairs = F.zip_with(
+        F.slice(sym, 1, n - 1),
+        F.slice(sym, 2, n - 1),
+        lambda a, b: F.struct(a.alias("a"), b.alias("b")),
+    )
+    return (
+        words.select("freq", F.explode(pairs).alias("p"))
+        .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .agg(F.sum("freq").alias("cnt"))
+    )
+
+
+def bpe_train(
+    d: DataFrame, n_merges: int = N_MERGES, reliable: bool = False
+) -> tuple[DataFrame, DataFrame]:
+    """Learn ``n_merges`` BPE merges from a (doc_id, text) frame.
+    Returns ``(vocab, merges)``: the final per-word symbol strings and
+    the ranked merge table.  Unrolled-iteration pattern with an eager
+    checkpoint per round (see module docstring)."""
+    spark = d.sparkSession
+    words = iter_checkpoint(_words0(d), reliable=reliable)
+    merge_rows: list[DataFrame] = []
+    for r in range(1, n_merges + 1):
+        m = (
+            _pair_counts(words)
+            .orderBy(F.desc("cnt"), F.asc("a"), F.asc("b"))
+            .limit(1)
+        )
+        m = iter_checkpoint(m, reliable=reliable)  # referenced 3x below
+        merge_rows.append(
+            m.select(
+                F.lit(r).alias("merge_rank"),
+                F.col("a").alias("left_sym"),
+                F.col("b").alias("right_sym"),
+                F.concat("a", "b").alias("merged"),
+                F.col("cnt").cast("bigint").alias("pair_count"),
+            )
+        )
+        pat = F.coalesce(
+            F.concat(F.lit(" "), F.col("_ma"), F.lit(" "), F.col("_mb"), F.lit(" ")),
+            F.lit(_NO_MATCH),
+        )
+        rep = F.coalesce(
+            F.concat(F.lit(" "), F.col("_ma"), F.col("_mb"), F.lit(" ")),
+            F.lit(_NO_MATCH),
+        )
+        applied = words.join(
+            F.broadcast(
+                m.select(F.col("a").alias("_ma"), F.col("b").alias("_mb"))
+            ),
+            F.lit(True),
+            "left",
+        ).select(
+            "word",
+            "freq",
+            F.trim(
+                F.replace(F.concat(F.lit(" "), F.col("s"), F.lit(" ")), pat, rep)
+            ).alias("s"),
+        )
+        words = iter_checkpoint(applied, reliable=reliable)
+    merges = merge_rows[0]
+    for mr in merge_rows[1:]:
+        merges = merges.unionByName(mr)
+    _ = spark  # session is implicit in the frames; kept for symmetry
+    return words, merges
+
+
+@register(
+    "text_bpe_merges",
+    oracle=_merges_oracle(N_MERGES),
+    tags=("text", "tokenizer"),
+)
+def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The learned merge table itself — rank, pair, merged symbol, and
+    the pair count that won the round.  Hash-checked against the
+    unrolled DuckDB training chain: the oracle proves the TRAINING is
+    exact (every round's argmax over every round's re-derived pair
+    counts), not just the final application."""
+    _, merges = bpe_train(table(spark, sf_dir, "documents"))
+    return merges
+
+
+@register(
+    "text_bpe_token_count",
+    oracle=_token_count_oracle(N_MERGES),
+    tags=("text", "tokenizer"),
+    bench=True,
+)
+def text_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc REAL BPE token count: train on the corpus, apply the
+    merge table, sum per-word symbol counts per document — the budget
+    number a training pipeline actually meters (cf. ``token_count``'s
+    regex estimate, which this supersedes as the accurate lane).
+    Apply = one corpus word explode joined to the final vocab (AQE
+    broadcasts at dictionary size) + one per-doc aggregate."""
+    d = table(spark, sf_dir, "documents")
+    vocab, _ = bpe_train(d)
+    n_sym = F.size(F.split("s", " "))
+    docwords = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("word")
+    ).where(F.col("word") != "")
+    return (
+        docwords.join(vocab.select("word", n_sym.alias("n_sym")), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("ws_tokens"),
+            F.sum("n_sym").cast("bigint").alias("bpe_tokens"),
+        )
+    )

@@ -927,3 +927,45 @@ def test_canonicalize_url_contract(spark):
     )
     got = {r.u: r.c for r in df.collect()}
     assert got == cases
+
+
+def test_bpe_learns_textbook_merges(spark):
+    """Hand-computable BPE on the classic low/lower/newest corpus:
+    merge 1 is (l,o) — ties at count 7 with (o,w), broken by pair text
+    — then (lo,w), then (low,</w>), then (e,s); after 4 merges 'low'
+    is ONE symbol, 'lower' four, 'newest' six (leftmost
+    non-overlapping application)."""
+    from mapreduce_framework_spark.queries.bpe import bpe_train
+
+    d = spark.createDataFrame(
+        [(0, "low low low low low"), (1, "lower lower"), (2, "newest newest newest")],
+        ["doc_id", "text"],
+    )
+    vocab, merges = bpe_train(d, n_merges=4)
+    got = [
+        (r.merge_rank, r.left_sym, r.right_sym, r.merged, r.pair_count)
+        for r in merges.orderBy("merge_rank").collect()
+    ]
+    assert got == [
+        (1, "l", "o", "lo", 7),
+        (2, "lo", "w", "low", 7),
+        (3, "low", "</w>", "low</w>", 5),
+        (4, "e", "s", "es", 3),
+    ]
+    sym_counts = {r.word: len(r.s.split(" ")) for r in vocab.collect()}
+    assert sym_counts == {"low": 1, "lower": 4, "newest": 6}
+
+
+def test_bpe_exhausted_merges_are_stable(spark):
+    """More merge rounds than the corpus has pairs: once every word is
+    one symbol the pair frame is empty — further rounds must be no-ops
+    (no NULL-pattern replace nulling the vocab, no phantom merges)."""
+    from mapreduce_framework_spark.queries.bpe import bpe_train
+
+    d = spark.createDataFrame([(0, "ab ab ab")], ["doc_id", "text"])
+    vocab, merges = bpe_train(d, n_merges=6)
+    rows = merges.collect()
+    # 'a b </w>' exhausts after 2 merges: (a,b) then (ab,</w>).
+    assert len(rows) == 2
+    v = vocab.collect()
+    assert len(v) == 1 and v[0].s == "ab</w>"
