@@ -9,6 +9,7 @@
 
 round-start:
 	python tools/evidence_ledger.py
+	-python tools/bench_adjudicate.py
 	python -m pytest tests/test_evidence_ledger.py tests/test_registry_parity.py -q
 
 test:
