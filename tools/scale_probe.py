@@ -729,6 +729,14 @@ def main() -> None:
     ap.add_argument("--small", type=int, default=50_000)
     ap.add_argument("--big", type=int, default=500_000)
     ap.add_argument("--tiers", default="", help="comma-separated subset")
+    ap.add_argument(
+        "--deep",
+        action="store_true",
+        help="add a THIRD decade (each tier's big size x10) to every "
+        "selected tier — the 100x-asymptote probe (round-9 verdict "
+        "task #5): two decades fit a line, three expose whether the "
+        "second ratio is converging to linear or compounding",
+    )
     args = ap.parse_args()
 
     from mapreduce_framework_spark.session import get_spark
@@ -741,6 +749,14 @@ def main() -> None:
     selected = (
         {t: tiers[t] for t in args.tiers.split(",") if t} if args.tiers else tiers
     )
+    if args.deep:
+        # Rebuilding with (big, 10*big) reuses every tier's own size
+        # multiplier, so the third point sits exactly one decade above
+        # its second.
+        deep = build_tiers(spark, args.big, 10 * args.big)
+        for name, runs in selected.items():
+            for n, fn in deep[name].items():
+                runs.setdefault(n, fn)
 
     report: dict[str, dict[int, dict]] = {}
     for name, runs in selected.items():
@@ -756,12 +772,22 @@ def main() -> None:
 
     summary = {}
     for name, v in report.items():
-        (n1, r1), (n2, r2) = sorted(v.items())
+        pts = sorted(v.items())
+        ns = [n for n, _ in pts]
+        secs = [r["sec"] for _, r in pts]
         summary[name] = {
-            "n": [n1, n2],
-            "sec": [r1["sec"], r2["sec"]],
-            "data_ratio": round(n2 / n1, 1),
-            "time_ratio": round(r2["sec"] / max(r1["sec"], 1e-9), 1),
+            "n": ns,
+            "sec": secs,
+            "data_ratio": round(ns[-1] / ns[0], 1),
+            "time_ratio": round(secs[-1] / max(secs[0], 1e-9), 1),
+            # Consecutive-decade ratios: a linear operator's ratios
+            # CONVERGE toward the data ratio as fixed overhead
+            # amortizes; a super-linear one's ratios GROW decade over
+            # decade — the three-point signature the --deep probe reads.
+            "step_time_ratios": [
+                round(secs[i + 1] / max(secs[i], 1e-9), 2)
+                for i in range(len(secs) - 1)
+            ],
         }
     print(json.dumps({"summary": summary}))
 
