@@ -1467,10 +1467,11 @@ def dedup_span_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return span_dedup_frame(table(spark, sf_dir, "documents"))
 
 
-def span_dedup_frame(d: DataFrame, k: int = 16) -> DataFrame:
-    """Offset-exact span-dedup core over a (doc_id, text) frame — the
-    reusable heart of dedup_span_exact, shared with
-    tools/scale_probe.py so the probe times the real operator."""
+def span_dup_positions(d: DataFrame, k: int = 16) -> DataFrame:
+    """DISTINCT duplicated token positions (doc_id, p) under the
+    offset-exact keep-first gram semantics — the shared core of the
+    span-dedup report (dedup_span_exact) and the removal twin
+    (dedup_span_removal)."""
     from pyspark.sql import Window
 
     tk = F.split("text", " ")
@@ -1501,7 +1502,14 @@ def span_dedup_frame(d: DataFrame, k: int = 16) -> DataFrame:
     covered = dup.select(
         "doc_id", F.explode(F.sequence(F.col("pos"), F.col("pos") + (k - 1))).alias("p")
     )
-    per_doc = covered.distinct().groupBy("doc_id").agg(
+    return covered.distinct()
+
+
+def span_dedup_frame(d: DataFrame, k: int = 16) -> DataFrame:
+    """Offset-exact span-dedup core over a (doc_id, text) frame — the
+    reusable heart of dedup_span_exact, shared with
+    tools/scale_probe.py so the probe times the real operator."""
+    per_doc = span_dup_positions(d, k).groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_dup")
     )
     n_dup = F.coalesce(F.col("n_dup"), F.lit(0))
@@ -1513,6 +1521,96 @@ def span_dedup_frame(d: DataFrame, k: int = 16) -> DataFrame:
             "n_tokens",
             n_dup.cast("bigint").alias("n_dup_tokens"),
             F.round(n_dup / F.col("n_tokens"), 6).alias("dup_ratio"),
+        )
+    )
+
+
+@register(
+    "dedup_span_removal",
+    oracle="""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+grams AS (
+  SELECT doc_id, i.i AS pos,
+         md5(array_to_string(tk[(i.i+1):(i.i+16)], ' ')) AS g
+  FROM toks, LATERAL (SELECT unnest(range(len(tk) - 15)) AS i) i
+  WHERE len(tk) >= 16
+),
+ranked AS (
+  SELECT doc_id, pos,
+         row_number() OVER (PARTITION BY g ORDER BY doc_id, pos) AS rn
+  FROM grams
+),
+dup_pos AS (
+  SELECT DISTINCT doc_id, p
+  FROM (SELECT doc_id, unnest(range(pos, pos + 16)) AS p FROM ranked WHERE rn > 1)
+),
+positions AS (
+  SELECT doc_id, i.i AS p, tk[i.i + 1] AS tok
+  FROM toks, LATERAL (SELECT unnest(range(len(tk))) AS i) i
+),
+kept AS (
+  SELECT po.doc_id, po.p, po.tok
+  FROM positions po LEFT JOIN dup_pos dp
+    ON po.doc_id = dp.doc_id AND po.p = dp.p
+  WHERE dp.doc_id IS NULL
+),
+rebuilt AS (
+  SELECT doc_id,
+         count(*) AS n_tokens_kept,
+         string_agg(tok, ' ' ORDER BY p) AS cleaned_text
+  FROM kept
+  GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(r.n_tokens_kept, 0) AS BIGINT) AS n_tokens_kept,
+       coalesce(r.cleaned_text, '') AS cleaned_text
+FROM documents d LEFT JOIN rebuilt r USING (doc_id)
+""".strip(),
+    tags=("dedup", "pipeline"),
+)
+def dedup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REMOVAL half of the Lee et al. exact-substring pass: the
+    corpus with every duplicated position's token excised, rebuilt in
+    original token order — what actually ships to training after
+    dedup_span_exact's accounting approves the cut.  The cleaned text
+    itself is hash-checked (order-exact reconstruction), so the gate
+    proves position bookkeeping end-to-end, not just counts.
+
+    Scale: dup positions (rare) anti-join the posexploded corpus — a
+    broadcast-able right side whenever duplication is sparse — and the
+    per-doc rebuild is one aggregate of (pos, token) structs sorted
+    in-array (no per-doc window sort).  Docs that lose every token
+    (fully-duplicated docs shorter than one gram of unique material)
+    still emit a row with empty cleaned_text via the left join back to
+    the doc spine."""
+    d = table(spark, sf_dir, "documents")
+    dup = span_dup_positions(d)
+    positions = d.select(
+        "doc_id",
+        F.posexplode(F.split("text", " ")).alias("p", "tok"),
+    )
+    kept = positions.join(dup, ["doc_id", "p"], "left_anti")
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("p"), F.col("tok")))
+                ),
+                lambda s: s.tok,
+            ),
+            " ",
+        ).alias("cleaned_text"),
+    )
+    return (
+        d.select("doc_id")
+        .join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_tokens_kept", F.lit(0)).cast("bigint").alias(
+                "n_tokens_kept"
+            ),
+            F.coalesce("cleaned_text", F.lit("")).alias("cleaned_text"),
         )
     )
 

@@ -969,3 +969,50 @@ def test_bpe_exhausted_merges_are_stable(spark):
     assert len(rows) == 2
     v = vocab.collect()
     assert len(v) == 1 and v[0].s == "ab</w>"
+
+
+def test_span_removal_is_consistent_with_span_report(spark):
+    """Removal twin consistency on the offset-straddling fixture: the
+    cleaned text drops EXACTLY the duplicated span's tokens (report's
+    n_dup_tokens == n_tokens - n_tokens_kept), the canonical owner is
+    untouched, and the kept tokens preserve original order."""
+    from mapreduce_framework_spark.queries.dedup import (
+        span_dedup_frame,
+        span_dup_positions,
+    )
+    from pyspark.sql import functions as F
+
+    span = [f"shared{i}" for i in range(20)]
+    docA = [f"a{i}" for i in range(3)] + span + [f"a{i}" for i in range(3, 44)]
+    docB = [f"b{i}" for i in range(9)] + span + [f"b{i}" for i in range(9, 44)]
+    d = spark.createDataFrame(
+        [(0, " ".join(docA)), (1, " ".join(docB))], ["doc_id", "text"]
+    )
+    report = {r.doc_id: r for r in span_dedup_frame(d).collect()}
+
+    dup = span_dup_positions(d)
+    positions = d.select("doc_id", F.posexplode(F.split("text", " ")).alias("p", "tok"))
+    kept = positions.join(dup, ["doc_id", "p"], "left_anti")
+    rebuilt = {
+        r.doc_id: r
+        for r in kept.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("p", "tok"))),
+                    lambda s: s.tok,
+                ),
+                " ",
+            ).alias("cleaned"),
+        )
+        .collect()
+    }
+    assert rebuilt[0].cleaned == " ".join(docA), "owner doc must be untouched"
+    expect_b = [t for t in docB if not t.startswith("shared")]
+    assert rebuilt[1].cleaned == " ".join(expect_b)
+    for doc in (0, 1):
+        assert (
+            report[doc].n_tokens - report[doc].n_dup_tokens
+            == rebuilt[doc].n_kept
+        )
