@@ -241,6 +241,76 @@ def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merges
 
 
+def _bpe_vocab_cache(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once trained-tokenizer artifact per (SF, documents file
+    identity, training-code version): the final vocab (word → symbol
+    count) and the merge table as parquet.  The version component is
+    the hash of the generated training oracle — it encodes N_MERGES
+    and every semantic detail of the loop, so a training change
+    invalidates the artifact instead of serving stale counts against a
+    fresh oracle (the kv-sink cache's convention).  Published through
+    io.publish_cached with family GC: superseded generations reap
+    after the cross-session age guard."""
+    import hashlib
+    import os
+
+    from mapreduce_framework_spark.io import publish_cached
+
+    st = os.stat(os.path.join(sf_dir, "documents.parquet"))
+    sf_base = os.path.basename(os.path.normpath(sf_dir))
+    ver = hashlib.sha1(_merges_oracle(N_MERGES).encode()).hexdigest()[:8]
+    ident = f"{sf_base}_m{N_MERGES}_{st.st_size}_{st.st_mtime_ns}_{ver}"
+
+    def build(staged: str) -> None:
+        os.makedirs(staged)
+        vocab, merges = bpe_train(table(spark, sf_dir, "documents"))
+        n_sym = F.size(F.split("s", " "))
+        vocab.select("word", n_sym.alias("n_sym")).write.parquet(
+            os.path.join(staged, "vocab")
+        )
+        merges.write.parquet(os.path.join(staged, "merges"))
+
+    return publish_cached(
+        f"mfs_bpe_{ident}", build, family=f"mfs_bpe_{sf_base}"
+    )
+
+
+@register(
+    "text_bpe_apply_probe",
+    # Identical oracle to text_bpe_token_count — the cache must be
+    # invisible to the answer.
+    oracle=_token_count_oracle(N_MERGES),
+    tags=("text", "tokenizer"),
+    bench=True,
+)
+def text_bpe_apply_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """text_bpe_token_count's PROBE-ONLY steady-state lane (the ANN
+    family's persist/probe split): the tokenizer trains ONCE per SF
+    into an atomically-published cache and every subsequent invocation
+    is pure APPLY — one corpus word explode joined to the cached vocab
+    parquet + the per-doc aggregate.  That is the serving number a
+    training pipeline meters (the tokenizer is trained rarely, applied
+    to every corpus snapshot), while text_bpe_token_count keeps
+    pricing train+apply end-to-end."""
+    d = table(spark, sf_dir, "documents")
+    import os
+
+    vocab = spark.read.parquet(
+        os.path.join(_bpe_vocab_cache(spark, sf_dir), "vocab")
+    )
+    docwords = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("word")
+    ).where(F.col("word") != "")
+    return (
+        docwords.join(vocab, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("ws_tokens"),
+            F.sum("n_sym").cast("bigint").alias("bpe_tokens"),
+        )
+    )
+
+
 @register(
     "text_bpe_token_count",
     oracle=_token_count_oracle(N_MERGES),
