@@ -1467,19 +1467,15 @@ def dedup_span_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return span_dedup_frame(table(spark, sf_dir, "documents"))
 
 
-def span_dup_positions(d: DataFrame, k: int = 16) -> DataFrame:
-    """DISTINCT duplicated token positions (doc_id, p) under the
-    offset-exact keep-first gram semantics — the shared core of the
-    span-dedup report (dedup_span_exact) and the removal twin
-    (dedup_span_removal)."""
-    from pyspark.sql import Window
-
+def span_grams(d: DataFrame, k: int = 16) -> DataFrame:
+    """(doc_id, pos, g): the content digest of every k-token window at
+    every token offset of a (doc_id, text) frame.  Docs shorter than k
+    emit nothing (F.sequence with start > stop would run DESCENDING,
+    silently minting phantom grams — hence the filter).  Shared by the
+    full-corpus span pass and the incremental batch-vs-corpus probe."""
     tk = F.split("text", " ")
     toks = d.select("doc_id", tk.alias("tk"), F.size(tk).alias("n"))
-    # One gram per offset: struct(pos, digest), exploded.  Docs shorter
-    # than k emit nothing here (F.sequence with start > stop would run
-    # DESCENDING, silently minting phantom grams — hence the filter).
-    grams = (
+    return (
         toks.where(F.col("n") >= k)
         .select(
             "doc_id",
@@ -1495,6 +1491,16 @@ def span_dup_positions(d: DataFrame, k: int = 16) -> DataFrame:
         )
         .select("doc_id", F.col("oc.pos").alias("pos"), F.col("oc.g").alias("g"))
     )
+
+
+def span_dup_positions(d: DataFrame, k: int = 16) -> DataFrame:
+    """DISTINCT duplicated token positions (doc_id, p) under the
+    offset-exact keep-first gram semantics — the shared core of the
+    span-dedup report (dedup_span_exact) and the removal twin
+    (dedup_span_removal)."""
+    from pyspark.sql import Window
+
+    grams = span_grams(d, k)
     rn = F.row_number().over(
         Window.partitionBy("g").orderBy("doc_id", "pos")
     )
@@ -1611,6 +1617,132 @@ def dedup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "n_tokens_kept"
             ),
             F.coalesce("cleaned_text", F.lit("")).alias("cleaned_text"),
+        )
+    )
+
+
+@register(
+    "dedup_span_incremental",
+    oracle="""
+WITH d AS (
+  SELECT doc_id, text,
+         CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '4'
+              THEN 'new' ELSE 'corpus' END AS split
+  FROM documents
+),
+toks AS (SELECT doc_id, split, string_split(text, ' ') AS tk FROM d),
+grams AS MATERIALIZED (
+  SELECT doc_id, split, i.i AS pos,
+         md5(array_to_string(tk[(i.i+1):(i.i+16)], ' ')) AS g
+  FROM toks, LATERAL (SELECT unnest(range(len(tk) - 15)) AS i) i
+  WHERE len(tk) >= 16
+),
+corpus_g AS (SELECT DISTINCT g FROM grams WHERE split = 'corpus'),
+newg AS (SELECT doc_id, pos, g FROM grams WHERE split = 'new'),
+corpus_pos AS (
+  SELECT DISTINCT doc_id, p
+  FROM (SELECT n.doc_id, unnest(range(n.pos, n.pos + 16)) AS p
+        FROM newg n JOIN corpus_g c USING (g))
+),
+batch_ranked AS (
+  SELECT n.doc_id, n.pos,
+         row_number() OVER (PARTITION BY n.g ORDER BY n.doc_id, n.pos) AS rn
+  FROM newg n LEFT JOIN corpus_g c USING (g)
+  WHERE c.g IS NULL
+),
+within_pos AS (
+  SELECT DISTINCT doc_id, p
+  FROM (SELECT doc_id, unnest(range(pos, pos + 16)) AS p
+        FROM batch_ranked WHERE rn > 1)
+),
+within_only AS (
+  SELECT w.doc_id, w.p
+  FROM within_pos w LEFT JOIN corpus_pos c
+    ON w.doc_id = c.doc_id AND w.p = c.p
+  WHERE c.doc_id IS NULL
+),
+agg_c AS (SELECT doc_id, count(*) AS n_c FROM corpus_pos GROUP BY doc_id),
+agg_w AS (SELECT doc_id, count(*) AS n_w FROM within_only GROUP BY doc_id)
+SELECT nd.doc_id,
+       len(string_split(nd.text, ' ')) AS n_tokens,
+       CAST(coalesce(ac.n_c, 0) AS BIGINT) AS n_dup_corpus_tokens,
+       CAST(coalesce(aw.n_w, 0) AS BIGINT) AS n_dup_within_tokens,
+       round((coalesce(ac.n_c, 0) + coalesce(aw.n_w, 0))
+             / len(string_split(nd.text, ' ')), 6) AS dup_ratio
+FROM (SELECT doc_id, text FROM d WHERE split = 'new') nd
+LEFT JOIN agg_c ac USING (doc_id)
+LEFT JOIN agg_w aw USING (doc_id)
+""".strip(),
+    tags=("dedup", "pipeline", "incremental"),
+)
+def dedup_span_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental (batch-vs-corpus) exact-substring dedup — the
+    production shape of the span pass: a new ingest batch's grams probe
+    the corpus's DISTINCT gram-digest set (positions covered by a
+    corpus hit are corpus-duplicated), and only the corpus-MISS grams
+    rank within the batch (keep-first) for within-batch duplication;
+    within-batch coverage is reported NET of corpus coverage so the two
+    columns partition the duplicated positions.  Same new/corpus
+    md5-hexdigit split as dedup_incremental — the whole incremental
+    family composes over one convention.
+
+    Scale: the corpus side collapses to distinct 16-byte digests before
+    the join (map-side partial) — in production that digest set is the
+    PERSISTED gram index maintained incrementally (the
+    dedup_minhash_incremental band-index pattern), so a daily batch
+    probes index buckets and never rescans corpus text; batch-side work
+    is |batch| grams through one join and one batch-local window."""
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "text",
+        F.when(
+            F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 1)
+            < "4",
+            "new",
+        )
+        .otherwise("corpus")
+        .alias("split"),
+    )
+    from pyspark.sql import Window
+
+    k = 16
+    grams_all = span_grams(d.select("doc_id", "text"), k).join(
+        d.select("doc_id", "split"), "doc_id"
+    )
+    corpus_g = (
+        grams_all.where(F.col("split") == "corpus")
+        .select(F.col("g").alias("cg"))
+        .distinct()
+    )
+    newg = grams_all.where(F.col("split") == "new").select("doc_id", "pos", "g")
+    probed = newg.join(corpus_g, newg["g"] == F.col("cg"), "left")
+    cover = lambda frame: frame.select(  # noqa: E731 - local shorthand
+        "doc_id",
+        F.explode(F.sequence(F.col("pos"), F.col("pos") + (k - 1))).alias("p"),
+    ).distinct()
+    corpus_pos = cover(probed.where(F.col("cg").isNotNull()))
+    rn = F.row_number().over(Window.partitionBy("g").orderBy("doc_id", "pos"))
+    batch_dup = (
+        probed.where(F.col("cg").isNull())
+        .select("doc_id", "pos", rn.alias("rn"))
+        .where(F.col("rn") > 1)
+    )
+    within_only = cover(batch_dup).join(corpus_pos, ["doc_id", "p"], "left_anti")
+    agg_c = corpus_pos.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_c"))
+    agg_w = within_only.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_w"))
+    n_c = F.coalesce("n_c", F.lit(0))
+    n_w = F.coalesce("n_w", F.lit(0))
+    return (
+        d.where(F.col("split") == "new")
+        .select("doc_id", F.size(F.split("text", " ")).alias("n_tokens"))
+        .join(agg_c, "doc_id", "left")
+        .join(agg_w, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            n_c.cast("bigint").alias("n_dup_corpus_tokens"),
+            n_w.cast("bigint").alias("n_dup_within_tokens"),
+            F.round((n_c + n_w) / F.col("n_tokens"), 6).alias("dup_ratio"),
         )
     )
 
