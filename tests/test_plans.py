@@ -1201,3 +1201,38 @@ def test_lateral_topk_becomes_window_group_limit(spark):
     assert "Subquery" not in plan and "Lateral" not in plan, (
         "lateral subquery survived to the physical plan"
     )
+
+
+def test_span_dedup_exchanges_and_broadcast_report(spark):
+    """Offset-exact span dedup: ONE corpus-sized exchange (the digest
+    rank window), the distinct+re-agg pair on the RARE dup positions,
+    and the per-doc report joining back to the doc scan as a broadcast
+    (the report side is dup-docs-only — shuffling the corpus to meet
+    it would invert the size relationship)."""
+    from mapreduce_framework_spark.plans import count_exchanges, formatted_plan
+
+    df = _q(spark, "dedup_span_exact")
+    plan = formatted_plan(df)
+    assert "BroadcastHashJoin LeftOuter" in plan, "report side must broadcast"
+    assert "SortMergeJoin" not in plan
+    # digest window + dup-position distinct + per-doc agg: exactly 3.
+    assert count_exchanges(df) == 3
+
+
+def test_bpe_apply_probe_plan_has_no_training_stages(spark):
+    """The steady-state lane must be PURE apply: a scan of the cached
+    vocab parquet joined to the word explode + one per-doc aggregate —
+    no Window (the trainer's TakeOrdered/rank machinery) and no more
+    exchanges than the join+agg need.  A training stage leaking into
+    the probe plan would re-price every invocation as train+apply."""
+    from mapreduce_framework_spark.plans import count_exchanges, formatted_plan
+
+    import re
+
+    df = _q(spark, "text_bpe_apply_probe")
+    plan = formatted_plan(df)
+    # Detail-section headers count each scan node exactly once.
+    n_scans = len(re.findall(r"\(\d+\) Scan parquet", plan))
+    assert n_scans == 2, f"documents + cached vocab only, got {n_scans}"
+    assert "Window" not in plan
+    assert count_exchanges(df) <= 3
