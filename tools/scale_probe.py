@@ -310,6 +310,16 @@ def build_tiers(spark, small: int, big: int) -> dict[str, dict[int, callable]]:
     def t_chunk_dedup(n):
         return chunk_dedup_frame(corpus("docs", n).select("doc_id", "text")).count()
 
+    def t_bpe_train(n):
+        # Learned-tokenizer training: ONE corpus-sized word-frequency
+        # shuffle, then 8 vocab-sized merge rounds — the ratio verdict
+        # should approach the cost of the corpus scan alone, since the
+        # iteration state never grows with the corpus.
+        from mapreduce_framework_spark.queries.bpe import bpe_train
+
+        _, merges = bpe_train(corpus("docs", n).select("doc_id", "text"))
+        return merges.count()
+
     def t_span_dedup(n):
         # The offset-exact tier: n grams per n-token doc (16x chunk
         # dedup's fan-out) through one digest-keyed rank shuffle — the
@@ -634,6 +644,10 @@ def build_tiers(spark, small: int, big: int) -> dict[str, dict[int, callable]]:
         "span_dedup": {
             small: lambda: t_span_dedup(small),
             big: lambda: t_span_dedup(big),
+        },
+        "bpe_train": {
+            small: lambda: t_bpe_train(small),
+            big: lambda: t_bpe_train(big),
         },
         "lm_perplexity": {
             small: lambda: t_lm_perplexity(small),
