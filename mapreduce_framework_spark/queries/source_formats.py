@@ -483,3 +483,50 @@ def stream_kvtext_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(sink).select(
         F.col("key").alias("word"), F.col("value").alias("cnt")
     )
+
+
+@register(
+    "sink_kvtext_stream_writer",
+    oracle=_load_kvtext_oracle(),
+    tags=("sink", "stream", "compat"),
+)
+def sink_kvtext_stream_writer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The format matrix's last cell: ``df.writeStream.format
+    ("kvtext")`` — the cached wordcount sink streamed through the
+    partition-planned kvtext READER and landed through the kvtext
+    STREAM WRITER (per-batch two-phase commit, batch-scoped idempotent
+    shard names), then read back through the JVM lane.  A hash match
+    proves the whole streaming write path — per-partition staging,
+    driver batch commit, replay-safe naming — is byte-lossless against
+    the same oracle as every other kvtext lane.  Exactly-once replay
+    semantics are pinned separately by tests/test_kvtext_source.py
+    (idempotent re-commit of a batchId, multi-run resume)."""
+    import shutil
+
+    from mapreduce_framework_spark.io import user_scratch_dir
+    from mapreduce_framework_spark.sources.kvtext_datasource import register_kvtext
+
+    register_kvtext(spark)
+    src = _kv_sink_cache(spark, sf_dir)
+    root = user_scratch_dir("kvstreamw")
+    out = os.path.join(root, "sink")
+    ckpt = os.path.join(root, "ckpt")
+    # Fresh per invocation: a reused checkpoint would make the second
+    # availableNow pass a no-op and return the PREVIOUS generation.
+    shutil.rmtree(root, ignore_errors=True)
+    q = (
+        spark.readStream.format("kvtext")
+        .load(src)
+        .writeStream.format("kvtext")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    from mapreduce_framework_spark.compat import read_kv_text
+
+    return read_kv_text(spark, out).select(
+        F.col("key").alias("word"), F.col("value").alias("cnt")
+    )

@@ -52,6 +52,7 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     DataSourceStreamReader,
+    DataSourceStreamWriter,
     DataSourceWriter,
     EqualTo,
     Filter,
@@ -293,6 +294,94 @@ class KvTextWriter(DataSourceWriter):
             pass
 
 
+class KvTextStreamWriter(DataSourceStreamWriter):
+    """``df.writeStream.format("kvtext")`` — the streaming half of the
+    sink, completing the format matrix (batch read/write + stream
+    read/write): the reference's reducer sink as an EXACTLY-ONCE
+    micro-batch destination.
+
+    Per batch: tasks stage ``.part-*.tmp`` exactly like the batch
+    writer; the driver's ``commit(messages, batchId)`` publishes them
+    as ``part-b{batchId:06d}-{i:05d}`` shards — and FIRST removes any
+    existing shards of the SAME batchId, which is what makes the sink
+    exactly-once under structured streaming's recovery contract: a
+    batch replayed after a crash between sink-commit and checkpoint-
+    commit re-commits the same batchId, and the stale generation of
+    that batch is replaced instead of doubled.  Batch-scoped names also
+    keep the stream-reader lane consistent: shards are immutable once
+    their batch's commit returns, and a replay swaps the whole batch
+    generation (readers of a LIVE streaming sink consume through the
+    kvtext stream reader, whose set-offsets only ever see committed
+    names).  ``abort`` removes the failed batch's stage; straggler
+    .tmp sweeping follows the batch writer's single-writer rationale
+    but must NOT sweep other batches' in-flight stages — with one
+    streaming query per sink (the supported model) no concurrent stage
+    exists, so the sweep is safe."""
+
+    def __init__(self, options: dict) -> None:
+        self._root = options.get("path")
+        if not self._root:
+            raise ValueError("kvtext: .option/.start(path) is required")
+
+    def write(self, iterator) -> KvTextCommit:
+        import os
+        import uuid
+
+        os.makedirs(self._root, exist_ok=True)
+        tmp = os.path.join(self._root, f".part-{uuid.uuid4().hex}.tmp")
+        with open(tmp, "w", encoding="utf-8") as f:
+            for row in iterator:
+                key, value = row[0], row[1]
+                if key is None or value is None:
+                    raise ValueError(
+                        "kvtext: null key/value is not representable "
+                        f"in the line format (got key={key!r} value={value!r})"
+                    )
+                f.write(f"{key}:{value}\n")
+        return KvTextCommit(tmp)
+
+    def commit(self, messages, batchId: int) -> None:
+        import os
+
+        prefix = f"part-b{batchId:06d}-"
+        # Idempotent re-commit: a replayed batch replaces its own
+        # earlier generation (crash between sink commit and checkpoint
+        # write), never doubles it.
+        for name in os.listdir(self._root):
+            if name.startswith(prefix):
+                os.remove(os.path.join(self._root, name))
+        for i, msg in enumerate(m for m in messages if m is not None):
+            final = os.path.join(self._root, f"{prefix}{i:05d}")
+            os.rename(msg.tmp_path, final)
+        # Straggler .tmp from retried attempts of THIS batch (single
+        # active streaming writer per sink — see class docstring).
+        for name in os.listdir(self._root):
+            if name.startswith(".part-") and name.endswith(".tmp"):
+                try:
+                    os.remove(os.path.join(self._root, name))
+                except OSError:
+                    pass
+
+    def abort(self, messages, batchId: int) -> None:
+        import os
+
+        for msg in messages:
+            if msg is not None:
+                try:
+                    os.remove(msg.tmp_path)
+                except OSError:
+                    pass
+        try:
+            for name in os.listdir(self._root):
+                if name.startswith(".part-") and name.endswith(".tmp"):
+                    try:
+                        os.remove(os.path.join(self._root, name))
+                    except OSError:
+                        pass
+        except FileNotFoundError:
+            pass
+
+
 class KvTextStreamReader(DataSourceStreamReader):
     """``spark.readStream.format("kvtext")`` over a GROWING sink dir —
     the reference's chained-job poll loop (client.sh:226-233 waits for
@@ -398,6 +487,9 @@ class KvTextDataSource(DataSource):
 
     def streamReader(self, schema: StructType) -> KvTextStreamReader:
         return KvTextStreamReader(self.options)
+
+    def streamWriter(self, schema: StructType, overwrite: bool) -> KvTextStreamWriter:
+        return KvTextStreamWriter(self.options)
 
 
 def register_kvtext(spark) -> None:

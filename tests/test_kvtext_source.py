@@ -362,3 +362,69 @@ def test_stream_microbatch_scans_one_task_per_shard(spark):
     assert n_parts == [3], (
         f"3 shards must plan as 3 scan partitions, got {n_parts}"
     )
+
+
+def test_stream_writer_roundtrip_and_resume(spark):
+    """writeStream.format('kvtext'): an availableNow pass lands the
+    source exactly; a second pass from the SAME checkpoint after a new
+    source shard appends ONLY the new batch — never a replay of
+    consumed data."""
+    register_kvtext(spark)
+    src = os.path.join(tempfile.mkdtemp(prefix="kvtext_sw_"), "src")
+    out = os.path.join(tempfile.mkdtemp(prefix="kvtext_sw_"), "out")
+    ckpt = tempfile.mkdtemp(prefix="kvtext_sw_ckpt_")
+    spark.createDataFrame([("a", 1), ("b", 2)], ["key", "value"]).coalesce(
+        1
+    ).write.format("kvtext").mode("append").save(src)
+
+    def run():
+        q = (
+            spark.readStream.format("kvtext")
+            .load(src)
+            .writeStream.format("kvtext")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return sorted(tuple(r) for r in read_kv_text(spark, out).collect())
+
+    assert run() == [("a", 1), ("b", 2)]
+    names0 = sorted(os.listdir(out))
+    assert all(n.startswith("part-b") for n in names0), names0
+    assert not any(n.endswith(".tmp") for n in names0)
+
+    spark.createDataFrame([("c", 3)], ["key", "value"]).coalesce(1).write.format(
+        "kvtext"
+    ).mode("append").save(src)
+    assert run() == [("a", 1), ("b", 2), ("c", 3)]
+    # Batch 0's shards are untouched; batch 1 landed beside them.
+    assert set(names0) <= set(os.listdir(out))
+
+
+def test_stream_writer_recommit_replaces_batch_generation(spark):
+    """The exactly-once mechanism itself: re-committing the SAME
+    batchId (the crash-between-sink-commit-and-checkpoint replay)
+    REPLACES that batch's shard generation instead of doubling it,
+    while other batches' shards are untouched."""
+    from mapreduce_framework_spark.sources.kvtext_datasource import (
+        KvTextStreamWriter,
+    )
+
+    out = os.path.join(tempfile.mkdtemp(prefix="kvtext_rc_"), "sink")
+    w = KvTextStreamWriter({"path": out})
+
+    msg_b0 = w.write(iter([("stable", 10)]))
+    w.commit([msg_b0], batchId=0)
+    first = w.write(iter([("a", 1)]))
+    w.commit([first], batchId=7)
+    replay = w.write(iter([("a", 1)]))
+    w.commit([replay], batchId=7)
+
+    names = sorted(os.listdir(out))
+    assert sum(n.startswith("part-b000007-") for n in names) == 1, names
+    assert sum(n.startswith("part-b000000-") for n in names) == 1, names
+    rows = sorted(tuple(r) for r in read_kv_text(spark, out).collect())
+    assert rows == [("a", 1), ("stable", 10)], "replayed batch must not double"
