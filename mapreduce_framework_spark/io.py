@@ -130,7 +130,19 @@ def publish_cached(
     import tempfile
 
     dest = os.path.join(user_cache_root(), cache_name)
-    if not os.path.isdir(dest):
+    if os.path.isdir(dest):
+        # Refresh the dir mtime on every cache HIT: reap_superseded's
+        # age guard keys on mtime, and reads alone never update it — a
+        # session steadily USING an older-generation artifact would
+        # otherwise look idle and get reaped mid-read by a newer
+        # session's publish (round-10 review finding).  With the touch,
+        # mtime approximates last use and the guard means what its
+        # docstring says.
+        try:
+            os.utime(dest)
+        except OSError:
+            pass
+    else:
         stage = tempfile.mkdtemp(prefix=f"{cache_name}_stage_")
         staged = os.path.join(stage, "artifact")
         build(staged)

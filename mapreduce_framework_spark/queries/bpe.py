@@ -244,21 +244,29 @@ def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _bpe_vocab_cache(spark: SparkSession, sf_dir: str) -> str:
     """Build-once trained-tokenizer artifact per (SF, documents file
     identity, training-code version): the final vocab (word → symbol
-    count) and the merge table as parquet.  The version component is
-    the hash of the generated training oracle — it encodes N_MERGES
-    and every semantic detail of the loop, so a training change
-    invalidates the artifact instead of serving stale counts against a
-    fresh oracle (the kv-sink cache's convention).  Published through
-    io.publish_cached with family GC: superseded generations reap
-    after the cross-session age guard."""
+    count) and the merge table as parquet.  The version component
+    hashes the generated training oracle (encodes N_MERGES + every
+    semantic detail of the loop) AND the Spark training functions'
+    source — a Spark-side-only bugfix must invalidate the artifact
+    too, or the cache would keep serving the buggy vocab against a
+    fresh oracle forever (round-10 review finding; exactly the
+    anti-pattern publish_cached's docstring forbids).  Published
+    through io.publish_cached with family GC: superseded generations
+    reap after the cross-session age guard."""
     import hashlib
+    import inspect
     import os
 
     from mapreduce_framework_spark.io import publish_cached
 
     st = os.stat(os.path.join(sf_dir, "documents.parquet"))
     sf_base = os.path.basename(os.path.normpath(sf_dir))
-    ver = hashlib.sha1(_merges_oracle(N_MERGES).encode()).hexdigest()[:8]
+    code = "".join(
+        inspect.getsource(f) for f in (bpe_train, _pair_counts, _words0)
+    )
+    ver = hashlib.sha1(
+        (_merges_oracle(N_MERGES) + code).encode()
+    ).hexdigest()[:8]
     ident = f"{sf_base}_m{N_MERGES}_{st.st_size}_{st.st_mtime_ns}_{ver}"
 
     def build(staged: str) -> None:

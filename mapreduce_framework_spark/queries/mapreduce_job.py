@@ -45,7 +45,10 @@ def _spill_corpus(spark: SparkSession, sf_dir: str) -> str:
     directory (rename is atomic; no partially-written corpus exists
     under the published name)."""
     st = os.stat(os.path.join(sf_dir, "documents.parquet"))
-    key = f"{os.path.basename(sf_dir)}_{st.st_size}_{st.st_mtime_ns}"
+    # normpath: see source_formats._kv_sink_cache — a trailing-slash
+    # sf_dir would degenerate the GC family to the bare prefix.
+    sf_base = os.path.basename(os.path.normpath(sf_dir))
+    key = f"{sf_base}_{st.st_size}_{st.st_mtime_ns}"
     from mapreduce_framework_spark.io import publish_cached
 
     def build(staged: str) -> None:
@@ -59,7 +62,7 @@ def _spill_corpus(spark: SparkSession, sf_dir: str) -> str:
     return publish_cached(
         f"mfs_mr_corpus_{key}",
         build,
-        family=f"mfs_mr_corpus_{os.path.basename(sf_dir)}",
+        family=f"mfs_mr_corpus_{sf_base}",
     )
 
 

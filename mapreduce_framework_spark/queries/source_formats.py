@@ -354,7 +354,11 @@ def _kv_sink_cache(spark: SparkSession, sf_dir: str) -> str:
 
     st = os.stat(os.path.join(sf_dir, "documents.parquet"))
     ver = hashlib.sha1(_ORACLE.encode()).hexdigest()[:8]
-    key = f"{os.path.basename(sf_dir)}_{st.st_size}_{st.st_mtime_ns}_{ver}"
+    # normpath before basename: a trailing-slash sf_dir yields '' and
+    # the GC family below degenerates to the bare kind prefix, sweeping
+    # OTHER SFs' live caches (round-10 review finding).
+    sf_base = os.path.basename(os.path.normpath(sf_dir))
+    key = f"{sf_base}_{st.st_size}_{st.st_mtime_ns}_{ver}"
 
     def build(staged: str) -> None:
         counts = wordcount(spark, sf_dir).select(
@@ -365,7 +369,7 @@ def _kv_sink_cache(spark: SparkSession, sf_dir: str) -> str:
     return publish_cached(
         f"mfs_kvsink_{key}",
         build,
-        family=f"mfs_kvsink_{os.path.basename(sf_dir)}",
+        family=f"mfs_kvsink_{sf_base}",
     )
 
 

@@ -198,17 +198,28 @@ class KvTextWriter(DataSourceWriter):
     """
 
     def __init__(self, options: dict, overwrite: bool) -> None:
+        import uuid
+
         self._root = options.get("path")
         if not self._root:
             raise ValueError("kvtext: .save(path) is required")
         self._overwrite = overwrite
+        # Writer-instance run id, minted on the DRIVER and shipped
+        # inside the pickled writer to every task: staged names carry
+        # it, so commit/abort sweeps can distinguish THIS job's
+        # stragglers from a concurrent append's live stage (round-10
+        # review finding — a global .tmp sweep broke the concurrent
+        # appends the unique shard names were designed to allow).
+        self._run = uuid.uuid4().hex[:8]
 
     def write(self, iterator) -> KvTextCommit:
         import os
         import uuid
 
         os.makedirs(self._root, exist_ok=True)
-        tmp = os.path.join(self._root, f".part-{uuid.uuid4().hex}.tmp")
+        tmp = os.path.join(
+            self._root, f".part-{self._run}-{uuid.uuid4().hex}.tmp"
+        )
         with open(tmp, "w", encoding="utf-8") as f:
             for row in iterator:
                 key, value = row[0], row[1]
@@ -240,33 +251,41 @@ class KvTextWriter(DataSourceWriter):
         lives in queries/scans.py (sink_snapshot_time_travel), where
         the generation flip IS a single atomic manifest rename."""
         import os
-        import uuid
 
         if self._overwrite:
             for name in os.listdir(self._root):
                 if name.startswith("part-"):
                     os.remove(os.path.join(self._root, name))
-        # Shard names carry a unique suffix: naming by count-of-existing
+        # Shard names carry the run id: naming by count-of-existing
         # alone lets a concurrent append (or a dir with deleted-shard
         # gaps) rename onto a LIVE shard — os.rename clobbers silently
         # and one committed job's data would vanish.
-        run = uuid.uuid4().hex[:8]
         for i, msg in enumerate(m for m in messages if m is not None):
-            final = os.path.join(self._root, f"part-{i:05d}-{run}")
+            final = os.path.join(self._root, f"part-{i:05d}-{self._run}")
             os.rename(msg.tmp_path, final)
         # Failed-then-retried (or lost speculative) task attempts staged
         # .tmp files that never made it into ``messages`` — only abort()
         # used to sweep those, so a job that ultimately SUCCEEDED after
         # task retries left orphan debris in the live sink dir forever
-        # (round-9 ADVICE).  The committed set was renamed away above,
-        # so every remaining .tmp is a straggler; same single-writer
-        # assumption as the rename step.
-        for name in os.listdir(self._root):
-            if name.startswith(".part-") and name.endswith(".tmp"):
-                try:
-                    os.remove(os.path.join(self._root, name))
-                except OSError:
-                    pass
+        # (round-9 ADVICE).  Sweep is scoped to THIS writer's run id:
+        # the committed set was renamed away above, so every remaining
+        # `.part-{run}-*` is one of our stragglers, and a concurrent
+        # append's in-flight stage (different run id) is untouched.
+        self._sweep_own_stage()
+
+    def _sweep_own_stage(self) -> None:
+        import os
+
+        prefix = f".part-{self._run}-"
+        try:
+            for name in os.listdir(self._root):
+                if name.startswith(prefix) and name.endswith(".tmp"):
+                    try:
+                        os.remove(os.path.join(self._root, name))
+                    except OSError:
+                        pass
+        except FileNotFoundError:
+            pass
 
     def abort(self, messages) -> None:
         import os
@@ -279,19 +298,9 @@ class KvTextWriter(DataSourceWriter):
                     pass
         # Tasks that died MID-write never returned a commit message, so
         # their staged files are invisible to the loop above — sweep
-        # every straggler so failed jobs don't accrete hidden debris in
-        # the live sink dir.  (Single-writer-at-a-time per sink, the
-        # same assumption commit's rename step documents: a concurrent
-        # writer's stage would be swept too.)
-        try:
-            for name in os.listdir(self._root):
-                if name.startswith(".part-") and name.endswith(".tmp"):
-                    try:
-                        os.remove(os.path.join(self._root, name))
-                    except OSError:
-                        pass
-        except FileNotFoundError:
-            pass
+        # the rest of OUR stage (run-id-scoped: a concurrent writer's
+        # stage survives) so failed jobs don't accrete hidden debris.
+        self._sweep_own_stage()
 
 
 class KvTextStreamWriter(DataSourceStreamWriter):
@@ -312,23 +321,33 @@ class KvTextStreamWriter(DataSourceStreamWriter):
     their batch's commit returns, and a replay swaps the whole batch
     generation (readers of a LIVE streaming sink consume through the
     kvtext stream reader, whose set-offsets only ever see committed
-    names).  ``abort`` removes the failed batch's stage; straggler
-    .tmp sweeping follows the batch writer's single-writer rationale
-    but must NOT sweep other batches' in-flight stages — with one
-    streaming query per sink (the supported model) no concurrent stage
-    exists, so the sweep is safe."""
+    names).  TRUNCATE mode (``overwrite=True`` — what Spark hands the
+    sink under ``outputMode("complete")``): each commit first clears
+    EVERY previous ``part-*`` shard, so the sink always holds exactly
+    the latest batch's full result instead of silently accumulating
+    stale generations as if it were append (round-10 review finding).
+    ``abort`` removes the failed batch's stage; straggler .tmp
+    sweeping is scoped to this writer's run id, exactly like the batch
+    writer, so even an unsupported second writer's in-flight stage is
+    never swept."""
 
-    def __init__(self, options: dict) -> None:
+    def __init__(self, options: dict, overwrite: bool = False) -> None:
+        import uuid
+
         self._root = options.get("path")
         if not self._root:
             raise ValueError("kvtext: .option/.start(path) is required")
+        self._truncate = overwrite
+        self._run = uuid.uuid4().hex[:8]
 
     def write(self, iterator) -> KvTextCommit:
         import os
         import uuid
 
         os.makedirs(self._root, exist_ok=True)
-        tmp = os.path.join(self._root, f".part-{uuid.uuid4().hex}.tmp")
+        tmp = os.path.join(
+            self._root, f".part-{self._run}-{uuid.uuid4().hex}.tmp"
+        )
         with open(tmp, "w", encoding="utf-8") as f:
             for row in iterator:
                 key, value = row[0], row[1]
@@ -344,23 +363,33 @@ class KvTextStreamWriter(DataSourceStreamWriter):
         import os
 
         prefix = f"part-b{batchId:06d}-"
-        # Idempotent re-commit: a replayed batch replaces its own
-        # earlier generation (crash between sink commit and checkpoint
-        # write), never doubles it.
+        # Truncate (complete-mode) semantics: the new batch REPLACES
+        # the whole sink, not just its own earlier generation.  Append
+        # semantics: idempotent re-commit — a replayed batch replaces
+        # only ITS earlier generation (crash between sink commit and
+        # checkpoint write), never doubles it.
+        clear = "part-" if self._truncate else prefix
         for name in os.listdir(self._root):
-            if name.startswith(prefix):
+            if name.startswith(clear):
                 os.remove(os.path.join(self._root, name))
         for i, msg in enumerate(m for m in messages if m is not None):
             final = os.path.join(self._root, f"{prefix}{i:05d}")
             os.rename(msg.tmp_path, final)
-        # Straggler .tmp from retried attempts of THIS batch (single
-        # active streaming writer per sink — see class docstring).
-        for name in os.listdir(self._root):
-            if name.startswith(".part-") and name.endswith(".tmp"):
-                try:
-                    os.remove(os.path.join(self._root, name))
-                except OSError:
-                    pass
+        self._sweep_own_stage()
+
+    def _sweep_own_stage(self) -> None:
+        import os
+
+        prefix = f".part-{self._run}-"
+        try:
+            for name in os.listdir(self._root):
+                if name.startswith(prefix) and name.endswith(".tmp"):
+                    try:
+                        os.remove(os.path.join(self._root, name))
+                    except OSError:
+                        pass
+        except FileNotFoundError:
+            pass
 
     def abort(self, messages, batchId: int) -> None:
         import os
@@ -371,15 +400,7 @@ class KvTextStreamWriter(DataSourceStreamWriter):
                     os.remove(msg.tmp_path)
                 except OSError:
                     pass
-        try:
-            for name in os.listdir(self._root):
-                if name.startswith(".part-") and name.endswith(".tmp"):
-                    try:
-                        os.remove(os.path.join(self._root, name))
-                    except OSError:
-                        pass
-        except FileNotFoundError:
-            pass
+        self._sweep_own_stage()
 
 
 class KvTextStreamReader(DataSourceStreamReader):
@@ -489,7 +510,7 @@ class KvTextDataSource(DataSource):
         return KvTextStreamReader(self.options)
 
     def streamWriter(self, schema: StructType, overwrite: bool) -> KvTextStreamWriter:
-        return KvTextStreamWriter(self.options)
+        return KvTextStreamWriter(self.options, overwrite)
 
 
 def register_kvtext(spark) -> None:

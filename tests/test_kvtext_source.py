@@ -274,22 +274,29 @@ def test_lanes_skip_malformed_identically(spark):
     assert via_jvm == expect, "JVM lane must skip exactly the Python lane's skips"
 
 
-def test_commit_sweeps_retry_stragglers(spark):
+def test_commit_sweeps_own_retry_stragglers_only(spark):
     """A task attempt that staged a .tmp and died (retry/speculation)
     leaves debris invisible to commit's message list; commit must sweep
-    it so a SUCCEEDED job leaves no orphans (round-9 ADVICE — only
-    abort used to sweep)."""
-    register_kvtext(spark)
+    it so a SUCCEEDED job leaves no orphans (round-9 ADVICE) — but ONLY
+    debris carrying ITS OWN run id: a foreign .tmp (another writer's
+    in-flight stage) must survive (round-10 review finding)."""
+    from mapreduce_framework_spark.sources.kvtext_datasource import KvTextWriter
+
     path = os.path.join(tempfile.mkdtemp(prefix="kvtext_strag_"), "sink")
-    os.makedirs(path)
-    straggler = os.path.join(path, ".part-deadbeef.tmp")
-    with open(straggler, "w") as f:
-        f.write("orphan:1\n")
-    spark.createDataFrame([("k", 1)], ["key", "value"]).coalesce(1).write.format(
-        "kvtext"
-    ).mode("append").save(path)
-    names = sorted(os.listdir(path))
-    assert not any(n.endswith(".tmp") for n in names), names
+    w = KvTextWriter({"path": path}, overwrite=False)
+    # A retried attempt of THIS job: staged, never reported to commit.
+    own_straggler = w.write(iter([("lost_attempt", 9)]))
+    committed = w.write(iter([("k", 1)]))
+    os.makedirs(path, exist_ok=True)
+    foreign = os.path.join(path, ".part-ffffffff-deadbeef.tmp")
+    with open(foreign, "w") as f:
+        f.write("other_writer:1\n")
+    w.commit([committed])
+    assert not os.path.exists(own_straggler.tmp_path), (
+        "own retry straggler must be swept at commit"
+    )
+    assert os.path.exists(foreign), "a foreign stage must survive"
+    os.remove(foreign)
     assert [tuple(r) for r in read_kv_text(spark, path).collect()] == [("k", 1)]
 
 
@@ -428,3 +435,83 @@ def test_stream_writer_recommit_replaces_batch_generation(spark):
     assert sum(n.startswith("part-b000000-") for n in names) == 1, names
     rows = sorted(tuple(r) for r in read_kv_text(spark, out).collect())
     assert rows == [("a", 1), ("stable", 10)], "replayed batch must not double"
+
+
+def test_stream_writer_truncate_mode_keeps_only_latest_batch(spark):
+    """outputMode('complete') hands the sink overwrite=True: each
+    commit must REPLACE the whole sink with the batch's full result —
+    ignoring the flag would silently accumulate stale generations
+    (round-10 review finding)."""
+    from mapreduce_framework_spark.sources.kvtext_datasource import (
+        KvTextStreamWriter,
+    )
+
+    out = os.path.join(tempfile.mkdtemp(prefix="kvtext_tr_"), "sink")
+    w = KvTextStreamWriter({"path": out}, overwrite=True)
+    w.commit([w.write(iter([("a", 1), ("b", 2)]))], batchId=0)
+    assert sorted(tuple(r) for r in read_kv_text(spark, out).collect()) == [
+        ("a", 1),
+        ("b", 2),
+    ]
+    # Batch 1 carries the NEW full aggregate — the sink must hold only it.
+    w.commit([w.write(iter([("a", 5), ("b", 7), ("c", 1)]))], batchId=1)
+    assert sorted(tuple(r) for r in read_kv_text(spark, out).collect()) == [
+        ("a", 5),
+        ("b", 7),
+        ("c", 1),
+    ], "truncate commit must drop every earlier generation"
+
+
+def test_stream_writer_complete_mode_end_to_end(spark):
+    """The executed proof: a streaming AGGREGATE in complete mode lands
+    in a kvtext sink, and after processing all input the sink equals
+    the batch aggregate exactly — no stale batch-0 rows."""
+    register_kvtext(spark)
+    src = tempfile.mkdtemp(prefix="kvtext_cm_src_")
+    out = os.path.join(tempfile.mkdtemp(prefix="kvtext_cm_"), "sink")
+    ckpt = tempfile.mkdtemp(prefix="kvtext_cm_ckpt_")
+    rows = [("a",), ("b",), ("a",), ("c",), ("a",), ("b",)]
+    spark.createDataFrame(rows, ["key"]).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(src)
+    counts = (
+        spark.readStream.schema("key string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .groupBy("key")
+        .agg(F.count(F.lit(1)).alias("value"))
+    )
+    q = (
+        counts.writeStream.format("kvtext")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = sorted(tuple(r) for r in read_kv_text(spark, out).collect())
+    assert got == [("a", 3), ("b", 2), ("c", 1)], got
+
+
+def test_batch_commit_sweep_spares_concurrent_stage(spark):
+    """The straggler sweep is scoped to the committing writer's run id:
+    a CONCURRENT append's in-flight .tmp stage must survive another
+    job's commit (the round-10 review found a global sweep broke the
+    concurrent appends the unique shard names exist to allow)."""
+    from mapreduce_framework_spark.sources.kvtext_datasource import KvTextWriter
+
+    path = os.path.join(tempfile.mkdtemp(prefix="kvtext_cc_"), "sink")
+    writer_a = KvTextWriter({"path": path}, overwrite=False)
+    writer_b = KvTextWriter({"path": path}, overwrite=False)
+    # B stages first (in flight), then A stages AND commits.
+    msg_b = writer_b.write(iter([("from_b", 2)]))
+    msg_a = writer_a.write(iter([("from_a", 1)]))
+    writer_a.commit([msg_a])
+    assert os.path.exists(msg_b.tmp_path), (
+        "A's commit sweep must not delete B's in-flight stage"
+    )
+    writer_b.commit([msg_b])
+    got = sorted(tuple(r) for r in read_kv_text(spark, path).collect())
+    assert got == [("from_a", 1), ("from_b", 2)]
+    assert not any(n.endswith(".tmp") for n in os.listdir(path))

@@ -115,15 +115,33 @@ def _key_files() -> dict[str, str]:
     return out
 
 
-def _local_series(n: int) -> dict[str, dict[str, float]]:
-    """Every available min-of-3 local recording, newest first wins."""
-    series: dict[str, dict[str, float]] = {}
-    for name in [f"BENCH_local_r{n:02d}.json", f"BENCH_local_r{n - 1:02d}.json",
-                 "BENCH_last.json"]:
+def _local_series(n: int) -> list[tuple[str, dict[str, float]]]:
+    """Available min-of-3 local recordings in RECENCY order (oldest
+    first) — ratio direction matters: only newer/older > threshold
+    means 'the local series confirms a slowdown'.  BENCH_last.json is
+    the current session's latest run, i.e. the newest recording."""
+    # Every folded recording from round n-1 onward, in round order: a
+    # FLAT newer/older fold pair — even one recorded after round n —
+    # is evidence the driver's single-shot drift did not persist, i.e.
+    # noise.  BENCH_last (the session's latest SINGLE run) stands in
+    # only when no fold at or after round n exists: a single shot is
+    # noisier than a min-of-3 fold, and pairing one against a fold
+    # manufactures slowdowns the folded series disproves.
+    fold_rounds = sorted(
+        m
+        for p in REPO.glob("BENCH_local_r*.json")
+        if (mt := re.fullmatch(r"BENCH_local_r(\d+)\.json", p.name))
+        and (m := int(mt.group(1))) >= n - 1
+    )
+    order = [f"BENCH_local_r{m:02d}.json" for m in fold_rounds]
+    if not any(m >= n for m in fold_rounds):
+        order.append("BENCH_last.json")
+    series: list[tuple[str, dict[str, float]]] = []
+    for name in order:
         p = REPO / name
         if p.exists():
             qs, _ = _queries_from_artifact(p)
-            series[name] = qs
+            series.append((name, qs))
     return series
 
 
@@ -159,28 +177,62 @@ def adjudicate(threshold: float) -> dict | None:
     key_files = _key_files()
     locals_ = _local_series(n)
 
+    def local_ratios_for(k: str) -> dict[str, float]:
+        # Newer/older for every ordered recording pair — direction-
+        # correct: >1 means the NEWER recording is slower.
+        out = {}
+        for older_i in range(len(locals_)):
+            for newer_i in range(older_i + 1, len(locals_)):
+                o_name, o_qs = locals_[older_i]
+                n_name, n_qs = locals_[newer_i]
+                if k in o_qs and k in n_qs and o_qs[k] > 0:
+                    out[f"{n_name}/{o_name}"] = round(n_qs[k] / o_qs[k], 3)
+        return out
+
+    oldest_local = locals_[0][1] if locals_ else {}
+    prev_truncated = prev_src.startswith("tail-recovered")
+
     movers = []
     for k in sorted(cur):
         if k not in prev:
-            movers.append(
-                {"key": k, "cur_s": cur[k], "verdict": "new-capability",
-                 "why": "no round-{} recording".format(n - 1)}
-            )
+            if prev_truncated and k in oldest_local:
+                # The key EXISTED last round — it just fell off the
+                # driver's truncated stdout tail.  Exempting it as
+                # 'new-capability' would hide a real regression; fall
+                # through to the local-series adjudication with no
+                # driver ratio available.
+                lr = local_ratios_for(k)
+                if lr and all(v <= threshold for v in lr.values()):
+                    verdict, why = "noise", (
+                        "prev driver timing lost to tail truncation; "
+                        "min-of-3 local series is flat"
+                    )
+                elif any(v > threshold for v in lr.values()):
+                    verdict, why = "real", (
+                        "prev driver timing lost to tail truncation; "
+                        "min-of-3 local series shows a slowdown"
+                    )
+                else:
+                    verdict, why = "unconfirmed", (
+                        "prev driver timing lost to tail truncation and "
+                        "no local series covers the key"
+                    )
+                movers.append(
+                    {"key": k, "cur_s": cur[k], "local_ratios": lr,
+                     "verdict": verdict, "why": why}
+                )
+            else:
+                movers.append(
+                    {"key": k, "cur_s": cur[k], "verdict": "new-capability",
+                     "why": "no round-{} recording".format(n - 1)}
+                )
             continue
         if prev[k] < MIN_BASE_SEC or cur[k] / prev[k] <= threshold:
             continue
         ratio = round(cur[k] / prev[k], 3)
         f = key_files.get(k, "")
         was_touched = f in touched
-        local_ratios = {}
-        names = sorted(locals_)
-        for a_i in range(len(names)):
-            for b_i in range(a_i + 1, len(names)):
-                a, b = names[a_i], names[b_i]
-                if k in locals_[a] and k in locals_[b] and locals_[a][k] > 0:
-                    local_ratios[f"{b}/{a}"] = round(
-                        locals_[b][k] / locals_[a][k], 3
-                    )
+        local_ratios = local_ratios_for(k)
         local_confirms = any(v > threshold for v in local_ratios.values())
         if not was_touched:
             verdict, why = "noise", f"code path untouched since round {n-1} ({f})"
