@@ -1354,13 +1354,16 @@ def dedup_chunk_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-doc output reports how much of the doc survives span dedup.
     The synthetic corpus is single-line, so deterministic 16-token
     chunks stand in for newline splits — the PLAN (explode → min-owner
-    window on the span key → per-doc re-aggregate) is exactly the
-    line-dedup plan and is what this key pins.
+    groupBy on the span key → join-back → per-doc re-aggregate) is
+    exactly the line-dedup plan and is what this key pins.
 
-    Scale: two shuffles — one on the span DIGEST (the window re-keys
-    on md5(span), 16 bytes per key at any span length — the same
-    re-key trick as contamination_ngram), one on doc_id (the
-    re-aggregate); the explode fan-out is ~n_tokens/16 rows per doc,
+    Scale: one corpus-sized exchange on the span DIGEST (md5(span),
+    16 bytes per key at any span length — the same re-key trick as
+    contamination_ngram), reused between the min-owner aggregate and
+    its join-back (map-side partial agg collapses hot boilerplate
+    spans before the exchange; the join-back is AQE-skew-splittable —
+    see chunk_dedup_frame), plus one on doc_id (the re-aggregate);
+    the explode fan-out is ~n_tokens/16 rows per doc,
     linear in corpus size.  No pairwise comparison
     anywhere — exact span equality only, which is why line dedup is
     the cheapest sub-document tier and runs FIRST in a curation
@@ -1368,7 +1371,9 @@ def dedup_chunk_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_dedup_frame(table(spark, sf_dir, "documents"))
 
 
-def chunk_dedup_frame(d: DataFrame, span_tokens: int = 16) -> DataFrame:
+def chunk_dedup_frame(
+    d: DataFrame, span_tokens: int = 16, broadcast_owners: bool = True
+) -> DataFrame:
     """Span-dedup core over a (doc_id, text) frame — the reusable heart
     of dedup_chunk_exact, shared with tools/scale_probe.py so the probe
     times the real operator."""
@@ -1392,11 +1397,39 @@ def chunk_dedup_frame(d: DataFrame, span_tokens: int = 16) -> DataFrame:
             )
         ).alias("chunk"),
     )
-    from pyspark.sql import Window
-
-    owner = F.min("doc_id").over(Window.partitionBy("chunk"))
-    owned = chunks.select("doc_id", owner.alias("owner"))
-    kept = F.sum(F.when(F.col("owner") == F.col("doc_id"), 1).otherwise(0))
+    # Min-owner via groupBy + join-back, NOT min().over(Window.partitionBy
+    # (chunk)): a window partitioned by content digest puts EVERY
+    # occurrence of one chunk on ONE task, and the exact-chunk pass exists
+    # precisely because some spans repeat millions of times (boilerplate
+    # headers) — a single-task sort AQE cannot split.  groupBy partial-
+    # aggregates map-side (partial_min + partial_count, plan-pinned),
+    # collapsing the hot digest to one row per input partition BEFORE the
+    # exchange.  The owner frame is then filtered to DUPLICATED chunks
+    # only (count >= 2): a sole-occurrence chunk is trivially owned by
+    # its one doc, so the left join's null branch covers it and the
+    # join's build side shrinks to the (rare-by-construction)
+    # duplicated-chunk set — BROADCAST at plan time: left to the
+    # optimizer this join planned as a SortMergeJoin that re-exchanges
+    # and sorts the corpus-sized chunk frame on the skewed digest
+    # (measured 10× slower than the broadcast on a hot-gram corpus —
+    # see span_dup_positions; SCALE.md carries the table).  For a
+    # corpus whose duplicated-chunk set is itself corpus-scale, pass
+    # broadcast_owners=False for the AQE-skew-splittable shuffle join.
+    # Identical answer either way.
+    owners = (
+        chunks.groupBy("chunk")
+        .agg(F.min("doc_id").alias("owner"), F.count(F.lit(1)).alias("c"))
+        .where(F.col("c") >= 2)
+        .select("chunk", "owner")
+    )
+    if broadcast_owners:
+        owners = F.broadcast(owners)
+    owned = chunks.join(owners, "chunk", "left").select("doc_id", "owner")
+    kept = F.sum(
+        F.when(
+            F.col("owner").isNull() | (F.col("owner") == F.col("doc_id")), 1
+        ).otherwise(0)
+    )
     return owned.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_chunks"),
         kept.cast("bigint").alias("n_kept"),
@@ -1458,9 +1491,12 @@ def dedup_span_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the fan-out is n grams per n-token doc (16× chunk dedup's
     n/16, the price of offset-exactness — run AFTER chunk/exact tiers
     prune), but every shuffled key is a 16-byte md5 digest regardless
-    of span text, the rank shuffle is the ONE corpus-sized exchange
-    (row_number per digest; boilerplate-heavy grams skew a partition —
-    AQE skew split applies, and the digest keyspace is uniform), and
+    of span text, the keep-first pass is a map-side-combining
+    HashAggregate on the digest (the partial agg collapses boilerplate
+    grams that repeat 10⁶+ times BEFORE the exchange) plus a join-back
+    whose build side is only the duplicated-gram set — AQE flips it to
+    broadcast, or skew-splits it when it stays a shuffle join (see
+    span_dup_positions), and
     the position explode only touches DUPLICATED occurrences (rare by
     construction in curated corpora).  countDistinct(doc_id, p)
     collapses overlapping covers before the per-doc re-aggregate."""
@@ -1493,18 +1529,76 @@ def span_grams(d: DataFrame, k: int = 16) -> DataFrame:
     )
 
 
-def span_dup_positions(d: DataFrame, k: int = 16) -> DataFrame:
+def span_dup_positions(
+    d: DataFrame, k: int = 16, broadcast_firsts: bool = True
+) -> DataFrame:
     """DISTINCT duplicated token positions (doc_id, p) under the
     offset-exact keep-first gram semantics — the shared core of the
     span-dedup report (dedup_span_exact) and the removal twin
-    (dedup_span_removal)."""
-    from pyspark.sql import Window
+    (dedup_span_removal).
 
+    Keep-first is computed as groupBy(g).agg(min(struct(doc_id, pos)))
+    + join-back, NOT row_number().over(Window.partitionBy(g)): the
+    window form funnels every occurrence of one gram onto one task,
+    and on real web corpora boilerplate 16-grams repeat 10⁶+ times —
+    a single-task sort AQE's skew split cannot touch (it only applies
+    to joins and aggregates).  min() partial-aggregates map-side
+    (partial_min + partial_count, plan-pinned) — the hot digest
+    collapses to one row per input partition before any exchange.
+
+    The min operand is (doc_id, pos) PACKED into one bigint
+    (doc_id << 25 | pos), NOT min(struct(doc_id, pos)) and NOT a
+    padded-string concat: HashAggregate requires MUTABLE fixed-width
+    aggregate buffers, so both the struct and the string form silently
+    plan a SortAggregate whose map side SORTS the entire corpus-sized
+    gram frame (measured 3.7× slower than the window it was meant to
+    replace on a 50M-gram adversarial corpus); min(bigint) stays in
+    whole-stage-codegen HashAggregate.  Numeric order on the packed
+    value equals (doc_id, pos) order while doc_id ∈ [0, 2³⁸) and
+    pos ∈ [0, 2²⁵) — i.e. up to ~275 G docs of up to ~33 M tokens
+    (~200 MB of text) each, comfortably past the 100-TB design point —
+    and the plan RAISES (raise_error branch in the packing expression)
+    rather than silently mis-ranking if either bound is ever exceeded.
+    It therefore selects exactly the row row_number(orderBy doc_id,
+    pos) == 1 selected; (doc_id, pos) is unique in span_grams, so
+    "not the min" ≡ "rn > 1".
+
+    The keep-first frame is filtered to DUPLICATED grams (count >= 2)
+    before the join-back: sole-occurrence grams can never mark a dup
+    row (their only occurrence IS the min), so the inner join is
+    unchanged while the build side shrinks to the duplicated-gram set.
+    That build side is BROADCAST at plan time, not left to the
+    optimizer: left alone, Catalyst/AQE planned the join-back as a
+    SortMergeJoin whose probe side re-exchanges AND SORTS the entire
+    corpus-sized gram frame on the skewed digest — measured 573 s on a
+    50M-gram one-hot-family corpus where the forced broadcast runs
+    56 s (and the window this design replaced, 138 s; SCALE.md carries
+    the table).  The broadcast bound is the DISTINCT duplicated-gram
+    count, rare by construction in a curation ladder (span dedup runs
+    AFTER the exact/chunk tiers have removed whole-doc and aligned
+    duplication); for a corpus outside that posture — dup grams at
+    corpus scale — pass ``broadcast_firsts=False`` to fall back to the
+    shuffle join and let AQE skew-split it."""
     grams = span_grams(d, k)
-    rn = F.row_number().over(
-        Window.partitionBy("g").orderBy("doc_id", "pos")
+    pos_bits = 25
+    ord_ = F.when(
+        F.col("doc_id").between(0, (1 << (63 - pos_bits)) - 1)
+        & (F.col("pos") < (1 << pos_bits)),
+        F.shiftleft(F.col("doc_id"), pos_bits) + F.col("pos").cast("bigint"),
+    ).otherwise(
+        F.raise_error(
+            F.lit("span_dup_positions: doc_id/pos exceed packed keep-first bounds")
+        ).cast("bigint")
     )
-    dup = grams.select("doc_id", "pos", rn.alias("rn")).where(F.col("rn") > 1)
+    first = (
+        grams.groupBy("g")
+        .agg(F.min(ord_).alias("first_ord"), F.count(F.lit(1)).alias("c"))
+        .where(F.col("c") >= 2)
+        .select("g", "first_ord")
+    )
+    if broadcast_firsts:
+        first = F.broadcast(first)
+    dup = grams.join(first, "g").where(ord_ != F.col("first_ord"))
     covered = dup.select(
         "doc_id", F.explode(F.sequence(F.col("pos"), F.col("pos") + (k - 1))).alias("p")
     )

@@ -476,13 +476,23 @@ def test_bloom_filtered_query_injects_might_contain(spark):
                 spark.conf.set(k, v)
 
 
-def test_chunk_dedup_is_two_exchanges(spark):
-    """Span dedup = explode → window on chunk (1 shuffle) → re-agg on
-    doc_id (1 shuffle).  A third exchange would mean the plan re-keyed
-    somewhere it shouldn't."""
-    from mapreduce_framework_spark.plans import count_exchanges
+def test_chunk_dedup_is_two_exchanges_no_digest_window(spark):
+    """Chunk dedup = explode → min-owner groupBy on chunk (1 shuffle,
+    map-side partial_min so a boilerplate chunk repeated 10⁶× collapses
+    BEFORE the exchange) → broadcast join-back → re-agg on doc_id
+    (1 shuffle).  Round-10 verdict task #1 pins: NO Window partitioned
+    by the content digest (single-task skew tail AQE cannot split), NO
+    SortAggregate (min over a non-mutable buffer type would silently
+    sort the corpus-sized chunk frame map-side), and no third
+    exchange."""
+    from mapreduce_framework_spark.plans import count_exchanges, formatted_plan
 
-    assert count_exchanges(_q(spark, "dedup_chunk_exact")) == 2
+    df = _q(spark, "dedup_chunk_exact")
+    plan = formatted_plan(df)
+    assert "Window" not in plan, "digest window crept back (skew tail)"
+    assert "SortAggregate" not in plan, "min-owner agg fell out of HashAggregate"
+    assert "partial_min" in plan, "map-side combine missing before digest exchange"
+    assert count_exchanges(df) == 2
 
 
 def test_lsh_signatures_have_no_shuffle(spark):
@@ -1204,18 +1214,28 @@ def test_lateral_topk_becomes_window_group_limit(spark):
 
 
 def test_span_dedup_exchanges_and_broadcast_report(spark):
-    """Offset-exact span dedup: ONE corpus-sized exchange (the digest
-    rank window), the distinct+re-agg pair on the RARE dup positions,
-    and the per-doc report joining back to the doc scan as a broadcast
-    (the report side is dup-docs-only — shuffling the corpus to meet
-    it would invert the size relationship)."""
+    """Offset-exact span dedup (round-10 verdict task #1 shape): ONE
+    corpus-sized exchange — the keep-first groupBy(g) whose map-side
+    partial_min collapses a gram repeated 10⁶× to one row per input
+    partition BEFORE the exchange — then a join-back whose build side
+    is only the DUPLICATED grams (broadcast), the distinct+re-agg pair
+    on the RARE dup positions, and the per-doc report joining back to
+    the doc scan as a broadcast (the report side is dup-docs-only —
+    shuffling the corpus to meet it would invert the size
+    relationship).  Pins: no Window partitioned by the digest (the
+    single-task skew tail this shape replaced), no SortAggregate (the
+    min operand must stay a mutable-buffer type or the map side
+    silently sorts the whole gram frame)."""
     from mapreduce_framework_spark.plans import count_exchanges, formatted_plan
 
     df = _q(spark, "dedup_span_exact")
     plan = formatted_plan(df)
+    assert "Window" not in plan, "digest window crept back (skew tail)"
+    assert "SortAggregate" not in plan, "keep-first agg fell out of HashAggregate"
+    assert "partial_min" in plan, "map-side combine missing before digest exchange"
     assert "BroadcastHashJoin LeftOuter" in plan, "report side must broadcast"
     assert "SortMergeJoin" not in plan
-    # digest window + dup-position distinct + per-doc agg: exactly 3.
+    # keep-first agg + dup-position distinct + per-doc agg: exactly 3.
     assert count_exchanges(df) == 3
 
 

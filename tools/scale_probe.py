@@ -322,9 +322,16 @@ def build_tiers(spark, small: int, big: int) -> dict[str, dict[int, callable]]:
 
     def t_span_dedup(n):
         # The offset-exact tier: n grams per n-token doc (16x chunk
-        # dedup's fan-out) through one digest-keyed rank shuffle — the
-        # ratio verdict must stay linear-class despite the fan-out.
-        return span_dedup_frame(corpus("docs", n).select("doc_id", "text")).count()
+        # dedup's fan-out) through one digest-keyed keep-first
+        # aggregate + broadcast join-back — the ratio verdict must stay
+        # linear-class despite the fan-out.  Forced via an aggregate
+        # over the REPORT COLUMN, not .count(): the report's final
+        # left join (unique right key, no columns referenced by count)
+        # is join-ELIMINATED by Catalyst, so a bare count times the
+        # document scan alone — the round-10 probe rows recorded that
+        # vacuous plan and are superseded by the round-11 re-probe.
+        out = span_dedup_frame(corpus("docs", n).select("doc_id", "text"))
+        return out.agg(F.sum("n_dup_tokens")).collect()[0][0]
 
     def t_lm_perplexity(n):
         return lm_perplexity_frame(corpus("docs", n).select("doc_id", "text")).count()
