@@ -73,22 +73,67 @@ def main() -> None:
             timings[name] = min(timings.get(name, dt), dt)
 
     total = round(sum(timings.values()), 3)
-    payload = json.dumps(
+    # Persist the FULL per-query dict to a file first: the driver
+    # records only the last ~2000 chars of stdout, and the r9/r10
+    # BENCH artifacts came back `parsed: null` because the 81-key dict
+    # straddled the truncation point (key names alone exceed the
+    # budget).  BENCH_last.json is the untruncatable copy —
+    # tools/bench_adjudicate.py and the round ledger read it.
+    full = json.dumps(
         {
             "metric": "bench_suite_wall_seconds",
             "value": total,
             "unit": "sec",
             "queries": timings,
             "sf": sf,
-        }
+        },
+        separators=(",", ":"),
+    )
+    (Path(__file__).resolve().parent / "BENCH_last.json").write_text(full + "\n")
+
+    # The stdout line must SURVIVE the driver's tail capture, so it is
+    # hard-capped below the observed 2000-char budget: per-query times
+    # are included most-expensive-first (the keys a perf audit reads)
+    # until the cap, and the rest are pinned by count + sha256 of the
+    # full compact dict, which lives in BENCH_last.json verbatim.
+    import hashlib
+
+    all_q = json.dumps(timings, sort_keys=True, separators=(",", ":"))
+    digest = hashlib.sha256(all_q.encode()).hexdigest()[:12]
+    by_cost = sorted(timings, key=lambda k: (-timings[k], k))
+    kept: dict[str, float] = {}
+    for k in by_cost:
+        kept[k] = timings[k]
+        line = json.dumps(
+            {
+                "metric": "bench_suite_wall_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": kept,
+                "queries_omitted": len(timings) - len(kept),
+                "queries_sha256": digest,
+                "queries_file": "BENCH_last.json",
+                "sf": sf,
+            },
+            separators=(",", ":"),
+        )
+        if len(line) > 1900:
+            del kept[k]
+            break
+    payload = json.dumps(
+        {
+            "metric": "bench_suite_wall_seconds",
+            "value": total,
+            "unit": "sec",
+            "queries": kept,
+            "queries_omitted": len(timings) - len(kept),
+            "queries_sha256": digest,
+            "queries_file": "BENCH_last.json",
+            "sf": sf,
+        },
+        separators=(",", ":"),
     )
     print(payload)
-    # Also persist the full line to a file: the driver records only a
-    # bounded tail of stdout, and round 9's BENCH artifact came back
-    # with `parsed: null` because the per-query dict straddled the
-    # truncation point.  BENCH_last.json is the untruncatable copy —
-    # tools/bench_adjudicate.py and the round ledger read it.
-    (Path(__file__).resolve().parent / "BENCH_last.json").write_text(payload + "\n")
 
 
 if __name__ == "__main__":
