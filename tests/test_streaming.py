@@ -548,28 +548,65 @@ def test_processing_time_ttl_evicts(spark, events):
             )
 
         # Inside the TTL window: user 1's state must survive + accumulate.
+        # Slow-host gate (round-10 ADVICE #5): if the host is loaded
+        # enough that the TTL elapses BEFORE the b1 batch processes,
+        # eviction-then-fresh-restart is the CORRECT engine behavior,
+        # not a failure — b1 then emits a SECOND (1, n1, False) row
+        # (counts0[1] == n1, so the value alone can't distinguish;
+        # occurrence count can).  Accept either outcome, and assert the
+        # branch-appropriate invariants below.
+        n_u1_base = sum(
+            1
+            for r in rows()
+            if not r.evicted and r.user_id == 1 and r.n_events == n1
+        )
         stage_file(events.where(F.col("user_id") == 1), "b1.parquet")
-        wait_until(
-            lambda: any(
+
+        def u1_accumulated():
+            return any(
                 not r.evicted and r.user_id == 1 and r.n_events == counts0[1] + n1
                 for r in rows()
-            ),
-            60,
-            "user 1's accumulated second update",
-        )
+            )
 
-        # Idle past the TTL: exactly one eviction per key, final counts.
+        def u1_restarted():
+            return time.time() - t0 > ttl_ms / 1000 and (
+                sum(
+                    1
+                    for r in rows()
+                    if not r.evicted and r.user_id == 1 and r.n_events == n1
+                )
+                > n_u1_base
+            )
+
         wait_until(
-            lambda: sum(1 for r in rows() if r.evicted) >= 4, 120, "4 evictions"
+            lambda: u1_accumulated() or u1_restarted(),
+            60,
+            "user 1's second update (accumulated, or fresh post-TTL restart)",
+        )
+        accumulated = u1_accumulated()
+
+        # Idle past the TTL: every state generation evicts exactly once
+        # with its final count.  In the normal (accumulated) branch
+        # that is one eviction per key; in the slow-host branch user
+        # 1's rows were split across two state generations, so its
+        # TOTAL evicted count — not its per-eviction count — must
+        # equal counts0[1] + n1 (nothing lost, nothing double-counted).
+        n_evictions = 4 if accumulated else 5
+        wait_until(
+            lambda: sum(1 for r in rows() if r.evicted) >= n_evictions,
+            120,
+            f"{n_evictions} evictions",
         )
         evicted = [r for r in rows() if r.evicted]
         assert {r.user_id for r in evicted} == {1, 2, 3, 4}
-        assert len(evicted) == 4, "a key must evict exactly once"
-        by_user = {r.user_id: r.n_events for r in evicted}
-        assert by_user[1] == counts0[1] + n1
-        assert {u: by_user[u] for u in (2, 3, 4)} == {
-            u: counts0[u] for u in (2, 3, 4)
-        }
+        assert len(evicted) == n_evictions, (
+            "a state generation must evict exactly once"
+        )
+        assert sum(r.n_events for r in evicted if r.user_id == 1) == (
+            counts0[1] + n1
+        )
+        by_user = {r.user_id: r.n_events for r in evicted if r.user_id != 1}
+        assert by_user == {u: counts0[u] for u in (2, 3, 4)}
 
         # Re-feed an evicted key: the count must restart FRESH.  Note
         # counts0[2] == n2 (the b0 batch already emitted (2, n2, False)),
