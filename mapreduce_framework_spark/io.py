@@ -61,6 +61,23 @@ def user_cache_root() -> str:
     return user_tmp_root("mfs_cache")
 
 
+def cache_sf_token(sf_dir: str) -> str:
+    """Collision-proof scale-factor component for cache keys and GC
+    families.  A bare ``basename(sf_dir)`` is ambiguous under
+    :func:`reap_superseded`'s prefix matching: family ``kind_sf1``
+    prefix-matches ``kind_sf1_alt_...``, which puts sf1_alt's LIVE
+    cache inside sf1's family where one idle hour gets it reaped
+    (round-10 ADVICE).  Suffixing a short hash of the full normalized
+    path keeps same-SF tokens identical across sessions while making
+    cross-SF prefix nesting impossible in practice (the basenames
+    would have to nest AND the 24-bit-truncated hashes align exactly
+    at the nesting boundary)."""
+    import hashlib
+
+    p = os.path.normpath(os.path.abspath(sf_dir))
+    return f"{os.path.basename(p)}.{hashlib.sha1(p.encode()).hexdigest()[:6]}"
+
+
 def reap_superseded(family: str, keep: str, age_s: float = 3600.0) -> list[str]:
     """Generation GC for the build-once artifact caches (round-9
     verdict task #6: ``user_cache_root()`` accreted one directory per
@@ -123,8 +140,21 @@ def publish_cached(
 
     ``family`` opts into generation GC: pass the stable prefix of
     ``cache_name`` (kind + SF + fixed params — everything EXCEPT the
-    file-identity/version tail) and superseded sibling generations are
-    swept via :func:`reap_superseded` after publish.
+    file-identity/version tail; build the SF component with
+    :func:`cache_sf_token`, not a bare basename) and superseded
+    sibling generations are swept via :func:`reap_superseded` after
+    publish.
+
+    Lazy-read window (documented limit): the mtime touch below marks
+    last USE at cache-lookup time, but a Spark plan built over the
+    returned path executes lazily — an action fired more than
+    ``reap_age_s`` after the lookup, with a newer generation published
+    in between and no intervening lookup, can lose the superseded
+    parquet mid-read to another session's sweep.  The repo's readers
+    re-resolve the cache per query invocation (every *_probe key calls
+    its cache fn before building the plan), which bounds the
+    lookup-to-action gap to one query's planning time — orders of
+    magnitude inside the 1 h guard.
     """
     import shutil
     import tempfile

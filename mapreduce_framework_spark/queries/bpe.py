@@ -257,10 +257,10 @@ def _bpe_vocab_cache(spark: SparkSession, sf_dir: str) -> str:
     import inspect
     import os
 
-    from mapreduce_framework_spark.io import publish_cached
+    from mapreduce_framework_spark.io import cache_sf_token, publish_cached
 
     st = os.stat(os.path.join(sf_dir, "documents.parquet"))
-    sf_base = os.path.basename(os.path.normpath(sf_dir))
+    sf_base = cache_sf_token(sf_dir)
     code = "".join(
         inspect.getsource(f) for f in (bpe_train, _pair_counts, _words0)
     )
@@ -278,8 +278,11 @@ def _bpe_vocab_cache(spark: SparkSession, sf_dir: str) -> str:
         )
         merges.write.parquet(os.path.join(staged, "merges"))
 
+    # family carries the fixed param (m{N_MERGES}) per publish_cached's
+    # documented contract: two concurrently-used merge budgets for one
+    # SF must not reap each other (round-10 ADVICE).
     return publish_cached(
-        f"mfs_bpe_{ident}", build, family=f"mfs_bpe_{sf_base}"
+        f"mfs_bpe_{ident}", build, family=f"mfs_bpe_{sf_base}_m{N_MERGES}"
     )
 
 

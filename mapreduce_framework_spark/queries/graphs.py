@@ -542,11 +542,11 @@ def persisted_cosupply_adjacency(
     a complete artifact."""
     import os
 
-    from mapreduce_framework_spark.io import publish_cached
+    from mapreduce_framework_spark.io import cache_sf_token, publish_cached
 
     st = os.stat(os.path.join(sf_dir, "lineitem.parquet"))
-    sf_base = os.path.basename(os.path.normpath(sf_dir))
-    ident = f"{sf_base}_{st.st_size}_{st.st_mtime_ns}_k{k}b{n_buckets}"
+    sf_base = cache_sf_token(sf_dir)
+    ident = f"{sf_base}_k{k}b{n_buckets}_{st.st_size}_{st.st_mtime_ns}"
 
     def build(staged: str) -> None:
         l = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
@@ -564,12 +564,16 @@ def persisted_cosupply_adjacency(
             .parquet(staged)
         )
 
-    # family = kind + SF: per-SF artifacts coexist (tests/bench/driver
-    # run different SFs concurrently); a changed file identity or
-    # k/n_buckets marks the old generation superseded and the publish
-    # sweep reaps it once it ages past the cross-session guard.
+    # family = kind + SF + fixed params (k/n_buckets): per-SF artifacts
+    # coexist (tests/bench/driver run different SFs concurrently), and
+    # two concurrently-used parameterizations of one SF must not reap
+    # each other (round-10 ADVICE) — only a changed FILE IDENTITY marks
+    # a generation superseded, and the publish sweep reaps it once it
+    # ages past the cross-session guard.
     dest = publish_cached(
-        f"mfs_graph_adj_{ident}", build, family=f"mfs_graph_adj_{sf_base}"
+        f"mfs_graph_adj_{ident}",
+        build,
+        family=f"mfs_graph_adj_{sf_base}_k{k}b{n_buckets}",
     )
     return spark.read.parquet(dest)
 

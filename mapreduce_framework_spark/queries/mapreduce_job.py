@@ -45,11 +45,13 @@ def _spill_corpus(spark: SparkSession, sf_dir: str) -> str:
     directory (rename is atomic; no partially-written corpus exists
     under the published name)."""
     st = os.stat(os.path.join(sf_dir, "documents.parquet"))
-    # normpath: see source_formats._kv_sink_cache — a trailing-slash
-    # sf_dir would degenerate the GC family to the bare prefix.
-    sf_base = os.path.basename(os.path.normpath(sf_dir))
+    # cache_sf_token: path-hash-suffixed basename, so no sf_dir
+    # basename can nest inside another SF's GC family (round-10
+    # ADVICE; also covers the older trailing-slash degeneration).
+    from mapreduce_framework_spark.io import cache_sf_token, publish_cached
+
+    sf_base = cache_sf_token(sf_dir)
     key = f"{sf_base}_{st.st_size}_{st.st_mtime_ns}"
-    from mapreduce_framework_spark.io import publish_cached
 
     def build(staged: str) -> None:
         table(spark, sf_dir, "documents").select("text").write.mode(

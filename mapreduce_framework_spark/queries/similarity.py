@@ -967,22 +967,24 @@ def _per_sf_cached_index(
     amortizes across every query."""
     import os
 
-    from mapreduce_framework_spark.io import publish_cached
+    from mapreduce_framework_spark.io import cache_sf_token, publish_cached
 
     st = os.stat(os.path.join(sf_dir, "embeddings.parquet"))
     # ``params`` folds every index-build parameter into the key (the
     # adjacency cache's k/n_buckets convention): without it, changing
     # n_sub/n_seeds/centroids would silently serve a stale index built
     # with the OLD parameters — round-9 review finding.
-    sf_base = os.path.basename(os.path.normpath(sf_dir))
-    ident = f"{sf_base}_{st.st_size}_{st.st_mtime_ns}_{params}"
-    # family = kind + SF (the coexistence axes); superseded identity or
-    # params generations are reaped by the publish sweep after the
-    # cross-session age guard (io.reap_superseded).
+    sf_base = cache_sf_token(sf_dir)
+    ident = f"{sf_base}_{params}_{st.st_size}_{st.st_mtime_ns}"
+    # family = kind + SF + params (the coexistence axes — round-10
+    # ADVICE: two concurrently-used parameterizations of one SF must
+    # not reap each other); only superseded FILE-IDENTITY generations
+    # are reaped by the publish sweep after the cross-session age
+    # guard (io.reap_superseded).
     return publish_cached(
         f"mfs_idx_cache_{kind}_{ident}",
         build,
-        family=f"mfs_idx_cache_{kind}_{sf_base}",
+        family=f"mfs_idx_cache_{kind}_{sf_base}_{params}",
     )
 
 

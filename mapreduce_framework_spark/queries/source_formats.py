@@ -349,15 +349,15 @@ def _kv_sink_cache(spark: SparkSession, sf_dir: str) -> str:
     import hashlib
 
     from mapreduce_framework_spark.compat import write_kv_text
-    from mapreduce_framework_spark.io import publish_cached
+    from mapreduce_framework_spark.io import cache_sf_token, publish_cached
     from mapreduce_framework_spark.queries.wordcount import _ORACLE, wordcount
 
     st = os.stat(os.path.join(sf_dir, "documents.parquet"))
     ver = hashlib.sha1(_ORACLE.encode()).hexdigest()[:8]
-    # normpath before basename: a trailing-slash sf_dir yields '' and
-    # the GC family below degenerates to the bare kind prefix, sweeping
-    # OTHER SFs' live caches (round-10 review finding).
-    sf_base = os.path.basename(os.path.normpath(sf_dir))
+    # cache_sf_token (path-hash-suffixed basename): an sf_dir basename
+    # that extends another with an underscore must not nest inside its
+    # GC family (round-10 ADVICE).
+    sf_base = cache_sf_token(sf_dir)
     key = f"{sf_base}_{st.st_size}_{st.st_mtime_ns}_{ver}"
 
     def build(staged: str) -> None:

@@ -10,6 +10,7 @@ import time
 import pytest
 
 from mapreduce_framework_spark.io import (
+    cache_sf_token,
     publish_cached,
     reap_superseded,
     user_cache_root,
@@ -79,6 +80,26 @@ def test_reap_superseded_reaps_old_generation_keeps_live():
     # just published is a footgun, refuse loudly.
     with pytest.raises(ValueError, match="not in family"):
         reap_superseded(fam, keep="unrelated_name")
+
+
+def test_cache_sf_token_blocks_cross_sf_family_nesting(tmp_path):
+    """Round-10 ADVICE: an sf_dir basename that extends another with an
+    underscore ('sf1' vs 'sf1_alt') must NOT nest inside the shorter
+    SF's GC family under reap_superseded's prefix matching — otherwise
+    the second SF's live cache is reaped once idle past the guard."""
+    a = tmp_path / "sf1"
+    b = tmp_path / "sf1_alt"
+    a.mkdir()
+    b.mkdir()
+    ta, tb = cache_sf_token(str(a)), cache_sf_token(str(b))
+    # The exact footgun: family "kind_<ta>_" prefix-matching a name
+    # built from tb.
+    assert not f"kind_{tb}_gen1".startswith(f"kind_{ta}_")
+    # Stable across calls and across relative/absolute spellings of
+    # the same path (same session CWD) — same-SF caches must still hit.
+    assert cache_sf_token(str(a)) == ta
+    rel = os.path.relpath(str(a))
+    assert cache_sf_token(rel) == ta
 
 
 def test_publish_cached_with_family_sweeps_superseded():
