@@ -181,9 +181,34 @@ def read_kv_text(spark: SparkSession, path: str) -> DataFrame:
     disagreed on dirty/foreign sinks and a malformed line was
     indistinguishable from the legitimate empty-string key.  ``[0-9]``
     not ``\\d``: both lanes mean ASCII digits only (Python's ``\\d``
-    accepts unicode digits that ``CAST AS long`` then rejects)."""
+    accepts unicode digits that ``CAST AS long`` then rejects).
+
+    ONE generation resolution across lanes (round-10 verdict task #3):
+    a sink that has seen an overwrite commit carries a ``_manifest``
+    naming the live epoch; this lane resolves shards through the same
+    :func:`..sources.kvtext_datasource.live_shard_names` helper the
+    DataSource readers use, so a scan racing an overwrite observes
+    old-or-new, never a torn mixture.  Manifest-less dirs (append-only
+    sinks, foreign sinks) keep the whole-dir text scan — Spark's text
+    source already skips ``_``/``.``-prefixed files."""
+    import os as _os
+
+    from mapreduce_framework_spark.sources.kvtext_datasource import (
+        live_shard_names,
+        read_manifest,
+    )
+
     pat = r"^(.*):(-?[0-9]+)$"
-    lines = spark.read.text(path).where(F.col("value").rlike(pat))
+    if _os.path.isdir(path) and read_manifest(path) is not None:
+        shards = [_os.path.join(path, n) for n in live_shard_names(path)]
+        src = (
+            spark.read.text(shards)
+            if shards
+            else spark.createDataFrame([], "value string")
+        )
+    else:
+        src = spark.read.text(path)
+    lines = src.where(F.col("value").rlike(pat))
     return lines.select(
         F.regexp_extract("value", pat, 1).alias("key"),
         F.regexp_extract("value", pat, 2).cast("long").alias("value"),

@@ -515,3 +515,180 @@ def test_batch_commit_sweep_spares_concurrent_stage(spark):
     got = sorted(tuple(r) for r in read_kv_text(spark, path).collect())
     assert got == [("from_a", 1), ("from_b", 2)]
     assert not any(n.endswith(".tmp") for n in os.listdir(path))
+
+
+def test_overwrite_generation_flip_is_atomic(spark):
+    """Round-10 verdict task #3: the overwrite publish is ONE atomic
+    manifest replace.  Simulate both crash windows at the file level
+    and pin that every reader lane resolves a COMPLETE generation —
+    old before the flip, new after it, never a mixture."""
+    import json
+
+    from mapreduce_framework_spark.sources.kvtext_datasource import (
+        MANIFEST_NAME,
+        live_shard_names,
+        shard_epoch,
+    )
+
+    register_kvtext(spark)
+    path = os.path.join(tempfile.mkdtemp(prefix="kvtext_atomic_"), "sink")
+    g1 = spark.createDataFrame([("k", 1), ("k2", 1)], ["key", "value"])
+    g2 = spark.createDataFrame([("k", 2), ("k2", 2)], ["key", "value"])
+    g1.coalesce(1).write.format("kvtext").mode("overwrite").save(path)
+    man1 = json.load(open(os.path.join(path, MANIFEST_NAME)))
+    live1 = live_shard_names(path)
+    assert live1 == sorted(man1["names"])
+    assert all(shard_epoch(n) == man1["epoch"] for n in live1)
+
+    # Crash window A — new generation renamed in, manifest NOT yet
+    # flipped: readers must still resolve the OLD generation only.
+    debris = f"part-e{man1['epoch'] + 1:06d}-00000-deadbeef"
+    with open(os.path.join(path, debris), "w") as f:
+        f.write("torn:999\n")
+    assert live_shard_names(path) == live1, "unpublished epoch leaked"
+    got = sorted(
+        tuple(r) for r in spark.read.format("kvtext").load(path).collect()
+    )
+    assert got == [("k", 1), ("k2", 1)], "reader saw a torn overwrite"
+    got_jvm = sorted(tuple(r) for r in read_kv_text(spark, path).collect())
+    assert got_jvm == [("k", 1), ("k2", 1)], "JVM lane saw a torn overwrite"
+
+    # A real second overwrite must pick an epoch ABOVE the debris (no
+    # mixing with a crashed overwrite's files) and reclaim both the
+    # old generation and the debris post-flip (self-healing).
+    g2.coalesce(1).write.format("kvtext").mode("overwrite").save(path)
+    man2 = json.load(open(os.path.join(path, MANIFEST_NAME)))
+    assert man2["epoch"] > man1["epoch"] + 1
+    names_now = os.listdir(path)
+    assert debris not in names_now, "crashed-overwrite debris not reclaimed"
+    assert not any(n in names_now for n in man1["names"]), "old gen lingers"
+    got = sorted(
+        tuple(r) for r in spark.read.format("kvtext").load(path).collect()
+    )
+    assert got == [("k", 2), ("k2", 2)]
+
+
+def test_overwrite_racing_reader_sees_old_or_new_never_torn(spark):
+    """A reader loop racing repeated overwrite commits must observe,
+    on every resolution, one complete generation (all keys present,
+    one distinct value) — or the documented LOUD FileNotFoundError if
+    post-flip GC unlinks a shard between listing and open.  Resolution
+    goes through live_shard_names + parse_kv_lines, the exact helpers
+    both DataSource readers and (manifested) the JVM lane scan with,
+    so the file-level race IS the reader race."""
+    import threading
+
+    from mapreduce_framework_spark.sources.kvtext_datasource import (
+        live_shard_names,
+        parse_kv_lines,
+    )
+
+    register_kvtext(spark)
+    path = os.path.join(tempfile.mkdtemp(prefix="kvtext_race_"), "sink")
+    keys = [f"k{i}" for i in range(5)]
+    gens = 6
+    frames = [
+        spark.createDataFrame([(k, g) for k in keys], ["key", "value"])
+        for g in range(1, gens + 1)
+    ]
+    stop = threading.Event()
+    writer_err: list[Exception] = []
+
+    def overwriter():
+        try:
+            # JVM active-session is THREAD-local and unset on the fresh
+            # py4j thread this Python thread maps to; without it the
+            # Python-data-source lookup silently skips the registry and
+            # save() dies with ClassNotFoundException: kvtext.
+            spark._jvm.org.apache.spark.sql.classic.SparkSession.setActiveSession(
+                spark._jsparkSession
+            )
+            for df in frames:
+                df.repartition(2).write.format("kvtext").mode(
+                    "overwrite"
+                ).save(path)
+        except Exception as e:  # surfaced in the main thread
+            writer_err.append(e)
+        finally:
+            stop.set()
+
+    t = threading.Thread(target=overwriter)
+    t.start()
+    import time as _time
+
+    observed = 0
+    torn = []
+    deadline = _time.time() + 300
+    while (not stop.is_set() or observed == 0) and _time.time() < deadline:
+        # Yield the GIL each iteration: a no-sleep listdir/parse loop
+        # starves the writer thread's py4j calls and the test crawls.
+        _time.sleep(0.002)
+        try:
+            rows = [
+                kv
+                for n in live_shard_names(path)
+                for kv in parse_kv_lines(os.path.join(path, n))
+            ]
+        except FileNotFoundError:
+            continue  # documented loud outcome of GC-after-listing
+        if not rows:
+            continue  # before the first commit
+        observed += 1
+        vals = {v for _, v in rows}
+        ks = sorted(k for k, _ in rows)
+        if len(vals) != 1 or ks != keys:
+            torn.append(rows)
+    t.join()
+    assert not writer_err, writer_err
+    assert not torn, f"torn generation observed: {torn[:1]}"
+    assert observed > 0
+    got = sorted(
+        tuple(r) for r in spark.read.format("kvtext").load(path).collect()
+    )
+    assert got == [(k, gens) for k in keys]
+
+
+def test_append_into_manifested_sink_stays_visible(spark):
+    """After an overwrite introduced the manifest, appended shards are
+    epoch-tagged with the live generation so every lane keeps seeing
+    them (append-vs-overwrite semantics preserved post-manifest)."""
+    register_kvtext(spark)
+    path = os.path.join(tempfile.mkdtemp(prefix="kvtext_apnd_"), "sink")
+    spark.createDataFrame([("a", 1)], ["key", "value"]).coalesce(1).write.format(
+        "kvtext"
+    ).mode("overwrite").save(path)
+    spark.createDataFrame([("b", 2)], ["key", "value"]).coalesce(1).write.format(
+        "kvtext"
+    ).mode("append").save(path)
+    expect = [("a", 1), ("b", 2)]
+    assert (
+        sorted(tuple(r) for r in spark.read.format("kvtext").load(path).collect())
+        == expect
+    )
+    assert sorted(tuple(r) for r in read_kv_text(spark, path).collect()) == expect
+
+
+def test_stale_foreign_stragglers_reclaimed_with_age_guard(spark):
+    """Round-10 ADVICE #4: a DEAD run's .tmp stragglers (its run id
+    gone forever) must eventually be reclaimed by a later commit — but
+    only past the age guard, so a LIVE concurrent writer's fresh stage
+    is never swept."""
+    import time as _time
+
+    from mapreduce_framework_spark.sources.kvtext_datasource import KvTextWriter
+
+    path = os.path.join(tempfile.mkdtemp(prefix="kvtext_dead_"), "sink")
+    os.makedirs(path)
+    dead = os.path.join(path, ".part-00000000-cafecafe.tmp")
+    with open(dead, "w") as f:
+        f.write("dead_run:1\n")
+    past = _time.time() - 7200
+    os.utime(dead, (past, past))
+    fresh = os.path.join(path, ".part-11111111-beefbeef.tmp")
+    with open(fresh, "w") as f:
+        f.write("live_run:1\n")
+
+    w = KvTextWriter({"path": path}, overwrite=False)
+    w.commit([w.write(iter([("k", 1)]))])
+    assert not os.path.exists(dead), "aged dead-run straggler must be reclaimed"
+    assert os.path.exists(fresh), "fresh foreign stage must survive"
