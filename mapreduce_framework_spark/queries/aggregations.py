@@ -282,6 +282,81 @@ def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def approx_quantiles_frame(
+    df: DataFrame, group: str, col: str, probs: list[float], accuracy: int = 1000
+) -> DataFrame:
+    """Pure approx-percentile aggregate — the 100-TB serving path on
+    its own, with no exact twin in the plan: ``approx_percentile`` is a
+    mergeable sketch (ObjectHashAggregate with partial_merge partials,
+    plan-pinned in tests/test_plans.py), so per-group quantiles cost
+    one pass and NO per-group sort, and daily partials would merge the
+    way agg_hll_partial_merge's sketches do.  Rank-error contract:
+    every returned value's rank is within ±1/accuracy of its target."""
+    probs_sql = ", ".join(str(p) for p in probs)
+    return df.groupBy(group).agg(
+        F.expr(
+            f"approx_percentile({col}, array({probs_sql}), {accuracy})"
+        ).alias("aq")
+    )
+
+
+@register(
+    "agg_percentile_approx",
+    # Tolerance oracle (the HLL pattern, agg_hll_partial_merge): the
+    # sketch internals have no DuckDB twin, so the hash-checked columns
+    # are the EXACT percentiles plus an all-TRUE verdict that the
+    # approx values sit inside the exact rank-error band.
+    oracle="""
+SELECT l_returnflag,
+       round(quantile_cont(l_quantity, 0.5), 6) AS median_qty,
+       round(quantile_cont(l_quantity, 0.9), 6) AS p90_qty,
+       TRUE AS within_tol
+FROM lineitem
+GROUP BY l_returnflag
+""".strip(),
+    tags=("agg", "percentile", "sketch"),
+)
+def agg_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The approx-percentile serving twin of agg_percentile (round-10
+    verdict task #7): exact percentile is a full-sort-per-group
+    operation, so the 100-TB path is ``approx_percentile`` — a
+    GK/KLL-style mergeable sketch whose partials combine map-side and
+    whose answer carries a RANK-error guarantee of ±1/accuracy.
+
+    Verification shape: each group emits the exact p50/p90 (the
+    hash-checked values) plus a verdict that the sketch's answer lies
+    inside the exact quantile band at the guaranteed rank error —
+    approx_percentile(accuracy=1000) promises rank within ±0.001·n, so
+    the returned VALUE must lie in [exact_q(p−ε), exact_q(p+ε)]; the
+    band uses ε=0.005 (5× the guarantee) so a correct sketch
+    essentially never fails on fresh data while a broken one (or a
+    mis-set accuracy) trips the driver's hash check.  The pure serving
+    plan — sketch aggregate only, no exact twin, no per-group sort —
+    is :func:`approx_quantiles_frame`, plan-pinned separately."""
+    l = table(spark, sf_dir, "lineitem")
+    eps = 0.005
+    agg = l.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_quantity", F.lit(0.5)), 6).alias("median_qty"),
+        F.round(F.percentile("l_quantity", F.lit(0.9)), 6).alias("p90_qty"),
+        F.percentile("l_quantity", F.lit(0.5 - eps)).alias("_p50_lo"),
+        F.percentile("l_quantity", F.lit(0.5 + eps)).alias("_p50_hi"),
+        F.percentile("l_quantity", F.lit(0.9 - eps)).alias("_p90_lo"),
+        F.percentile("l_quantity", F.lit(0.9 + eps)).alias("_p90_hi"),
+        F.expr(
+            "approx_percentile(l_quantity, array(0.5, 0.9), 1000)"
+        ).alias("_aq"),
+    )
+    return agg.select(
+        "l_returnflag",
+        "median_qty",
+        "p90_qty",
+        (
+            F.col("_aq")[0].between(F.col("_p50_lo"), F.col("_p50_hi"))
+            & F.col("_aq")[1].between(F.col("_p90_lo"), F.col("_p90_hi"))
+        ).alias("within_tol"),
+    )
+
+
 @register(
     "agg_pivot",
     oracle="""

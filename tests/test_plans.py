@@ -1256,3 +1256,24 @@ def test_bpe_apply_probe_plan_has_no_training_stages(spark):
     assert n_scans == 2, f"documents + cached vocab only, got {n_scans}"
     assert "Window" not in plan
     assert count_exchanges(df) <= 3
+
+
+def test_approx_quantiles_is_mergeable_sketch_no_sort(spark):
+    """The approx-percentile serving path (round-10 verdict task #7)
+    must be ONE mergeable sketch aggregate: ObjectHashAggregate with a
+    partial_ stage below the exchange and NO Sort / SortAggregate —
+    exact percentile's full-sort-per-group is exactly what this lane
+    exists to avoid at 100 TB."""
+    from mapreduce_framework_spark.io import table
+    from mapreduce_framework_spark.plans import count_exchanges, formatted_plan
+    from mapreduce_framework_spark.queries.aggregations import (
+        approx_quantiles_frame,
+    )
+
+    l = table(spark, SF_DIR, "lineitem")
+    df = approx_quantiles_frame(l, "l_returnflag", "l_quantity", [0.5, 0.9])
+    plan = formatted_plan(df)
+    assert "ObjectHashAggregate" in plan, "sketch agg fell off the object path"
+    assert "partial_approx_percentile" in plan, "map-side sketch partials missing"
+    assert "Sort" not in plan, "a sort crept into the sketch-only plan"
+    assert count_exchanges(df) == 1
