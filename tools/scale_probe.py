@@ -598,17 +598,61 @@ def build_tiers(spark, small: int, big: int) -> dict[str, dict[int, callable]]:
         # Timer-driven sessionization on the real micro-batch replay:
         # per-user event-time timeout state, emission on watermark
         # crossing.  Cost = replay + one state row per active user.
+        # Emits a supplemental JSON line with the PEAK state-store rows
+        # observed across the run's micro-batches (round-10 verdict
+        # task #6: the deep streaming probe records peak state, pinning
+        # that state tracks concurrent users — not history).
         from mapreduce_framework_spark.streaming.runner import run_file_stream
         from mapreduce_framework_spark.streaming.stateful import timeout_sessions
 
         ev = corpus("events", n)
-        return run_file_stream(
+        prog: list = []
+        out = run_file_stream(
             spark,
             ev.select("ts", "user_id"),
             timeout_sessions,
             watermark=("ts", "10 seconds"),
             output_mode="append",
+            collect_progress=prog,
         ).count()
+        peak = 0
+        for p in prog:
+            d = p if isinstance(p, dict) else json.loads(p.json)
+            for so in d.get("stateOperators", []) or []:
+                peak = max(peak, int(so.get("numRowsTotal", 0) or 0))
+        print(
+            json.dumps(
+                {"tier": "session_timers_state", "n_input": n,
+                 "peak_state_rows": peak, "n_batches": len(prog)}
+            )
+        )
+        return out
+
+    def t_pagerank_deep(n):
+        # graph_pagerank_deep's EXACT execution config (rounds=10,
+        # checkpoint_every=2 lineage truncation), forced via a rank-sum
+        # aggregate.  Also times rounds=4 under the same config and
+        # prints the per-round MARGINAL wall ((r10-r4)/6) — the
+        # round-10 verdict task #6 number: a flat marginal across
+        # decades means the iteration price is per-round-linear, no
+        # compounding plan/lineage term.
+        from mapreduce_framework_spark.queries.graphs import pagerank
+
+        e = corpus("edges", n)
+        t0 = time.perf_counter()
+        pagerank(e, rounds=4, checkpoint_every=2).agg(F.sum("rank")).collect()
+        t4 = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        r = pagerank(e, rounds=10, checkpoint_every=2).agg(F.sum("rank")).collect()
+        t10 = time.perf_counter() - t0
+        print(
+            json.dumps(
+                {"tier": "pagerank_deep_perround", "n_input": n,
+                 "sec_r4": round(t4, 2), "sec_r10": round(t10, 2),
+                 "per_round_marginal_sec": round((t10 - t4) / 6, 3)}
+            )
+        )
+        return int(r[0][0])
 
     # Tier-appropriate sizes: linear tiers run at (small, big); the
     # banded exact tier runs smaller because its within-cap block work
@@ -634,6 +678,10 @@ def build_tiers(spark, small: int, big: int) -> dict[str, dict[int, callable]]:
         "pagerank": {
             2 * small: lambda: t_pagerank(2 * small),
             2 * big: lambda: t_pagerank(2 * big),
+        },
+        "pagerank_deep": {
+            2 * small: lambda: t_pagerank_deep(2 * small),
+            2 * big: lambda: t_pagerank_deep(2 * big),
         },
         "sessionize": {
             10 * small: lambda: t_sessionize(10 * small),
