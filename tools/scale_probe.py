@@ -284,7 +284,16 @@ def build_tiers(spark, small: int, big: int) -> dict[str, dict[int, callable]]:
             .alias("split"),
             F.split("text", " ").alias("t"),
         )
-        return contamination_frame(d, 5).count()
+        # Force via report-column aggregates, not .count(): the frame's
+        # final left join (unique right key) is join-ELIMINATED under a
+        # bare count, which silently drops the train-side distinct +
+        # contamination join from the timed region (same class as the
+        # round-10 span_dedup probe vacuity, fixed round 11).
+        out = contamination_frame(d, 5)
+        row = out.agg(
+            F.sum("n_contaminated").alias("c"), F.sum("n_grams").alias("g")
+        ).collect()[0]
+        return int(row.g)
 
     def t_ks_drift(n):
         from mapreduce_framework_spark.queries.profiling import ks_drift_frame
@@ -412,15 +421,29 @@ def build_tiers(spark, small: int, big: int) -> dict[str, dict[int, callable]]:
         # assignment flops of the production corpus-derived k are a
         # separate, deliberately-priced term measured by the ungated
         # `semantic_dedup` tier (SCALE.md #Semantic dedup).
-        return semantic_dedup_frame(
-            corpus("vectors_skewed", n), occupancy=max(64, n // 8)
-        ).count()
+        # keep-column aggregate, not .count(): the frame's final left
+        # join (unique right key) is join-eliminated under a bare
+        # count, which would drop the within-cluster PAIR stage — the
+        # exact quantity this gate exists to time (round-11 probe-
+        # integrity fix).
+        return int(
+            semantic_dedup_frame(
+                corpus("vectors_skewed", n), occupancy=max(64, n // 8)
+            )
+            .agg(F.sum(F.col("keep").cast("int")))
+            .collect()[0][0]
+        )
 
     def t_semantic(n):
         # SemDeDup frame: occupancy-pinned pair stage (linear by
         # construction) + n·k map-side assignment (super-linear FLOPS,
         # zero shuffle growth — priced, see SCALE.md §Semantic dedup).
-        return semantic_dedup_frame(corpus("vectors", n)).count()
+        # keep-column aggregate, not .count() — see t_semantic_skew.
+        return int(
+            semantic_dedup_frame(corpus("vectors", n))
+            .agg(F.sum(F.col("keep").cast("int")))
+            .collect()[0][0]
+        )
 
     adj_paths: dict[int, str] = {}
 
