@@ -5,12 +5,22 @@
 # evidence ledger is stale by exactly one artifact at every round boundary.
 # Regenerating it here keeps tests/test_evidence_ledger.py green from turn 0.
 
-.PHONY: round-start test verify-local bench prices
+.PHONY: round-start round-close test verify-local bench prices
 
 round-start:
 	python tools/evidence_ledger.py
 	-python tools/bench_adjudicate.py
 	python -m pytest tests/test_evidence_ledger.py tests/test_registry_parity.py -q
+
+# round-close MUST run AFTER every artifact rename (no *_wip.json left):
+# the round-11 red came from regenerating the ledger while a _wip name was
+# still on disk.  The ledger generator now skips _wip names entirely, and
+# this recipe refuses to close a round while any remain.
+round-close:
+	@stale=$$(ls *_wip.json 2>/dev/null); if [ -n "$$stale" ]; then \
+		echo "round-close: in-flight artifacts remain: $$stale — rename them first"; exit 1; fi
+	python tools/evidence_ledger.py
+	python -m pytest tests/test_evidence_ledger.py -q
 
 test:
 	python -m pytest tests/ -x -q

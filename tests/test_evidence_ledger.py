@@ -41,6 +41,15 @@ def test_ledger_matches_registry_and_manifest_artifacts():
         f"README ledger claims artifacts that do not exist: {missing_on_disk}"
     )
 
+    # Round-11 verdict task #1: a `_wip` working name manifested mid-round
+    # reddened the ledger when the round-close rename deleted it.  The
+    # committed manifest may only ever cite final artifact names.
+    wip = [n for n in names if "_wip" in n]
+    assert not wip, (
+        f"README manifest cites in-flight working artifacts {wip} — rerun "
+        "`python tools/evidence_ledger.py` AFTER the round-close renames"
+    )
+
     ledger = gather(files)
     from mapreduce_framework_spark.registry import all_queries
 
