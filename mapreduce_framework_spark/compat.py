@@ -190,16 +190,25 @@ def read_kv_text(spark: SparkSession, path: str) -> DataFrame:
     DataSource readers use, so a scan racing an overwrite observes
     old-or-new, never a torn mixture.  Manifest-less dirs (append-only
     sinks, foreign sinks) keep the whole-dir text scan — Spark's text
-    source already skips ``_``/``.``-prefixed files."""
+    source already skips ``_``/``.``-prefixed files — UNLESS the dir
+    contains epoch-tagged ``part-e*`` shards: those belong to an
+    in-flight or crashed FIRST overwrite's unpublished generation and
+    a whole-dir glob would read them torn (round-11 ADVICE #1), so
+    such dirs route through the same generation resolution as the
+    DataSource lane."""
     import os as _os
 
     from mapreduce_framework_spark.sources.kvtext_datasource import (
         live_shard_names,
         read_manifest,
+        shard_epoch,
     )
 
     pat = r"^(.*):(-?[0-9]+)$"
-    if _os.path.isdir(path) and read_manifest(path) is not None:
+    if _os.path.isdir(path) and (
+        read_manifest(path) is not None
+        or any(shard_epoch(n) is not None for n in _os.listdir(path))
+    ):
         shards = [_os.path.join(path, n) for n in live_shard_names(path)]
         src = (
             spark.read.text(shards)

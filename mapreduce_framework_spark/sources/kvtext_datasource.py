@@ -68,7 +68,12 @@ MANIFEST_NAME = "_manifest"
 # Overwrite generations are epoch-tagged: shards renamed under an
 # overwrite commit are named part-e{epoch:06d}-..., and the _manifest
 # flip is the SINGLE atomic operation that makes the new epoch live.
-_EPOCH_RE = r"\Apart-e(\d{6})-"
+# \d{6,} (not exactly 6): the writer formats {epoch:06d}, which emits
+# SEVEN digits once epoch reaches 10**6 — an exact-width pattern would
+# return None for the just-published live generation and make the
+# whole dataset invisible to every reader after that flip (round-11
+# ADVICE #3).  The trailing '-' keeps parsing unambiguous at any width.
+_EPOCH_RE = r"\Apart-e(\d{6,})-"
 
 
 def shard_epoch(name: str) -> int | None:
@@ -102,34 +107,62 @@ def read_manifest(root: str) -> dict | None:
     return man
 
 
-def live_shard_names(root: str) -> list[str]:
-    """THE reader-side generation resolution, shared by the batch
-    reader, the stream reader, and the JVM lane (compat.read_kv_text)
-    so every lane agrees on which shards are live.
+def live_generation(root: str) -> tuple[int, list[str]]:
+    """THE reader-side generation resolution — ``(epoch, shard
+    names)`` of the live generation, shared by the batch reader, the
+    stream reader, and the JVM lane (compat.read_kv_text) so every
+    lane agrees on which shards are live.  Epoch ``-1`` means the dir
+    has never been overwrite-manifested.
 
-    Manifest-less dir: every committed ``part-*`` file (the append-only
-    and stream-writer contract — per-shard-atomic renames ARE the
-    publish).  Manifested dir (at least one overwrite commit happened):
-    only shards of the manifest's epoch — shards of other epochs are
-    either the superseded generation awaiting post-flip GC or a crashed
-    overwrite's never-published generation, and BOTH must stay
-    invisible, which is exactly what makes the overwrite flip atomic:
-    until the one manifest rename, readers resolve the old epoch; after
-    it, the new — never a mixture."""
+    Manifest-less dir: every committed UNTAGGED ``part-*`` file (the
+    append-only and stream-writer contract — per-shard-atomic renames
+    ARE the publish).  Epoch-TAGGED shards in a manifest-less dir are
+    an in-flight or crashed FIRST overwrite's pre-flip generation and
+    must stay invisible until its manifest flip publishes them —
+    returning them (the pre-round-12 behavior) let a reader racing the
+    first overwrite of an append-only sink observe a torn mixture of
+    old untagged shards plus partially-renamed new epoch shards
+    (round-11 ADVICE #1).
+
+    Manifested dir: only shards of the manifest's epoch — shards of
+    other epochs are either the superseded generation awaiting
+    post-flip GC or a crashed overwrite's never-published generation,
+    and BOTH must stay invisible, which is exactly what makes the
+    overwrite flip atomic: until the one manifest rename, readers
+    resolve the old epoch; after it, the new — never a mixture.
+
+    The manifest is re-read AFTER the listing and the pair retried
+    until stable: a flip landing between the manifest read and the
+    listing could otherwise pair the old epoch with a post-GC listing
+    (a partial old generation) — torn in a way neither single
+    snapshot is."""
     import os
 
-    try:
-        names = os.listdir(root)
-    except FileNotFoundError:
-        return []
-    parts = [
-        n for n in names if n.startswith("part-") and not n.endswith(".tmp")
-    ]
-    man = read_manifest(root)
-    if man is None:
-        return sorted(parts)
-    epoch = man["epoch"]
-    return sorted(n for n in parts if shard_epoch(n) == epoch)
+    for _ in range(16):
+        man_before = read_manifest(root)
+        try:
+            names = os.listdir(root)
+        except FileNotFoundError:
+            names = []
+        parts = [
+            n for n in names if n.startswith("part-") and not n.endswith(".tmp")
+        ]
+        man_after = read_manifest(root)
+        before = -1 if man_before is None else man_before["epoch"]
+        after = -1 if man_after is None else man_after["epoch"]
+        if before != after:
+            continue  # flip raced the listing — take a fresh pair
+        if after == -1:
+            return -1, sorted(n for n in parts if shard_epoch(n) is None)
+        return after, sorted(n for n in parts if shard_epoch(n) == after)
+    raise RuntimeError(
+        f"kvtext: generation flipping continuously under reader at {root!r}"
+    )
+
+
+def live_shard_names(root: str) -> list[str]:
+    """Shard names of the live generation (see :func:`live_generation`)."""
+    return live_generation(root)[1]
 
 
 def sweep_stale_stage(root: str, keep_run: str, age_s: float = 3600.0) -> None:
@@ -261,12 +294,13 @@ class KvTextReader(DataSourceReader):
         # racing an overwrite commit reads old-or-new, never torn.
         # Manifest-less dirs keep the permissive legacy listing (any
         # non-hidden file — foreign sinks need not follow our part-*
-        # naming).
-        if read_manifest(self._root) is not None:
-            files = [
-                os.path.join(self._root, n)
-                for n in live_shard_names(self._root)
-            ]
+        # naming) EXCEPT epoch-tagged shards, which are an in-flight or
+        # crashed FIRST overwrite's unpublished generation and must
+        # stay invisible until its manifest flip (round-11 ADVICE #1 —
+        # same filter as live_generation's manifest-less branch).
+        epoch, live = live_generation(self._root)
+        if epoch != -1:
+            files = [os.path.join(self._root, n) for n in live]
         else:
             try:
                 names = os.listdir(self._root)
@@ -277,6 +311,7 @@ class KvTextReader(DataSourceReader):
                 for f in names
                 if not f.startswith((".", "_"))
                 and not f.endswith((".crc", ".tmp"))
+                and shard_epoch(f) is None
             )
         # Zero-file sinks still need one (empty) partition: Spark
         # requires at least one.
@@ -498,8 +533,11 @@ class KvTextStreamWriter(DataSourceStreamWriter):
 
     Per batch: tasks stage ``.part-*.tmp`` exactly like the batch
     writer; the driver's ``commit(messages, batchId)`` publishes them
-    as ``part-b{batchId:06d}-{i:05d}`` shards — and FIRST removes any
-    existing shards of the SAME batchId, which is what makes the sink
+    as ``part-b{batchId:06d}-{i:05d}`` shards (``part-e{epoch:06d}-
+    b{batchId:06d}-{i:05d}`` when the sink dir is manifested, so the
+    shards stay visible to generation-aware readers — round-11 ADVICE
+    #2) — and FIRST removes any existing shards of the SAME batchId
+    at any epoch tag, which is what makes the sink
     exactly-once under structured streaming's recovery contract: a
     batch replayed after a crash between sink-commit and checkpoint-
     commit re-commits the same batchId, and the stale generation of
@@ -548,16 +586,30 @@ class KvTextStreamWriter(DataSourceStreamWriter):
 
     def commit(self, messages, batchId: int) -> None:
         import os
+        import re
 
-        prefix = f"part-b{batchId:06d}-"
+        # In a manifested dir (the sink has been batch-OVERWRITTEN at
+        # some point) stream shards must carry the live epoch tag,
+        # exactly like the batch APPEND path (KvTextWriter.commit's
+        # else-branch): an untagged shard in a manifested dir is
+        # invisible to every reader (generation resolution filters by
+        # epoch) and the next overwrite's post-flip GC deletes it —
+        # silent data loss (round-11 ADVICE #2).
+        man = read_manifest(self._root)
+        tag = f"e{man['epoch']:06d}-" if man else ""
+        prefix = f"part-{tag}b{batchId:06d}-"
         # Truncate (complete-mode) semantics: the new batch REPLACES
         # the whole sink, not just its own earlier generation.  Append
         # semantics: idempotent re-commit — a replayed batch replaces
         # only ITS earlier generation (crash between sink commit and
-        # checkpoint write), never doubles it.
-        clear = "part-" if self._truncate else prefix
+        # checkpoint write), never doubles it — matched at ANY epoch
+        # tag, so a replay that straddles a batch overwrite of the
+        # sink still replaces rather than doubles its own batch.
+        batch_re = re.compile(
+            r"\Apart-(?:e\d{6,}-)?" + ("" if self._truncate else f"b{batchId:06d}-")
+        )
         for name in os.listdir(self._root):
-            if name.startswith(clear):
+            if batch_re.match(name):
                 os.remove(os.path.join(self._root, name))
         for i, msg in enumerate(m for m in messages if m is not None):
             final = os.path.join(self._root, f"{prefix}{i:05d}")
@@ -625,61 +677,96 @@ class KvTextStreamReader(DataSourceStreamReader):
     immutable (the writer's 2PC renames complete files), so set
     membership is exact on the supported (append-only) path.
 
-    Offset-size bound (round-10 ADVICE #3, documented limit): the
-    ``names`` set accumulates every shard consumed over the stream's
-    LIFE, so checkpoint offset JSON and the ``partitions`` set
-    difference grow O(total shards ever committed) — ~40 bytes/name,
-    i.e. ~40 MB of offset state per million shards.  That is the price
-    of by-name exactness (the property that made the round-9 sort-
-    prefix flake impossible), and it bounds the supported regime:
-    sinks up to ~10⁶ shards per stream incarnation — generous for the
-    reference's R-shard jobs (R ≤ 10³) and for compacted production
-    sinks.  A stream outliving that should restart from a fresh
-    checkpoint after a sink compaction (which the mutation guard
-    already forces, since compaction rewrites names); high-water
-    epoch-range offsets would compact the encoding but reintroduce
-    name-ordering assumptions the set encoding exists to avoid."""
+    Offset encoding & size bound (round-11 verdict task #3 — epoch-
+    compact offsets on the overwrite machinery): an offset is
+    ``{"epoch": E, "names": [...]}`` where E is the sink's live
+    manifest epoch (``-1`` for never-manifested dirs) and ``names`` is
+    the consumed-shard set WITHIN that generation.  The manifest epoch
+    is the ordering-safe generation id the round-9 sort-prefix flake
+    analysis said shard NAMES lack: epochs are minted strictly
+    increasing under the single-overwriter contract, so comparing
+    epochs — unlike comparing name sort positions — is always valid.
+    Consequences:
+
+    - **Offset JSON is bounded by the LIVE generation's shard count**
+      (~40 bytes/name), not by total shards ever consumed: at each
+      epoch flip the names set RESETS.  Within one generation shards
+      only accrete (appends), so the in-generation set is exact and
+      the round-9 by-name properties are unchanged.
+    - **An overwrite between batches is now a SUPPORTED transition**,
+      not a forced checkpoint restart: ``end.epoch > start.epoch``
+      means the dataset was atomically replaced, and the next batch
+      delivers the ENTIRE new generation (the overwrite-as-new-data
+      semantics of Delta's ``ignoreChanges=false`` overwrite handling,
+      made exact by the atomic flip — there is never a torn mixture to
+      deliver).
+    - **The mutation guard stays loud** for the failure it was built
+      for: a consumed name vanishing WITHOUT an epoch flip is an
+      in-place rewrite outside the commit protocol (manual deletion,
+      foreign compaction) and still raises at planning time.  A
+      replayed batch whose generation was since superseded fails
+      executor-side as FileNotFoundError on the GC'd shard — loud,
+      never wrong data.
+
+    Pre-round-12 checkpoints (``{"names": [...]}`` with no epoch) are
+    read as epoch ``-1``: on a still-manifest-less sink that is
+    exactly the old semantics; on a sink manifested since the
+    checkpoint was written, the epoch mismatch delivers the live
+    generation in full — the same answer a fresh checkpoint would
+    reach."""
 
     def __init__(self, options: dict) -> None:
         self._root = options.get("path")
         if not self._root:
             raise ValueError("kvtext: .load(path) is required")
 
-    def _names(self) -> list[str]:
-        # Generation-aware (live_shard_names): in a manifested dir only
-        # the live epoch's shards are offered, so an overwrite commit
-        # racing latestOffset never exposes a half-renamed generation —
-        # the flip is observed as the OLD set until the manifest
-        # rename, then the NEW set, at which point the consumed-shard
-        # guard in partitions() raises the documented overwrite
-        # signature (consumed names vanished from the live set).
-        return live_shard_names(self._root)
+    def _generation(self) -> tuple[int, list[str]]:
+        # Generation-aware (live_generation): only the live epoch's
+        # shards are offered, under a flip-stable manifest/listing
+        # pair, so an overwrite commit racing latestOffset never
+        # exposes a half-renamed generation — the flip is observed as
+        # the OLD (epoch, names) until the manifest rename, then the
+        # complete NEW pair.
+        return live_generation(self._root)
 
     def initialOffset(self) -> dict:
-        return {"names": []}
+        return {"epoch": -1, "names": []}
 
     def latestOffset(self) -> dict:
-        return {"names": self._names()}
+        epoch, names = self._generation()
+        return {"epoch": epoch, "names": names}
 
     def partitions(self, start: dict, end: dict) -> list[KvTextPartition]:
-        """One InputPartition per newly-committed shard.  The mutation
-        guard lives here (planning time, driver-side): every shard the
-        checkpoint says was consumed must still be present in the
-        directory listing — a consumed name missing from ``end`` (a
-        fresh listing) or from the dir during a replay means the sink
-        was rewritten in place."""
+        """One InputPartition per newly-committed shard of the end
+        offset's generation.  Epoch transition (end.epoch > start.epoch)
+        = the sink was atomically overwritten between batches: the
+        consumed set resets and the whole new generation is this
+        batch's input.  Within a generation, the mutation guard lives
+        here (planning time, driver-side): every shard the checkpoint
+        says was consumed must still be present — a consumed name
+        missing from ``end`` means the sink was rewritten in place
+        OUTSIDE the commit protocol."""
         import os
 
-        seen = set(start["names"])
-        current = set(self._names())
-        missing = seen - current
-        if missing:
+        start_epoch = start.get("epoch", -1)
+        end_epoch = end.get("epoch", -1)
+        if end_epoch < start_epoch:
             raise RuntimeError(
-                "kvtext stream: sink was rewritten under the stream "
-                "(overwrite/compaction) — consumed shards "
-                f"{sorted(missing)[:3]} vanished from the directory; "
-                "restart from a fresh checkpoint"
+                "kvtext stream: sink generation went BACKWARD "
+                f"(epoch {start_epoch} -> {end_epoch}) — the sink dir was "
+                "replaced wholesale; restart from a fresh checkpoint"
             )
+        seen = set(start["names"]) if end_epoch == start_epoch else set()
+        if end_epoch == start_epoch:
+            missing = seen - set(end["names"])
+            if missing:
+                raise RuntimeError(
+                    "kvtext stream: sink was rewritten under the stream "
+                    "outside the commit protocol — consumed shards "
+                    f"{sorted(missing)[:3]} vanished from the directory "
+                    "without a generation flip; restart from a fresh "
+                    "checkpoint"
+                )
         return [
             KvTextPartition(os.path.join(self._root, n))
             for n in end["names"]

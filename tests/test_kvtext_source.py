@@ -213,11 +213,16 @@ def test_append_shards_never_clobber(spark):
     assert got == [("k0", 0), ("k1", 1), ("k2", 2)]
 
 
-def test_stream_detects_overwrite_under_checkpoint(spark):
-    """An overwrite commit under a running checkpoint deletes consumed
-    shards; the stream must FAIL LOUDLY on resume (the
-    count-based offset design this replaces silently skipped the new
-    generation and replayed wrong files)."""
+def test_stream_survives_overwrite_between_batches(spark):
+    """Round-11 verdict task #3: an OVERWRITE commit between batches is
+    an epoch flip — an ordering-safe generation id — so the stream
+    delivers the ENTIRE new generation as the next batch instead of
+    dying (the pre-round-12 behavior forced a fresh checkpoint; the
+    count-based design before THAT silently skipped the new generation
+    and replayed wrong files).  The consumed-name set resets at the
+    flip, which is what bounds offset JSON by the live generation."""
+    import json
+
     register_kvtext(spark)
     path = os.path.join(tempfile.mkdtemp(prefix="kvtext_g_"), "sink")
     ckpt = tempfile.mkdtemp(prefix="kvtext_g_ckpt_")
@@ -238,13 +243,70 @@ def test_stream_detects_overwrite_under_checkpoint(spark):
             .start()
         )
         q.awaitTermination()
+        return sorted(tuple(r) for r in spark.read.parquet(out).collect())
+
+    assert run() == [("a", 1)]
+    # Overwrite: atomically replaces the dataset under a fresh epoch.
+    spark.createDataFrame(
+        [("b", 2), ("c", 3)], ["key", "value"]
+    ).coalesce(1).write.format("kvtext").mode("overwrite").save(path)
+    assert run() == [("a", 1), ("b", 2), ("c", 3)], (
+        "epoch flip must deliver the whole new generation, exactly once"
+    )
+    # Idempotent on a third pass with no source change.
+    assert run() == [("a", 1), ("b", 2), ("c", 3)]
+    # The committed offset is epoch-scoped: names bounded by the LIVE
+    # generation (1 shard), not by everything ever consumed (2 shards).
+    off_dir = os.path.join(ckpt, "offsets")
+    latest = max(
+        (n for n in os.listdir(off_dir) if n.isdigit()), key=int
+    )
+    off = None
+    for line in open(os.path.join(off_dir, latest)).read().splitlines():
+        if '"names"' in line:
+            doc = json.loads(line)
+            off = json.loads(doc) if isinstance(doc, str) else doc
+    assert off is not None
+    assert off["epoch"] >= 0
+    assert len(off["names"]) == 1, off
+
+
+def test_stream_still_loud_on_inplace_mutation(spark):
+    """The mutation guard the epoch encoding must NOT lose: a consumed
+    shard vanishing WITHOUT a generation flip (manual deletion, foreign
+    compaction — anything outside the commit protocol) still fails
+    loudly at planning time."""
+    register_kvtext(spark)
+    path = os.path.join(tempfile.mkdtemp(prefix="kvtext_m_"), "sink")
+    ckpt = tempfile.mkdtemp(prefix="kvtext_m_ckpt_")
+    out = os.path.join(tempfile.mkdtemp(prefix="kvtext_m_out_"), "rows")
+    spark.createDataFrame([("a", 1)], ["key", "value"]).coalesce(1).write.format(
+        "kvtext"
+    ).mode("append").save(path)
+
+    def run():
+        q = (
+            spark.readStream.format("kvtext")
+            .load(path)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
 
     run()
-    # Overwrite: same row count, DIFFERENT shard name generation.
+    # In-place rewrite: delete the consumed shard, land a new one, NO
+    # epoch flip.
+    for n in os.listdir(path):
+        if n.startswith("part-"):
+            os.remove(os.path.join(path, n))
     spark.createDataFrame([("b", 2)], ["key", "value"]).coalesce(1).write.format(
         "kvtext"
-    ).mode("overwrite").save(path)
-    with pytest.raises(Exception, match="rewritten under the stream"):
+    ).mode("append").save(path)
+    with pytest.raises(Exception, match="without a generation flip"):
         run()
 
 
@@ -692,3 +754,94 @@ def test_stale_foreign_stragglers_reclaimed_with_age_guard(spark):
     w.commit([w.write(iter([("k", 1)]))])
     assert not os.path.exists(dead), "aged dead-run straggler must be reclaimed"
     assert os.path.exists(fresh), "fresh foreign stage must survive"
+
+
+def test_manifestless_preflip_epoch_shards_stay_invisible(spark):
+    """Round-11 ADVICE #1 (the torn FIRST-overwrite window): in a
+    NEVER-manifested dir, an epoch-tagged shard is an in-flight (or
+    crashed) first overwrite's pre-flip generation and must stay
+    invisible to every reader lane until its manifest flip publishes
+    it — otherwise a reader racing the first overwrite of an
+    append-only sink observes old untagged shards MIXED with
+    partially-renamed new epoch shards."""
+    from mapreduce_framework_spark.sources.kvtext_datasource import (
+        live_generation,
+        live_shard_names,
+    )
+
+    register_kvtext(spark)
+    path = os.path.join(tempfile.mkdtemp(prefix="kvtext_pre_"), "sink")
+    spark.createDataFrame([("a", 1)], ["key", "value"]).coalesce(1).write.format(
+        "kvtext"
+    ).mode("append").save(path)
+    # A first overwrite crashed (or is mid-rename): epoch shard, no
+    # manifest.
+    with open(os.path.join(path, "part-e000000-00000-deadbeef"), "w") as f:
+        f.write("torn:999\n")
+
+    epoch, names = live_generation(path)
+    assert epoch == -1
+    assert names == live_shard_names(path)
+    assert all("e000000" not in n for n in names), "pre-flip shard leaked"
+    expect = [("a", 1)]
+    got_ds = sorted(
+        tuple(r) for r in spark.read.format("kvtext").load(path).collect()
+    )
+    assert got_ds == expect, "DataSource lane read the unpublished generation"
+    got_jvm = sorted(tuple(r) for r in read_kv_text(spark, path).collect())
+    assert got_jvm == expect, "JVM lane read the unpublished generation"
+
+
+def test_stream_writer_into_manifested_dir_stays_visible(spark):
+    """Round-11 ADVICE #2 mirror of
+    test_append_into_manifested_sink_stays_visible: streaming into a
+    dir that has been batch-OVERWRITTEN must epoch-tag its shards like
+    the batch append path — untagged shards would be invisible to
+    every generation-aware reader and silently deleted by the next
+    overwrite's post-flip GC."""
+    from mapreduce_framework_spark.sources.kvtext_datasource import (
+        KvTextStreamWriter,
+        shard_epoch,
+    )
+
+    register_kvtext(spark)
+    path = os.path.join(tempfile.mkdtemp(prefix="kvtext_smf_"), "sink")
+    spark.createDataFrame([("a", 1)], ["key", "value"]).coalesce(1).write.format(
+        "kvtext"
+    ).mode("overwrite").save(path)
+
+    w = KvTextStreamWriter({"path": path})
+    w.commit([w.write(iter([("b", 2)]))], batchId=0)
+    stream_shards = [n for n in os.listdir(path) if "b000000" in n]
+    assert stream_shards and all(
+        shard_epoch(n) is not None for n in stream_shards
+    ), f"stream shards not epoch-tagged in manifested dir: {stream_shards}"
+
+    expect = [("a", 1), ("b", 2)]
+    assert (
+        sorted(tuple(r) for r in spark.read.format("kvtext").load(path).collect())
+        == expect
+    )
+    assert sorted(tuple(r) for r in read_kv_text(spark, path).collect()) == expect
+
+    # Replay of the same batch still replaces, not doubles, the
+    # epoch-tagged generation of that batch.
+    w2 = KvTextStreamWriter({"path": path})
+    w2.commit([w2.write(iter([("b", 2)]))], batchId=0)
+    assert (
+        sorted(tuple(r) for r in spark.read.format("kvtext").load(path).collect())
+        == expect
+    )
+
+
+def test_epoch_tag_parses_beyond_six_digits():
+    """Round-11 ADVICE #3: {epoch:06d} emits 7+ digits from epoch
+    10**6 — the tag regex must keep parsing, or the just-published
+    live generation becomes invisible to every reader at that flip."""
+    from mapreduce_framework_spark.sources.kvtext_datasource import shard_epoch
+
+    assert shard_epoch("part-e000042-00000-cafe") == 42
+    assert shard_epoch("part-e1000000-00000-cafe") == 1000000
+    assert shard_epoch("part-e123456789-00000-cafe") == 123456789
+    assert shard_epoch("part-b000001-00000") is None
+    assert shard_epoch("part-00000-cafe") is None
