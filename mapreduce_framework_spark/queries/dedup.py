@@ -1371,8 +1371,106 @@ def dedup_chunk_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_dedup_frame(table(spark, sf_dir, "documents"))
 
 
+_GATE_LIVE: dict[str, DataFrame] = {}
+
+
+def _parse_size_bytes(s: str) -> int:
+    """Spark size-conf string → bytes ('10485760', '10MB', '1g', '-1')."""
+    s = str(s).strip().lower()
+    for suf, m in (
+        ("tb", 1 << 40), ("gb", 1 << 30), ("mb", 1 << 20), ("kb", 1 << 10),
+        ("t", 1 << 40), ("g", 1 << 30), ("m", 1 << 20), ("k", 1 << 10),
+        ("b", 1),
+    ):
+        if s.endswith(suf):
+            return int(float(s[: -len(suf)])) * m
+    return int(float(s))
+
+
+def _gate_dup_broadcast(
+    name: str,
+    upper_bound_rows: int,
+    build: DataFrame,
+    forced: bool | None,
+    est_row_bytes: int = 72,
+    budget_scale: int = 32,
+) -> DataFrame:
+    """Auto-gate the span/chunk dedup join-back build side (round-11
+    verdict task #2 / ADVICE #4): the duplicated-digest set is
+    broadcast ONLY while it provably fits a budget, so a corpus
+    outside the curated-ladder posture degrades to the
+    AQE-skew-splittable shuffle join instead of OOMing the driver.
+    ``forced`` preserves the manual escape hatches (True/False); the
+    registry paths pass None = decide automatically.
+
+    Budget: ``budget_scale`` × ``spark.sql.autoBroadcastJoinThreshold``
+    (non-positive threshold = broadcast disabled → shuffle join).  The
+    threshold itself (10 MB default) is Catalyst's bound for ESTIMATED
+    sizes, which can be off by orders of magnitude; this gate compares
+    an EXACT row count of a known row shape (16-byte digest rendered
+    as a 32-char string + one bigint ≈ ``est_row_bytes`` with row
+    overhead), so a 32× budget (320 MB at defaults) is still far under
+    driver/executor headroom while keeping realistic curated-corpus
+    dup sets (millions of digests) on the measured-10×-faster
+    broadcast path.
+
+    Two tiers, so the common case costs almost nothing:
+
+    1. **Cheap upper bound** — total gram/chunk count (one skinny
+       column scan of the corpus, no explode, no shuffle; the caller
+       computes it).  The dup-digest set can never exceed it, so when
+       the BOUND fits the budget the broadcast is safe unconditionally
+       and the returned plan is byte-identical to the forced-broadcast
+       plan (no persist, no extra pass — this is the tier every test
+       SF and any bounded batch lands in).
+    2. **Exact pre-flight** — only when the bound overflows: the
+       dup-digest aggregate (which the join-back needs anyway) is
+       persisted, counted, and the join builds ON the persisted frame,
+       so the aggregate still executes exactly once per invocation —
+       pass-count-neutral vs the forced broadcast, which also
+       materialized it once for the broadcast build.  The previous
+       invocation's cache is unpersisted at entry (one live instance
+       per gate site), which keeps repeated timing runs honest: every
+       rep pays the full build, never a cache hit from the last rep.
+    """
+    if forced is not None:
+        return F.broadcast(build) if forced else build
+    # Drop the previous invocation's pre-flight cache FIRST, whichever
+    # tier this call lands in: Spark's cache manager substitutes any
+    # logically-equal subplan with the live InMemoryRelation, so a
+    # stale cache from an earlier tier-2 call would silently hijack
+    # even a tier-1 plan (and turn repeated timing runs into cache
+    # hits).  One live instance per gate site, ever.
+    prev = _GATE_LIVE.pop(name, None)
+    if prev is not None:
+        try:
+            prev.unpersist()
+        except Exception:
+            pass
+    spark = build.sparkSession
+    try:
+        thr = _parse_size_bytes(
+            spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        )
+    except ValueError:
+        thr = 10 << 20
+    budget = thr * budget_scale
+    if thr <= 0:
+        return build
+    if upper_bound_rows * est_row_bytes <= budget:
+        return F.broadcast(build)
+    from pyspark import StorageLevel
+
+    cached = build.persist(StorageLevel.MEMORY_AND_DISK)
+    n_dup = cached.count()
+    _GATE_LIVE[name] = cached
+    if n_dup * est_row_bytes <= budget:
+        return F.broadcast(cached)
+    return cached
+
+
 def chunk_dedup_frame(
-    d: DataFrame, span_tokens: int = 16, broadcast_owners: bool = True
+    d: DataFrame, span_tokens: int = 16, broadcast_owners: bool | None = None
 ) -> DataFrame:
     """Span-dedup core over a (doc_id, text) frame — the reusable heart
     of dedup_chunk_exact, shared with tools/scale_probe.py so the probe
@@ -1408,21 +1506,31 @@ def chunk_dedup_frame(
     # only (count >= 2): a sole-occurrence chunk is trivially owned by
     # its one doc, so the left join's null branch covers it and the
     # join's build side shrinks to the (rare-by-construction)
-    # duplicated-chunk set — BROADCAST at plan time: left to the
-    # optimizer this join planned as a SortMergeJoin that re-exchanges
-    # and sorts the corpus-sized chunk frame on the skewed digest
-    # (measured 10× slower than the broadcast on a hot-gram corpus —
-    # see span_dup_positions; SCALE.md carries the table).  For a
-    # corpus whose duplicated-chunk set is itself corpus-scale, pass
-    # broadcast_owners=False for the AQE-skew-splittable shuffle join.
-    # Identical answer either way.
+    # duplicated-chunk set — BROADCAST while it provably fits: left to
+    # the optimizer this join planned as a SortMergeJoin that
+    # re-exchanges and sorts the corpus-sized chunk frame on the
+    # skewed digest (measured 10× slower than the broadcast on a
+    # hot-gram corpus — see span_dup_positions; SCALE.md carries the
+    # table), but a corpus whose duplicated-chunk set is itself
+    # corpus-scale would OOM a forced broadcast, so the choice is
+    # auto-gated by _gate_dup_broadcast (round-11 verdict task #2):
+    # cheap chunk-count upper bound, then exact pre-flight, then the
+    # AQE-skew-splittable shuffle join.  broadcast_owners=True/False
+    # still forces either path.  Identical answer every way.
     owners = (
         chunks.groupBy("chunk")
         .agg(F.min("doc_id").alias("owner"), F.count(F.lit(1)).alias("c"))
         .where(F.col("c") >= 2)
         .select("chunk", "owner")
     )
-    if broadcast_owners:
+    if broadcast_owners is None:
+        bound = d.select(
+            F.sum(F.coalesce(n_chunks, F.lit(0))).alias("b")
+        ).first()["b"] or 0
+        owners = _gate_dup_broadcast(
+            "chunk_dedup_owners", int(bound), owners, None
+        )
+    elif broadcast_owners:
         owners = F.broadcast(owners)
     owned = chunks.join(owners, "chunk", "left").select("doc_id", "owner")
     kept = F.sum(
@@ -1530,7 +1638,7 @@ def span_grams(d: DataFrame, k: int = 16) -> DataFrame:
 
 
 def span_dup_positions(
-    d: DataFrame, k: int = 16, broadcast_firsts: bool = True
+    d: DataFrame, k: int = 16, broadcast_firsts: bool | None = None
 ) -> DataFrame:
     """DISTINCT duplicated token positions (doc_id, p) under the
     offset-exact keep-first gram semantics — the shared core of the
@@ -1567,8 +1675,8 @@ def span_dup_positions(
     before the join-back: sole-occurrence grams can never mark a dup
     row (their only occurrence IS the min), so the inner join is
     unchanged while the build side shrinks to the duplicated-gram set.
-    That build side is BROADCAST at plan time, not left to the
-    optimizer: left alone, Catalyst/AQE planned the join-back as a
+    That build side is broadcast WHILE IT PROVABLY FITS, not left to
+    the optimizer: left alone, Catalyst/AQE planned the join-back as a
     SortMergeJoin whose probe side re-exchanges AND SORTS the entire
     corpus-sized gram frame on the skewed digest — measured 573 s on a
     50M-gram one-hot-family corpus where the forced broadcast runs
@@ -1576,9 +1684,13 @@ def span_dup_positions(
     the table).  The broadcast bound is the DISTINCT duplicated-gram
     count, rare by construction in a curation ladder (span dedup runs
     AFTER the exact/chunk tiers have removed whole-doc and aligned
-    duplication); for a corpus outside that posture — dup grams at
-    corpus scale — pass ``broadcast_firsts=False`` to fall back to the
-    shuffle join and let AQE skew-split it."""
+    duplication) — but a corpus outside that posture would OOM a
+    broadcast FORCED unconditionally, so the registry path auto-gates
+    the choice (``broadcast_firsts=None`` → :func:`_gate_dup_broadcast`:
+    cheap gram-count upper bound, exact pre-flight count only when the
+    bound overflows, AQE-skew-splittable shuffle join when the dup set
+    is genuinely corpus-scale; round-11 verdict task #2).
+    ``broadcast_firsts=True/False`` still forces either path."""
     grams = span_grams(d, k)
     pos_bits = 25
     ord_ = F.when(
@@ -1596,7 +1708,15 @@ def span_dup_positions(
         .where(F.col("c") >= 2)
         .select("g", "first_ord")
     )
-    if broadcast_firsts:
+    if broadcast_firsts is None:
+        n_tok = F.size(F.split("text", " "))
+        bound = d.select(
+            F.sum(
+                F.when(n_tok >= k, n_tok - (k - 1)).otherwise(F.lit(0))
+            ).alias("b")
+        ).first()["b"] or 0
+        first = _gate_dup_broadcast("span_dup_firsts", int(bound), first, None)
+    elif broadcast_firsts:
         first = F.broadcast(first)
     dup = grams.join(first, "g").where(ord_ != F.col("first_ord"))
     covered = dup.select(

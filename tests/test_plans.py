@@ -495,6 +495,63 @@ def test_chunk_dedup_is_two_exchanges_no_digest_window(spark):
     assert count_exchanges(df) == 2
 
 
+def test_span_chunk_broadcast_gate_degrades_to_shuffle_join(spark):
+    """Round-11 verdict task #2: the span/chunk join-back build side
+    must broadcast only while it provably fits — a corpus-scale
+    dup-digest set (simulated by shrinking the broadcast budget) must
+    automatically degrade to the AQE-skew-splittable shuffle join
+    instead of OOMing a forced broadcast, with identical answers; and
+    the curated shape at default budget must keep today's pure forced-
+    broadcast plan (no pre-flight cache, no extra pass)."""
+    from mapreduce_framework_spark.plans import formatted_plan
+    from mapreduce_framework_spark.queries.dedup import (
+        chunk_dedup_frame,
+        span_dup_positions,
+    )
+
+    # 600 docs in 300 duplicated pairs, 20 tokens each → 5 grams/doc,
+    # 1500 distinct duplicated digests; with a 1 KB threshold (32 KB
+    # budget ≈ 455 rows) both the cheap bound (3000 grams) and the
+    # exact count overflow → shuffle tier.
+    rows = []
+    for i in range(300):
+        text = " ".join(f"w{i}t{j}" for j in range(20))
+        rows.append((2 * i, text))
+        rows.append((2 * i + 1, text))
+    d = spark.createDataFrame(rows, ["doc_id", "text"]).repartition(4)
+
+    key = "spark.sql.autoBroadcastJoinThreshold"
+    orig = spark.conf.get(key)
+    try:
+        spark.conf.set(key, "1KB")
+        gated = span_dup_positions(d)
+        plan = formatted_plan(gated)
+        assert "BroadcastHashJoin" not in plan, (
+            "corpus-scale dup set must not broadcast"
+        )
+        assert "InMemoryTableScan" in plan, (
+            "exact pre-flight tier should reuse the counted aggregate"
+        )
+        got = sorted(tuple(r) for r in gated.collect())
+        chunk_plan = formatted_plan(chunk_dedup_frame(d))
+        assert "BroadcastHashJoin" not in chunk_plan
+    finally:
+        spark.conf.set(key, orig)
+
+    # Answers unchanged vs the forced-broadcast escape hatch.
+    forced = sorted(
+        tuple(r) for r in span_dup_positions(d, broadcast_firsts=True).collect()
+    )
+    assert got == forced and len(got) > 0
+
+    # Curated shape at default budget: tier-1 upper-bound shortcut —
+    # plan byte-identical to the forced broadcast (hint present, no
+    # InMemoryTableScan, no persist).
+    plan_default = formatted_plan(span_dup_positions(d))
+    assert "BroadcastHashJoin" in plan_default
+    assert "InMemoryTableScan" not in plan_default
+
+
 def test_lsh_signatures_have_no_shuffle(spark):
     """Hyperplane signatures are ONE codegen projection pass: the only
     exchanges in sim_search_lsh sit downstream of the bucket explode
