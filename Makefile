@@ -12,6 +12,15 @@ round-start:
 	-python tools/bench_adjudicate.py
 	python -m pytest tests/test_evidence_ledger.py tests/test_registry_parity.py -q
 
+# Judge-methodology sample (round-11 verdict task #4): a FRESH bare-session
+# process runs a seeded draw over the families the driver never samples.
+# Pass ROUND=N; the seed is the round number so coverage walks, not resamples.
+ROUND ?= 0
+verify-sample:
+	python tools/verify_sample.py --families sql,stream,sim,graph,join,window \
+		--n 25 --seed $(ROUND) --out VERIFY_SAMPLE_r$(ROUND).json
+	python tools/evidence_ledger.py
+
 # round-close MUST run AFTER every artifact rename (no *_wip.json left):
 # the round-11 red came from regenerating the ledger while a _wip name was
 # still on disk.  The ledger generator now skips _wip names entirely, and

@@ -126,7 +126,7 @@ def test_unmanifested_artifacts_are_only_the_newest_round():
         m = re.search(r"_r(\d+)", name)
         return int(m.group(1)) if m else None
 
-    for category in ("CORRECTNESS", "VERIFY_LOCAL"):
+    for category in ("CORRECTNESS", "VERIFY_LOCAL", "VERIFY_SAMPLE"):
         manifested = [
             r
             for n in names

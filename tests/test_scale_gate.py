@@ -72,6 +72,110 @@ def _timed(fn) -> float:
     return time.perf_counter() - t0
 
 
+def test_span_keepfirst_survives_hot_gram_adversary(spark):
+    """Round-11 verdict task #5: the hot-digest skew fix, pinned at its
+    adversarial shape IN-SUITE (it previously lived only in SCALE.md
+    prose + tools/scale_probe.py runs).  The corpus is the shape the
+    old window plan cannot split: ONE 16-token boilerplate prefix
+    shared by every doc (the hot gram, one occurrence per doc), every
+    other gram unique.  Three pins:
+
+    1. PLAN — the keep-first pass is a map-side-combining
+       HashAggregate (`partial_min` present, no Window, no
+       SortAggregate) and the join-back build side broadcasts (the
+       auto-gate's tier-1 at this dup-set size).  This is the
+       assertion that actually stops a refactor from reintroducing the
+       window: at 2.5M/25M hot occurrences the window form measured
+       104/1033 s vs 17/345 s (SCALE.md round-11 table).
+    2. ANSWERS — identical to an inline window-form reference.
+    3. WALL — the fixed plan is not slower than the window form at
+       this shape (generous 1.5× slack + one re-measure; at suite size
+       the single-task sort is only beginning to bite — the decisive
+       separation is the measured table above, which only grows with
+       occurrences while the aggregate plan's hot digest keeps
+       collapsing map-side into one row per partition)."""
+    from pyspark.sql import Window, functions as F
+
+    from mapreduce_framework_spark.plans import formatted_plan
+    from mapreduce_framework_spark.queries.dedup import (
+        span_dedup_frame,
+        span_grams,
+    )
+
+    n = 200_000
+    hot = " ".join(f"h{i}" for i in range(16))
+    tail = F.concat_ws(
+        " ",
+        *[
+            F.concat(F.lit(f"u{j}x"), F.col("id").cast("string"))
+            for j in range(16)
+        ],
+    )
+    d = (
+        spark.range(n)
+        .select(
+            F.col("id").alias("doc_id"),
+            F.concat(F.lit(hot + " "), tail).alias("text"),
+        )
+        .repartition(32)
+        .persist()
+    )
+    try:
+        d.count()
+
+        report = span_dedup_frame(d)
+        plan = formatted_plan(report)
+        assert "Window" not in plan, "digest window reintroduced (skew tail)"
+        assert "SortAggregate" not in plan, "keep-first fell out of HashAggregate"
+        assert "partial_min" in plan, "map-side combine missing on the hot digest"
+        assert "BroadcastHashJoin" in plan, "join-back build side must broadcast"
+
+        def group_side():
+            return report.agg(F.sum("n_dup_tokens")).collect()[0][0]
+
+        def window_side():
+            g = span_grams(d)
+            w = Window.partitionBy("g").orderBy("doc_id", "pos")
+            dup = g.withColumn("rn", F.row_number().over(w)).where("rn > 1")
+            cov = dup.select(
+                "doc_id",
+                F.explode(F.sequence(F.col("pos"), F.col("pos") + 15)).alias("p"),
+            ).distinct()
+            per = cov.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_dup"))
+            return (
+                d.select("doc_id")
+                .join(per, "doc_id", "left")
+                .agg(F.sum(F.coalesce("n_dup", F.lit(0))))
+                .collect()[0][0]
+            )
+
+        import time as _t
+
+        t0 = _t.perf_counter()
+        sum_group = group_side()
+        t_group = _t.perf_counter() - t0
+        t0 = _t.perf_counter()
+        sum_window = window_side()
+        t_window = _t.perf_counter() - t0
+
+        # Every doc but the first carries 16 duplicated positions.
+        assert sum_group == sum_window == (n - 1) * 16
+
+        if t_group > t_window * 1.5:  # host-noise re-measure (module norm)
+            t0 = _t.perf_counter()
+            group_side()
+            t_group = min(t_group, _t.perf_counter() - t0)
+            t0 = _t.perf_counter()
+            window_side()
+            t_window = min(t_window, _t.perf_counter() - t0)
+        assert t_group <= t_window * 1.5, (
+            f"keep-first aggregate ({t_group:.1f}s) fell behind the window "
+            f"form ({t_window:.1f}s) at the adversarial hot-gram shape"
+        )
+    finally:
+        d.unpersist()
+
+
 @pytest.mark.parametrize("tier", sorted(GUARDED_TIERS))
 def test_guarded_tier_growth_stays_linear(tier_table, tier):
     runs = tier_table[tier]
