@@ -315,6 +315,7 @@ FROM lineitem
 GROUP BY l_returnflag
 """.strip(),
     tags=("agg", "percentile", "sketch"),
+    bench=True,
 )
 def agg_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The approx-percentile serving twin of agg_percentile (round-10
@@ -332,7 +333,24 @@ def agg_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     essentially never fails on fresh data while a broken one (or a
     mis-set accuracy) trips the driver's hash check.  The pure serving
     plan — sketch aggregate only, no exact twin, no per-group sort —
-    is :func:`approx_quantiles_frame`, plan-pinned separately."""
+    is :func:`approx_quantiles_frame`, plan-pinned separately.
+
+    Mergeability scope (round-11 verdict task #6, explicit non-goal):
+    the sketch's partials merge WITHIN a job — that is exactly the
+    ObjectHashAggregate partial_merge the plan pin asserts, and it is
+    what makes the single-pass 100-TB aggregate work.  CROSS-JOB
+    re-merge (persist daily sketches, combine into monthly answers
+    without rescanning rows) is NOT built on approx_percentile,
+    deliberately: vanilla Spark exposes no serializable
+    percentile-sketch agg/union function pair at the SQL surface
+    (contrast HLL, whose hll_sketch_agg/hll_union_agg power
+    agg_hll_partial_merge), so any cross-job lane would have to smuggle
+    sketch bytes through a UDAF.  The engine's daily→monthly quantile
+    lane is instead agg_quantile_partial_merge: fixed-grid integer
+    histograms whose merge is a plain GROUP BY + sum, whose error bound
+    is provable in-plan (one bin width), and whose estimate/exact/error
+    columns are all hash-checked — strictly stronger verification than
+    a sketch-byte roundtrip would allow."""
     l = table(spark, sf_dir, "lineitem")
     eps = 0.005
     agg = l.groupBy("l_returnflag").agg(
