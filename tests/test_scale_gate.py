@@ -72,6 +72,38 @@ def _timed(fn) -> float:
     return time.perf_counter() - t0
 
 
+def test_probe_forcings_are_integrity_checked():
+    """Round-11 verdict task #7 (structural closure): every probe
+    forcing in tools/scale_probe.py must route through
+    forced_count/forced_agg — which assert the load-bearing operator
+    appears in the EXECUTED plan — or carry an explicit
+    `# lint: materialization-only` justification (eager work already
+    ran; the count cannot eliminate anything timed).  A bare
+    `.count()` forcing is exactly how three vacuous curves were
+    published in rounds 10-11 (span report join, contamination train
+    join, semantic pair stage) and two more survived to round 12
+    (chunk dedup's join-back, ks_drift's cdf window)."""
+    import re
+
+    src = (
+        Path(__file__).resolve().parent.parent / "tools" / "scale_probe.py"
+    ).read_text()
+    body = src.split("def build_tiers", 1)[1]
+    offenders = [
+        line.strip()
+        for line in body.splitlines()
+        if ".count()" in line
+        and not re.search(r"\.count\(\)[^#]*#\s*lint: materialization-only", line)
+        and not line.strip().startswith("#")
+        and ".count():" not in line  # prose mentions inside comments
+        and "not .count()" not in line
+    ]
+    assert not offenders, (
+        "bare .count() forcing(s) in scale_probe tiers — route through "
+        f"forced_count/forced_agg or justify with a lint marker: {offenders}"
+    )
+
+
 def test_span_keepfirst_survives_hot_gram_adversary(spark):
     """Round-11 verdict task #5: the hot-digest skew fix, pinned at its
     adversarial shape IN-SUITE (it previously lived only in SCALE.md
