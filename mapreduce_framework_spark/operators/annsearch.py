@@ -599,11 +599,22 @@ def pq_train(sub: DataFrame, n_seeds: int) -> DataFrame:
         .agg(F.min(F.struct("dist", "code")).alias("b"))
         .select("vec_id", "m", F.col("b.code").alias("code"))
     )
-    return (
+    codebook = (
         a1.join(sub, ["vec_id", "m"])
         .groupBy("m", "code", "sp")
         .agg(F.expr("sum(val) div count(*)").alias("cval"))
     )
+    # Materialize the codebook (round-12 optimization; guide §1.2 —
+    # don't recompute what you already have): it is M×K×sub_dim rows
+    # (hundreds), but its LAZY plan embeds three passes over the
+    # corpus-sized ``sub`` frame, and every caller consumes it at least
+    # twice (pq_encode's broadcast + the ADC LUT, or the persisted
+    # index's codes write + codebook sidecar write) — so training was
+    # re-executed per consumer.  One eager localCheckpoint runs training
+    # exactly once; at 100 TB this is the difference between ~5 and ~3
+    # corpus scans per build (and on a cluster the train input would be
+    # a sample anyway — same plan, sampled ``sub``).
+    return codebook.localCheckpoint(eager=True)
 
 
 def pq_encode(sub: DataFrame, codebook: DataFrame) -> DataFrame:

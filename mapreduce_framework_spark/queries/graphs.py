@@ -281,13 +281,26 @@ def knn_edges_frame(l: DataFrame, k: int = 5) -> DataFrame:
     two keys cannot silently diverge on k or tie-break rules."""
     from pyspark.sql import Window
 
-    a = l.select(F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("s1"))
-    b = l.select(F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("s2"))
+    # Pre-distinct the (order, supplier) membership BEFORE the self-join
+    # (round-12 optimization; guide §2.3 "shuffle fewer bytes"): the
+    # round-2 shape self-joined the RAW lineitem rows and took
+    # countDistinct(ok) per pair, which plans as TWO aggregate tiers over
+    # the exploded pair set — an extra (s1, s2, ok)-keyed exchange of the
+    # largest intermediate in the whole graph family.  Distinct first
+    # makes every joined (ok, s1, s2) tuple unique by construction, so
+    # the weight is a PLAIN count with map-side partial aggregation and
+    # the pair set crosses the network once.  Identical result:
+    # countDistinct(ok) over raw pairs ≡ count(*) over the join of the
+    # deduped sides.
+    a = l.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("s1")
+    ).distinct()
+    b = a.select("ok", F.col("s1").alias("s2"))
     co = (
         a.join(b, "ok")
         .where(F.col("s1") != F.col("s2"))
         .groupBy("s1", "s2")
-        .agg(F.countDistinct("ok").alias("w"))
+        .agg(F.count(F.lit(1)).alias("w"))
     )
     w = Window.partitionBy("s1").orderBy(F.desc("w"), F.asc("s2"))
     knn = (

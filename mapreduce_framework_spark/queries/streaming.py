@@ -351,8 +351,6 @@ def stream_watermark_drop_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     events = table(spark, sf_dir, "events").select("ts", "event_type", "event_id")
     is_late = F.col("event_id") % 20 == 0
-    n_input = events.count()
-    n_late = events.where(is_late).count()
     early = events.where(~is_late)
     wmf = (
         early.crossJoin(F.broadcast(_replay_cutoffs(early)))
@@ -360,31 +358,57 @@ def stream_watermark_drop_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg((F.max("ts") - F.expr("INTERVAL 10 MINUTES")).alias("wm"))
     )
     fwm = events.agg((F.max("ts") - F.expr("INTERVAL 10 MINUTES")).alias("fw"))
-    late_w = events.where(is_late).select(
-        F.window("ts", "5 minutes").alias("w"), "event_type"
+    # ONE grouped pass computes every semantic count (round-12
+    # optimization; guide §1.2 "don't compute things twice" / §2.3
+    # "aggregate before you shuffle"): the round-9 shape ran SIX
+    # separate count jobs — n_input, n_late, admitted, dropped-groups
+    # distinct, kept-windows — each rescanning events (and several
+    # re-deriving the watermark subtree inside their broadcasts).  All
+    # of them are functions of the per-(window, event_type) group
+    # totals: a late row is admitted iff its window's end > wm (a
+    # GROUP-level predicate — every row of a group shares its window),
+    # so one aggregate keyed on (window, type) + one scalar roll-up
+    # yields identical numbers with one events scan.
+    per_group = (
+        events.crossJoin(F.broadcast(wmf))
+        .crossJoin(F.broadcast(fwm))
+        .select(
+            F.window("ts", "5 minutes").alias("w"),
+            "event_type",
+            is_late.alias("late"),
+            "wm",
+            "fw",
+        )
+        .groupBy("w", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.when(F.col("late"), 1).otherwise(0)).alias("n_late_rows"),
+            F.first("wm").alias("wm"),
+            F.first("fw").alias("fw"),
+        )
     )
-    admitted = late_w.crossJoin(F.broadcast(wmf)).where(
-        F.col("w.end") > F.col("wm")
+    dropped_g = F.col("n_late_rows") > 0  # late rows exist in the group…
+    closed_at_wm = F.col("w.end") <= F.col("wm")  # …and its window was closed
+    kept_g = (F.col("n_rows") > F.col("n_late_rows")) | (
+        dropped_g & ~closed_at_wm
+    )  # any early row, or admitted-late rows
+    totals = per_group.agg(
+        F.sum("n_rows").alias("n_input"),
+        F.sum("n_late_rows").alias("n_late"),
+        F.sum(F.when(closed_at_wm, F.col("n_late_rows")).otherwise(0)).alias(
+            "n_dropped_rows"
+        ),
+        F.sum((dropped_g & closed_at_wm).cast("long")).alias("n_dropped_groups"),
+        F.sum((kept_g & (F.col("w.end") > F.col("fw"))).cast("long")).alias(
+            "n_held"
+        ),
+    ).collect()[0]
+    n_input, n_late = totals["n_input"], totals["n_late"]
+    n_dropped_rows, n_dropped_groups = (
+        totals["n_dropped_rows"],
+        totals["n_dropped_groups"],
     )
-    n_dropped_rows = n_late - admitted.count()
-    n_dropped_groups = (
-        late_w.crossJoin(F.broadcast(wmf))
-        .where(F.col("w.end") <= F.col("wm"))
-        .select("w", "event_type")
-        .distinct()
-        .count()
-    )
-    kept_windows = (
-        events.where(~is_late)
-        .select(F.window("ts", "5 minutes").alias("w"), "event_type")
-        .unionByName(admitted.select("w", "event_type"))
-        .distinct()
-    )
-    n_held = (
-        kept_windows.crossJoin(F.broadcast(fwm))
-        .where(F.col("w.end") > F.col("fw"))
-        .count()
-    )
+    n_held = totals["n_held"]
     in_bounds = n_dropped_groups <= engine_dropped_metric <= n_dropped_rows
     return spark.createDataFrame(
         [

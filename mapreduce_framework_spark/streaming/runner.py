@@ -76,22 +76,35 @@ def run_file_stream(
         from pyspark.sql import functions as F
 
         tiebreak = [c for c in source_df.columns if c not in (order_col, batch_col)]
-        batch_ids = [
-            r[0]
-            for r in source_df.select(batch_col).distinct().orderBy(batch_col).collect()
-        ]
-        for bi in batch_ids:
-            (
-                source_df.where(F.col(batch_col) == bi)
-                .drop(batch_col)
-                .coalesce(1)
-                .sortWithinPartitions(order_col, *tiebreak)
-                .write.mode("overwrite")
-                .parquet(os.path.join(src_dir, f"_stage_{bi}"))
-            )
-            [pf] = glob.glob(os.path.join(src_dir, f"_stage_{bi}", "part-*"))
+        # ONE pass stages every batch (round-12 optimization; guide §2.4
+        # "remove shuffles outright"): the old loop ran a distinct+collect
+        # of the batch ids and then one filtered write PER id — five full
+        # computations of source_df (which for the watermark keys embeds
+        # the events scan + cutoff aggregate) where one suffices.  A
+        # dynamic-partition write by the batch column emits exactly one
+        # file per batch value: hash-repartitioning ON the batch column
+        # puts all of a batch's rows in one task, and the partitioned
+        # writer starts a new file per partition value within a task.
+        # Batch ids are recovered from the directory names — no extra
+        # job.  Layout per batch file is unchanged (same rows, same
+        # (order_col, *tiebreak) sort, batch column dropped by the
+        # partitioned write), so the replayed batch sequence — and every
+        # watermark cutoff derived from it — is bit-identical.
+        stage_dir = os.path.join(src_dir, "_stage")
+        (
+            source_df.repartition(8, F.col(batch_col))
+            .sortWithinPartitions(batch_col, order_col, *tiebreak)
+            .write.mode("overwrite")
+            .partitionBy(batch_col)
+            .parquet(stage_dir)
+        )
+        for d in os.listdir(stage_dir):
+            if not d.startswith(f"{batch_col}="):
+                continue
+            bi = int(d.split("=", 1)[1])
+            [pf] = glob.glob(os.path.join(stage_dir, d, "part-*"))
             os.rename(pf, os.path.join(src_dir, f"batch-{bi:05d}.parquet"))
-            shutil.rmtree(os.path.join(src_dir, f"_stage_{bi}"))
+        shutil.rmtree(stage_dir)
         part_files = sorted(glob.glob(os.path.join(src_dir, "batch-*.parquet")))
     else:
         # Tie-break the range partitioning with every remaining column:

@@ -35,6 +35,11 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     ap.add_argument("--out", default=str(REPO / "VERIFY_LOCAL.json"))
+    ap.add_argument(
+        "--keys",
+        default="",
+        help="comma-separated subset of registry keys (default: all)",
+    )
     args = ap.parse_args()
 
     import __spark_entry__ as contract  # noqa: E402  (repo-root import)
@@ -60,6 +65,12 @@ def main() -> int:
         )
 
     qs, oracles = contract.queries(), contract.oracle_sql()
+    if args.keys:
+        wanted = [k.strip() for k in args.keys.split(",") if k.strip()]
+        unknown = sorted(set(wanted) - set(qs))
+        if unknown:
+            raise SystemExit(f"unknown keys: {unknown}")
+        qs = {k: qs[k] for k in wanted}
     report: dict[str, dict] = {}
     for name in sorted(qs):
         t0 = time.time()
