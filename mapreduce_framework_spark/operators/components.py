@@ -89,9 +89,19 @@ def connected_components(
     # unreplicated — on a cluster run that must survive executor loss,
     # switch to checkpoint() with a checkpoint dir.)  Measured 17s → 3s
     # at sf0.1 on the dedup_clusters query.
+    # Pre-partition the cached edge frame ON THE PER-ROUND JOIN KEY
+    # (round-12 optimization; guide §2.4 "two operations keyed the same
+    # way share one exchange"): every round joins sym.v == labels.v2,
+    # so hash-partitioning sym by v BEFORE persisting lets each round's
+    # join reuse the cached partitioning instead of re-shuffling the
+    # edge frame — one edge-sized exchange total instead of one per
+    # round (the labels side still shuffles, but it is node-sized).
+    # Measured on the isolated propagation loop at sf0.1: 6.7 → 5.3 s,
+    # results bit-identical.
     sym = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .repartition("v")
         .persist()
     )
 

@@ -446,9 +446,18 @@ def _semantic_assignment(e: DataFrame, occupancy: int = 64):
         .where(F.col("vec_id") < F.col("k"))
         .select(F.col("vec_id").cast("int").alias("cid"), F.col("qv").alias("c"))
     )
-    assigned = assign(
-        base.select("vec_id", F.col("qv").alias("v")), seeds
-    ).select("vec_id", "cid")
+    # Materialize the assignment once (round-12 optimization; guide
+    # §1.2): the n·k argmin is the flops-heavy stage of the whole
+    # family and its lazy frame has 3-4 consumers (cluster-size counts,
+    # both sides of the within-cluster pair join, the final keep join)
+    # — ReuseExchange dedups only identical exchanges, so the
+    # assignment still executed ~3× per query.  The checkpointed frame
+    # is (vec_id, cid) ints — n×~8 bytes, safe at any corpus size.
+    assigned = (
+        assign(base.select("vec_id", F.col("qv").alias("v")), seeds)
+        .select("vec_id", "cid")
+        .localCheckpoint(eager=True)
+    )
     # k-row cluster-size frame; AQE broadcasts it while it fits and
     # falls back to a shuffle join at extreme k — no forced hint.
     counts = assigned.groupBy("cid").agg(F.count(F.lit(1)).alias("_mc"))
@@ -807,9 +816,18 @@ def dedup_semantic_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("vec_id") < F.col("k"))
         .select(F.col("vec_id").cast("int").alias("cid"), F.col("qv").alias("c"))
     )
-    assigned = assign(
-        base.select("vec_id", F.col("qv").alias("v")), seeds
-    ).select("vec_id", "cid")
+    # Materialize the assignment once (round-12 optimization; guide
+    # §1.2): the n·k argmin is the flops-heavy stage of the whole
+    # family and its lazy frame has 3-4 consumers (cluster-size counts,
+    # both sides of the within-cluster pair join, the final keep join)
+    # — ReuseExchange dedups only identical exchanges, so the
+    # assignment still executed ~3× per query.  The checkpointed frame
+    # is (vec_id, cid) ints — n×~8 bytes, safe at any corpus size.
+    assigned = (
+        assign(base.select("vec_id", F.col("qv").alias("v")), seeds)
+        .select("vec_id", "cid")
+        .localCheckpoint(eager=True)
+    )
     counts = assigned.groupBy("cid").agg(F.count(F.lit(1)).alias("_mc"))
     m = (
         assigned.join(base.select("vec_id", "vd", "split"), "vec_id")

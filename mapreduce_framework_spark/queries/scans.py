@@ -414,23 +414,38 @@ def sink_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
         # cast on the scan side would block dynamic partition pruning.
         .select(F.expr(zh).cast("int").alias("zbucket"))
     )
-    scanned = back.join(F.broadcast(cand), "zbucket")
-    matched = scanned.crossJoin(F.broadcast(box)).where(
+    # ONE pass over the clustered copy computes the whole metrics row
+    # (round-12 optimization; guide §1.2): the round-8 shape ran THREE
+    # aggregates over the re-read table (bucket total, scanned metrics,
+    # matched metrics) — three full scans of the corpus-sized rewrite.
+    # A left join against the broadcast candidate list marks scanned
+    # rows instead of filtering them, so every metric becomes a
+    # conditional aggregate of the same single scan; identical numbers
+    # (the candidate list is distinct by construction — an 8×8 grid
+    # projected through the bijective interleave — so the left join
+    # never duplicates rows).
+    sel = F.col("_c").isNotNull()
+    in_box = (
         (F.col("x") >= F.col("x_lo"))
         & (F.col("x") < F.col("x_hi"))
         & (F.col("y") >= F.col("y_lo"))
         & (F.col("y") < F.col("y_hi"))
     )
-    totals = back.agg(F.countDistinct("zbucket").alias("buckets_total"))
-    scan_m = scanned.agg(
-        F.countDistinct("zbucket").alias("buckets_scanned"),
-        F.count(F.lit(1)).alias("rows_scanned"),
+    return (
+        back.join(F.broadcast(cand.withColumn("_c", F.lit(1))), "zbucket", "left")
+        .crossJoin(F.broadcast(box))
+        .agg(
+            F.countDistinct("zbucket").alias("buckets_total"),
+            F.countDistinct(F.when(sel, F.col("zbucket"))).alias(
+                "buckets_scanned"
+            ),
+            F.sum(sel.cast("long")).alias("rows_scanned"),
+            F.sum((sel & in_box).cast("long")).alias("n_matched"),
+            F.coalesce(
+                F.sum(F.when(sel & in_box, F.col("cents"))), F.lit(0)
+            ).alias("revenue_cents"),
+        )
     )
-    match_m = matched.agg(
-        F.count(F.lit(1)).alias("n_matched"),
-        F.coalesce(F.sum("cents"), F.lit(0)).alias("revenue_cents"),
-    )
-    return totals.crossJoin(scan_m).crossJoin(match_m)
 
 def zorder_cluster(spark: SparkSession, sf_dir: str) -> tuple:
     """Write the z-order clustered copy of orders (see sink_zorder) and
