@@ -885,13 +885,26 @@ def ngram_novelty_frame(d: DataFrame, n: int = 5) -> DataFrame:
         .where(F.col("gram").isNotNull())
         .select("doc_id", "source", F.xxhash64("gram").alias("gh"))
     )
-    dfc = g.groupBy("gh").agg(F.count(F.lit(1)).alias("df"))
+    # Join back only the DUPLICATED grams (round-12 optimization; guide
+    # §2.3 "shuffle fewer bytes"): every gram matches the full df table
+    # (df ≥ 1 by construction), so the inner join carried the whole
+    # gram vocabulary as build side just to evaluate df >= 2.  Filtering
+    # to the df ≥ 2 set first shrinks the build side to the duplicated
+    # minority (the quantity this audit exists to measure), which keeps
+    # it broadcastable far longer at scale; a left join + null flag is
+    # then exactly df >= 2.  Identical output.
+    dup = (
+        g.groupBy("gh")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") >= 2)
+        .select("gh", F.lit(1).alias("_dup"))
+    )
     perdoc = (
-        g.join(dfc, "gh")
+        g.join(dup, "gh", "left")
         .groupBy("doc_id", "source")
         .agg(
             F.count(F.lit(1)).alias("n_grams"),
-            F.count_if(F.col("df") >= 2).alias("n_dup"),
+            F.count_if(F.col("_dup").isNotNull()).alias("n_dup"),
         )
     )
     return perdoc.groupBy("source").agg(
