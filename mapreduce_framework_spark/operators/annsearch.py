@@ -693,7 +693,13 @@ def persist_pq_index(
     encode against the frozen sidecar and append into their c0
     directory; codebook refresh is the rare offline rewrite (the
     standard PQ maintenance trade, same policy as IVF centroids)."""
-    sub = pq_subvectors(qvecs, n_sub=n_sub, sub_dim=sub_dim)
+    # Eager checkpoint (round-12; guide §1.2): pq_train walks ``sub``
+    # 4x and pq_encode once more -- materialize the exploded subvector
+    # frame once per build instead of re-running the scan + explode
+    # per walk.
+    sub = pq_subvectors(qvecs, n_sub=n_sub, sub_dim=sub_dim).localCheckpoint(
+        eager=True
+    )
     codebook = pq_train(sub, n_seeds=n_seeds)
     codes = pq_encode(sub, codebook)
     wide = (
@@ -784,7 +790,13 @@ def persist_ivf_pq_index(
     their cell directory; codebook/centroid refresh is the rare offline
     rewrite.  Returns (codes, codebook) read BACK from disk."""
     assigned = assign_cells(vectors, centroids).select("vec_id", "cell_id")
-    sub = pq_subvectors(qvecs, n_sub=n_sub, sub_dim=sub_dim)
+    # Eager checkpoint (round-12; guide §1.2): pq_train walks ``sub``
+    # 4x and pq_encode once more -- materialize the exploded subvector
+    # frame once per build instead of re-running the scan + explode
+    # per walk.
+    sub = pq_subvectors(qvecs, n_sub=n_sub, sub_dim=sub_dim).localCheckpoint(
+        eager=True
+    )
     codebook = pq_train(sub, n_seeds=n_seeds)
     codes = pq_encode(sub, codebook)
     wide = (

@@ -138,10 +138,12 @@ def embedding_seed_farthest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: each expansion is one broadcast of the single new seed
     vector + one codegen min-update + one TakeOrdered(1) — the corpus
-    is never re-shuffled; k seeds cost k scans (or one cached scan).
-    The argmax frame stays IN-PLAN (limit-1 frame joined back for the
-    seed's vector, no driver collect), so the unrolled k=4 plan is one
-    lazy job.  Distances live on the ×10000 integer lattice (exactly
+    is never re-shuffled, and the per-round eager checkpoint of the
+    min-distance frame pins the cost at exactly k passes (the lazy
+    unroll duplicated every earlier round's subtree into each argmax /
+    seed broadcast — ~k² scans).  The argmax frame stays IN-PLAN
+    (limit-1 frame joined back for the seed's vector, no driver
+    collect).  Distances live on the ×10000 integer lattice (exactly
     kmeans' convention) — sums of integer squares are order-independent
     and engine-exact."""
     from mapreduce_framework_spark.operators.kmeans import _sq_l2, quantize
@@ -150,8 +152,17 @@ def embedding_seed_farthest(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", quantize(F.col("embedding")).alias("qv")
     )
     seed0 = vectors.where(F.col("vec_id") == 0).select(F.col("qv").alias("sv"))
-    scored = vectors.crossJoin(F.broadcast(seed0)).select(
-        "vec_id", "qv", _sq_l2(F.col("qv"), F.col("sv")).alias("dist")
+    # Each round's min-distance frame is materialized eagerly
+    # (round-12; guide §1.2): the fully-lazy unroll duplicated the
+    # scored_{r-1} subtree into every later round's plan AND into each
+    # round's argmax/seed-vector broadcast builds (~k² corpus scans at
+    # k=4); with a per-round localCheckpoint the greedy expansion costs
+    # exactly k passes — the "one cached scan" posture the scale note
+    # promises, with the argmax still in-plan (no driver collect).
+    scored = (
+        vectors.crossJoin(F.broadcast(seed0))
+        .select("vec_id", "qv", _sq_l2(F.col("qv"), F.col("sv")).alias("dist"))
+        .localCheckpoint(eager=True)
     )
     out = [
         spark.range(1).select(
@@ -173,10 +184,16 @@ def embedding_seed_farthest(spark: SparkSession, sf_dir: str) -> DataFrame:
             vectors.join(best.select("vec_id"), "vec_id")
             .select(F.col("qv").alias("sv"))
         )
-        scored = scored.crossJoin(F.broadcast(seed_vec)).select(
-            "vec_id",
-            "qv",
-            F.least(F.col("dist"), _sq_l2(F.col("qv"), F.col("sv"))).alias("dist"),
+        scored = (
+            scored.crossJoin(F.broadcast(seed_vec))
+            .select(
+                "vec_id",
+                "qv",
+                F.least(
+                    F.col("dist"), _sq_l2(F.col("qv"), F.col("sv"))
+                ).alias("dist"),
+            )
+            .localCheckpoint(eager=True)
         )
     res = out[0]
     for frame in out[1:]:

@@ -106,12 +106,22 @@ def banded_jaccard_pairs(
        (tools/scale_probe.py banded_overflow)."""
     import math
 
+    # Materialize the banded frame ONCE (round-12 optimization; guide
+    # §1.2 "don't compute things you throw away"): the lazy frame is
+    # consumed ~6× below (the big_cats aggregate, both sides of the
+    # exact-tier self-join, and the overflow tier's candidate/verify
+    # sides), and each consumer re-executes the caller's scan +
+    # tokenize lineage — the most expensive stage of the whole key.
+    # One eager localCheckpoint runs scan+tokenize exactly once; every
+    # tier reads the materialized (doc_id, lang, source, toks, band)
+    # rows (executor-local, disk-backed — the same corpus-sized
+    # materialization a persisted dedup ladder stage would write).
     banded = d.withColumn(
         "band",
         F.floor(
             F.log(F.greatest(F.size("toks"), F.lit(1))) / F.lit(math.log(1.25))
         ).cast("int"),
-    )
+    ).localCheckpoint(eager=True)
     big_cats = (
         banded.groupBy("lang", "source", "band")
         .agg(F.count(F.lit(1)).alias("k"))
@@ -288,12 +298,18 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Filter on size(toks), not size(sh): a filter on the ngram array
     # gets pushdown-reordered below the projection and re-computes every
     # shingle array just to test emptiness (measured ~3s of ~4s here).
+    # Eager checkpoint (round-12; guide §1.2): the shingled frame is
+    # consumed THREE times (candidate generation + both verify sides),
+    # and shingle construction is the most expensive stage of the key
+    # — lazily it ran 3× per query.  One materialization (executor-
+    # local, disk-backed) is exactly the shingle table a production
+    # ladder persists between the sketch and verify stages.
     d = (
         table(spark, sf_dir, "documents")
         .select("doc_id", F.split("text", " ").alias("toks"))
         .where(F.size("toks") >= 3)
         .select("doc_id", word_ngrams(F.col("toks"), 3).alias("sh"))
-    )
+    ).localCheckpoint(eager=True)
     cands = candidate_pairs(d, "doc_id", "sh")
     ta = d.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
     tb = d.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
@@ -2027,6 +2043,12 @@ def containment_pairs(
     degenerate low-vocabulary corpus every doc contains every shorter
     doc and the OUTPUT is Θ(n²) — no exact algorithm beats the answer's
     own size there (same boundary as banded_jaccard_pairs)."""
+    # Materialize the tokenized input ONCE (round-12; guide §1.2): `d`
+    # is consumed by the category-size aggregate, both sides of the
+    # exact tier, and the overflow tier's index/verify sides (~5
+    # evaluations of the caller's scan + array_distinct tokenize,
+    # the dominant per-row cost, if left lazy).
+    d = d.localCheckpoint(eager=True)
     cat_sizes = d.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("k"))
     big_cats = cat_sizes.where(F.col("k") > block_cap).select("lang", "source")
 
@@ -2231,15 +2253,26 @@ def dedup_ladder_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     the composition IS the 100 TB strategy (each tier shrinks the next
     tier's quadratic surface), and at full scale tier 2's overflow
     categories route to MinHash exactly as in dedup_ngram_jaccard."""
+    # Eager checkpoint of the fingerprinted/tokenized frame: its lazy
+    # form is evaluated twice even inside one `flagged` computation
+    # (the keeper aggregate side and the probe side of the fp join),
+    # so without it the corpus is scanned + md5'd + tokenized 2× per
+    # consumer (round-12; guide §1.2).
     d = table(spark, sf_dir, "documents").select(
         "doc_id",
         "lang",
         "source",
         F.md5(F.lower(F.trim(F.col("text"))).cast("binary")).alias("fp"),
         F.array_distinct(F.split("text", " ")).alias("toks"),
-    )
+    ).localCheckpoint(eager=True)
     keeper = d.groupBy("fp").agg(F.min("doc_id").alias("keep_id"))
-    flagged = d.join(keeper, "fp")
+    # Materialize the tier-1 verdict ONCE (round-12; guide §1.2): the
+    # lazy `flagged` is consumed both by tier 2 (via `surv`, whose
+    # lineage the banded tier would otherwise re-derive) and by the
+    # final attrition rollup (`full`) — each re-running the documents
+    # scan + md5 + tokenize.  One eager localCheckpoint makes the
+    # funnel's corpus work a single pass, as the docstring promises.
+    flagged = d.join(keeper, "fp").localCheckpoint(eager=True)
     surv = flagged.where(F.col("doc_id") == F.col("keep_id")).select(
         "doc_id", "lang", "source", "toks"
     )

@@ -689,10 +689,12 @@ def profile_drift_categorical(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
         .alias("in_first"),
     )
+    # |event_type| rows, consumed by the totals AND the report — eager
+    # checkpoint makes this ONE events pass (round-12; guide §1.2).
     halves = e.groupBy("event_type").agg(
         F.sum("in_first").alias("n1"),
         F.sum(1 - F.col("in_first")).alias("n2"),
-    )
+    ).localCheckpoint(eager=True)
     tot = halves.agg(
         F.sum("n1").cast("double").alias("t1"),
         F.sum("n2").cast("double").alias("t2"),
@@ -932,9 +934,11 @@ def profile_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
         digit = F.when(
             F.col("cents") >= p, F.expr(f"cents div {p}")
         ).otherwise(digit)
+    # ≤9 rows, consumed by the total AND the report — eager checkpoint
+    # makes this ONE corpus pass (round-12; guide §1.2).
     g = o.select(digit.alias("digit")).groupBy("digit").agg(
         F.count(F.lit(1)).alias("n")
-    )
+    ).localCheckpoint(eager=True)
     t = g.agg(F.sum("n").alias("total"))
     exp_ppm = F.lit(None).cast("bigint")
     for d, p in _BENFORD_PPM.items():

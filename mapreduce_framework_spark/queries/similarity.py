@@ -477,7 +477,14 @@ def sim_search_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     and a bounded candidate fraction at both verification SFs."""
     from mapreduce_framework_spark.operators.annsearch import lsh_topk
 
-    vectors = _vectors(spark, sf_dir).select("vec_id", "v")
+    # Eager checkpoint (round-12; guide §1.2): lsh_topk consumes its
+    # input ~5× (the occupancy count, both bucket sides, the query row,
+    # and the re-rank scan) — lazily each consumer re-ran the embedding
+    # scan + int-quantize projection.  One materialization of the
+    # skinny (vec_id, v) frame serves them all.
+    vectors = (
+        _vectors(spark, sf_dir).select("vec_id", "v").localCheckpoint(eager=True)
+    )
     return lsh_topk(
         vectors, query_id=0, k=10, n_tables=4, n_planes=None, hamming_radius=2
     )
@@ -589,7 +596,13 @@ def sim_search_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     qvecs = table(spark, sf_dir, "embeddings").select(
         "vec_id", kquantize(F.col("embedding")).alias("v")
     )
-    sub = pq_subvectors(qvecs, n_sub=4, sub_dim=16)
+    # Eager checkpoint of the exploded subvector frame (round-12;
+    # guide §1.2): pq_train alone walks it 4x (seed pick, seed join,
+    # assignment, codebook mean) and the encode + query consumers add
+    # two more -- lazily each walk re-ran the embedding scan + explode.
+    # One materialization of the skinny (vec_id, m, sp, val) rows
+    # serves the whole build.
+    sub = pq_subvectors(qvecs, n_sub=4, sub_dim=16).localCheckpoint(eager=True)
     codebook = pq_train(sub, n_seeds=8)
     codes = pq_encode(sub, codebook).where(F.col("vec_id") != 0)
     query_sub = sub.where(F.col("vec_id") == 0).select(
@@ -702,7 +715,13 @@ def sim_search_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     qvecs = table(spark, sf_dir, "embeddings").select(
         "vec_id", kquantize(F.col("embedding")).alias("v")
     )
-    sub = pq_subvectors(qvecs, n_sub=4, sub_dim=16)
+    # Eager checkpoint of the exploded subvector frame (round-12;
+    # guide §1.2): pq_train alone walks it 4x (seed pick, seed join,
+    # assignment, codebook mean) and the encode + query consumers add
+    # two more -- lazily each walk re-ran the embedding scan + explode.
+    # One materialization of the skinny (vec_id, m, sp, val) rows
+    # serves the whole build.
+    sub = pq_subvectors(qvecs, n_sub=4, sub_dim=16).localCheckpoint(eager=True)
     codebook = pq_train(sub, n_seeds=8)
     codes = pq_encode(sub, codebook).where(F.col("vec_id") != 0)
     query_sub = sub.where(F.col("vec_id") == 0).select(
@@ -838,7 +857,13 @@ def ivf_pq_frame(
     )
     members = assigned.join(F.broadcast(probe_cells), "cell_id").select("vec_id")
 
-    sub = pq_subvectors(qvecs, n_sub=4, sub_dim=16)
+    # Eager checkpoint of the exploded subvector frame (round-12;
+    # guide §1.2): pq_train alone walks it 4x (seed pick, seed join,
+    # assignment, codebook mean) and the encode + query consumers add
+    # two more -- lazily each walk re-ran the embedding scan + explode.
+    # One materialization of the skinny (vec_id, m, sp, val) rows
+    # serves the whole build.
+    sub = pq_subvectors(qvecs, n_sub=4, sub_dim=16).localCheckpoint(eager=True)
     codebook = pq_train(sub, n_seeds=8)
     codes = (
         pq_encode(sub, codebook)

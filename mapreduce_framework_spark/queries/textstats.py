@@ -375,7 +375,20 @@ def tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.explode_outer("t").alias("term"))
         .where(F.col("term").isNotNull())
     )
-    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    # Eager checkpoint (round-12; guide §1.2): `tf` is consumed twice —
+    # the df aggregate and the scored join — and each lazy evaluation
+    # re-ran the corpus tokenize + explode + aggregate.  One
+    # materialization (vocabulary×docs-bounded, executor-local) halves
+    # the corpus passes.  Deliberately NOT a window count over term:
+    # count(*) over (partition by 'the') buffers the hot term's entire
+    # partition in one task and AQE cannot split window skew (guide
+    # §2.5) — the groupBy(term) + join keeps the hot key map-side-
+    # combined on the build side and skew-splittable on the probe.
+    tf = (
+        tok.groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=True)
+    )
     df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n = d.agg(F.count(F.lit(1)).alias("n_docs"))
     scored = (
@@ -424,18 +437,37 @@ def contamination_frame(d: DataFrame, n: int = 5) -> DataFrame:
         # string-exact DuckDB oracle stays collision-free and green.
         .select("doc_id", "split", F.xxhash64("gram").alias("gh"))
     )
-    train = g.where(F.col("split") == "train").select("gh").distinct()
-    ev = g.where(F.col("split") == "eval").select("doc_id", "gh")
-    hits = ev.join(train, "gh").groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_contaminated")
+    # One gram pass (round-12; guide §1.2): lazily, the 5-gram
+    # construction ran THREE times (train side, eval-hits side,
+    # eval-denominator side).  Materialize the hashed gram frame once
+    # (skinny (doc_id, split, int64) rows — the expensive string work
+    # is already reduced to longs), and fold the hit count and the
+    # denominator into ONE aggregate over a LEFT join against the
+    # distinct train set: train is distinct on gh, so the left join
+    # preserves eval row multiplicity — count(*) is the old `base`
+    # and count(match) the old `hits`, bit-identically.
+    g = g.localCheckpoint(eager=True)
+    train = (
+        g.where(F.col("split") == "train")
+        .select("gh")
+        .distinct()
+        .withColumn("_hit", F.lit(1))
     )
-    base = ev.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
-    return base.join(hits, "doc_id", "left").select(
+    ev = g.where(F.col("split") == "eval").select("doc_id", "gh")
+    per_doc = (
+        ev.join(train, "gh", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.count("_hit").alias("n_contaminated"),
+        )
+    )
+    return per_doc.select(
         "doc_id",
         "n_grams",
-        F.coalesce("n_contaminated", F.lit(0)).alias("n_contaminated"),
+        "n_contaminated",
         (
-            F.coalesce("n_contaminated", F.lit(0)).cast("double") / F.col("n_grams")
+            F.col("n_contaminated").cast("double") / F.col("n_grams")
         ).alias("contamination_ratio"),
     )
 
@@ -785,7 +817,8 @@ def lm_perplexity_frame(d: DataFrame) -> DataFrame:
     bigram table would be collected to the driver — exactly the OOM
     the docstring's scale note warns about).  AQE sizes the actual
     exchange: bounded vocab → runtime broadcast, open vocab → shuffle
-    joins keyed on the bigram."""
+    joins keyed on the bigram (AQE-skew-splittable, unlike a window
+    count over a hot context word)."""
     tk = F.split("text", " ")
     big = d.select(
         "doc_id",
@@ -796,8 +829,17 @@ def lm_perplexity_frame(d: DataFrame) -> DataFrame:
             )
         ).alias("bg"),
     ).select("doc_id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    # One corpus pass (round-12; guide §1.2): the exploded bigram frame
+    # is materialized once (eager localCheckpoint, executor-local,
+    # ~corpus-sized — the same bytes a persisted n-gram stage would
+    # write), the bigram count table aggregates from the cache, and the
+    # CONTEXT counts derive from the bigram counts (Σ_w2 c(w1,w2) ≡
+    # count by w1 — vocab²-bounded input instead of a second corpus
+    # pass; guide §2.3 "aggregate before you shuffle").  Lazily, cnt /
+    # ctx / the probe side each re-ran the corpus explode — 3 passes.
+    big = big.localCheckpoint(eager=True)
     cnt = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c"))
-    ctx = big.groupBy("w1").agg(F.count(F.lit(1)).alias("cw"))
+    ctx = cnt.groupBy("w1").agg(F.sum("c").alias("cw"))
     scored = big.join(cnt, ["w1", "w2"]).join(ctx, "w1")
     return scored.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_bigrams"),
