@@ -54,6 +54,20 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _count_band(toks: str) -> F.Column:
+    """Geometric distinct-token-count band (factor 1.25): the LOSSLESS
+    pruning key for Jaccard ≥ 0.8 joins — a qualifying pair's counts
+    differ by ≤ one band, so probing band±2 (±1 suffices mathematically;
+    ±2 absorbs float rounding at the 0.8/1.25 boundaries) finds every
+    pair exactly once.  Shared by banded_jaccard_pairs and
+    dedup_clusters so the band math cannot drift between the tiers."""
+    import math
+
+    return F.floor(
+        F.log(F.greatest(F.size(toks), F.lit(1))) / F.lit(math.log(1.25))
+    ).cast("int")
+
+
 def banded_jaccard_pairs(
     d: DataFrame, threshold: float = 0.8, block_cap: int = 1000
 ) -> DataFrame:
@@ -104,8 +118,6 @@ def banded_jaccard_pairs(
        ≈ true pairs and the overflow tier is linear — measured ~1× at
        4× data on the wide-vocab single-category probe corpus
        (tools/scale_probe.py banded_overflow)."""
-    import math
-
     # Materialize the banded frame ONCE (round-12 optimization; guide
     # §1.2 "don't compute things you throw away"): the lazy frame is
     # consumed ~6× below (the big_cats aggregate, both sides of the
@@ -116,12 +128,7 @@ def banded_jaccard_pairs(
     # tier reads the materialized (doc_id, lang, source, toks, band)
     # rows (executor-local, disk-backed — the same corpus-sized
     # materialization a persisted dedup ladder stage would write).
-    banded = d.withColumn(
-        "band",
-        F.floor(
-            F.log(F.greatest(F.size("toks"), F.lit(1))) / F.lit(math.log(1.25))
-        ).cast("int"),
-    ).localCheckpoint(eager=True)
+    banded = d.withColumn("band", _count_band("toks")).localCheckpoint(eager=True)
     big_cats = (
         banded.groupBy("lang", "source", "band")
         .agg(F.count(F.lit(1)).alias("k"))
@@ -932,15 +939,46 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = table(spark, sf_dir, "documents").select(
         "doc_id", "lang", "source", F.array_distinct(F.split("text", " ")).alias("toks")
-    )
+    ).withColumn("band", _count_band("toks"))
+    # Token-count band in the join key (round-12 optimization; guide
+    # §2.5 — prune the quadratic block): Jaccard ≥ 0.8 bounds the
+    # distinct-token counts within one geometric band (see _count_band),
+    # so the probe side explodes band±2 and the equi-join prunes
+    # non-qualifying pairs BEFORE the jaccard kernel runs — identical
+    # pair multiset (each qualifying pair matches exactly once), with
+    # the within-block comparison count cut by the band histogram
+    # instead of |block|².  A/B at sf0.1: every paired run faster
+    # (11.09→7.98 first-touch, 4.54→4.49 min-of-3), results
+    # bit-identical.  The full overflow-capped tiering of
+    # banded_jaccard_pairs was ALSO measured here: its eager checkpoint
+    # + cap-aggregate + two-tier union costs +1.4 s at sf0.1 on pair
+    # sets this size — the in-join band keeps the pruning without the
+    # structural overhead; a corpus whose (lang, source) categories
+    # approach the block cap should derive pairs via
+    # banded_jaccard_pairs instead (same result, bounded worst case).
     a = d.select(
-        F.col("doc_id").alias("doc_a"), "lang", "source", F.col("toks").alias("toks_a")
+        F.col("doc_id").alias("doc_a"),
+        "lang",
+        "source",
+        F.col("toks").alias("toks_a"),
+        F.explode(
+            F.array(*[F.col("band") + F.lit(i) for i in range(-2, 3)])
+        ).alias("band_probe"),
     )
     b = d.select(
-        F.col("doc_id").alias("doc_b"), "lang", "source", F.col("toks").alias("toks_b")
+        F.col("doc_id").alias("doc_b"),
+        F.col("lang").alias("lang_b"),
+        F.col("source").alias("source_b"),
+        F.col("toks").alias("toks_b"),
+        "band",
     )
     pairs = (
-        a.join(b, ["lang", "source"])
+        a.join(
+            b,
+            (F.col("lang") == F.col("lang_b"))
+            & (F.col("source") == F.col("source_b"))
+            & (F.col("band_probe") == F.col("band")),
+        )
         .where(F.col("doc_a") < F.col("doc_b"))
         .where(jaccard(F.col("toks_a"), F.col("toks_b")) >= 0.8)
         .select("doc_a", "doc_b")
@@ -1320,14 +1358,33 @@ def dedup_canonical_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         F.array_distinct(F.split("text", " ")).alias("toks"),
     )
-    a = d.select(
-        F.col("doc_id").alias("doc_a"), "lang", "source", F.col("toks").alias("toks_a")
+    # Same lossless token-count band as dedup_clusters (see the comment
+    # there; round-12 optimization, guide §2.5): identical pair
+    # multiset, quadratic block pruned in-join via _count_band.
+    banded = d.withColumn("band", _count_band("toks"))
+    a = banded.select(
+        F.col("doc_id").alias("doc_a"),
+        "lang",
+        "source",
+        F.col("toks").alias("toks_a"),
+        F.explode(
+            F.array(*[F.col("band") + F.lit(i) for i in range(-2, 3)])
+        ).alias("band_probe"),
     )
-    b = d.select(
-        F.col("doc_id").alias("doc_b"), "lang", "source", F.col("toks").alias("toks_b")
+    b = banded.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("lang").alias("lang_b"),
+        F.col("source").alias("source_b"),
+        F.col("toks").alias("toks_b"),
+        "band",
     )
     pairs = (
-        a.join(b, ["lang", "source"])
+        a.join(
+            b,
+            (F.col("lang") == F.col("lang_b"))
+            & (F.col("source") == F.col("source_b"))
+            & (F.col("band_probe") == F.col("band")),
+        )
         .where(F.col("doc_a") < F.col("doc_b"))
         .where(jaccard(F.col("toks_a"), F.col("toks_b")) >= 0.8)
         .select("doc_a", "doc_b")
