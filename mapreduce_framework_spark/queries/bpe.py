@@ -180,49 +180,49 @@ def bpe_train(
     checkpoint per round (see module docstring)."""
     spark = d.sparkSession
     words = iter_checkpoint(_words0(d), reliable=reliable)
-    merge_rows: list[DataFrame] = []
+    # Per-round argmax COLLECTS its single winning row to the driver
+    # (round-12 optimization; guide §1.2).  The old loop materialized
+    # the 1-row argmax with iter_checkpoint (a job) and re-attached it
+    # with a broadcast cross join (a broadcast build + an extra plan
+    # node per round) because it was referenced 3×.  Collecting ONE
+    # bounded row per round is the legitimate driver-loop kind (the
+    # convergence-count pattern, components.py): the TakeOrdered job
+    # runs either way, but the checkpoint job and the per-round
+    # broadcast disappear — the merge pattern becomes a string LITERAL
+    # in the apply expression, and the ranked merge table is built once
+    # from the collected rows.  Merge choice, tie-break, and replace
+    # semantics are byte-identical (same argmax row, same pattern).
+    merge_vals: list[tuple] = []
     for r in range(1, n_merges + 1):
-        m = (
+        row = (
             _pair_counts(words)
             .orderBy(F.desc("cnt"), F.asc("a"), F.asc("b"))
             .limit(1)
+            .collect()
         )
-        m = iter_checkpoint(m, reliable=reliable)  # referenced 3x below
-        merge_rows.append(
-            m.select(
-                F.lit(r).alias("merge_rank"),
-                F.col("a").alias("left_sym"),
-                F.col("b").alias("right_sym"),
-                F.concat("a", "b").alias("merged"),
-                F.col("cnt").cast("bigint").alias("pair_count"),
-            )
-        )
-        pat = F.coalesce(
-            F.concat(F.lit(" "), F.col("_ma"), F.lit(" "), F.col("_mb"), F.lit(" ")),
-            F.lit(_NO_MATCH),
-        )
-        rep = F.coalesce(
-            F.concat(F.lit(" "), F.col("_ma"), F.col("_mb"), F.lit(" ")),
-            F.lit(_NO_MATCH),
-        )
-        applied = words.join(
-            F.broadcast(
-                m.select(F.col("a").alias("_ma"), F.col("b").alias("_mb"))
-            ),
-            F.lit(True),
-            "left",
-        ).select(
+        if row:
+            a, b, cnt = row[0]["a"], row[0]["b"], int(row[0]["cnt"])
+            pat, rep = f" {a} {b} ", f" {a}{b} "
+            merge_vals.append((r, a, b, a + b, cnt))
+        else:  # no pairs left: apply a never-matching sentinel
+            pat = rep = _NO_MATCH
+        applied = words.select(
             "word",
             "freq",
             F.trim(
-                F.replace(F.concat(F.lit(" "), F.col("s"), F.lit(" ")), pat, rep)
+                F.replace(
+                    F.concat(F.lit(" "), F.col("s"), F.lit(" ")),
+                    F.lit(pat),
+                    F.lit(rep),
+                )
             ).alias("s"),
         )
         words = iter_checkpoint(applied, reliable=reliable)
-    merges = merge_rows[0]
-    for mr in merge_rows[1:]:
-        merges = merges.unionByName(mr)
-    _ = spark  # session is implicit in the frames; kept for symmetry
+    merges = spark.createDataFrame(
+        merge_vals,
+        "merge_rank int, left_sym string, right_sym string, "
+        "merged string, pair_count bigint",
+    )
     return words, merges
 
 
