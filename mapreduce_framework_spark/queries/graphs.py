@@ -103,18 +103,16 @@ def pagerank(
     # had).  The shallow lazy path keeps Catalyst/AQE's free choice.
     edges_deg = edges.join(deg.hint("shuffle_hash") if checkpoint_every else deg, "src")
     if checkpoint_every:
-        # Pre-partition the cached edge frame ON THE PER-ROUND JOIN KEY
-        # (round-12 optimization; guide §2.4 "two operations keyed the
-        # same way share one exchange" — the components.py trick): every
-        # round joins edges_deg.src == ranks.node, so hash-partitioning
-        # by src BEFORE persisting lets each round's shuffle-hash join
-        # reuse the cached partitioning instead of re-exchanging the
-        # edge frame — one edge-sized exchange total, the per-round
-        # shuffles are all node-sized (ranks).  A/B at sf0.1, N=10,
-        # cadence 2: min-of-3 6.10 → 5.67 s, every paired run faster,
-        # results bit-identical; cadence re-measured at {2,3,5} with the
-        # reuse in place — 2 still wins (7.66/8.11/9.38 s min-of-3).
-        edges_deg = edges_deg.repartition("src").persist()
+        # Round-12 measured NON-change: an explicit repartition("src")
+        # before the persist (the components.py cached-partitioning
+        # trick) was A/B'd here — a first pass suggested a win, but a
+        # warmup-controlled re-measure (two discard runs, alternating
+        # order) showed parity (prepart 6.72 vs base 6.76 s min-of-3 at
+        # N=10/sf0.1): the shuffle-hash join's output partitioning on
+        # src is already what every round's join needs, so the cached
+        # frame re-exchanges nothing and the explicit repartition only
+        # adds a build-time exchange.  Left as-is deliberately.
+        edges_deg = edges_deg.persist()
     ranks = deg.select(
         F.col("src").alias("node"), F.lit(1_000_000).cast("bigint").alias("rank")
     )

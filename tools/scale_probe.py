@@ -464,12 +464,15 @@ def build_tiers(spark, small: int, big: int) -> dict[str, dict[int, callable]]:
 
     def t_degree_distribution(n):
         # graph_degree_distribution's exact shape on the synthetic
-        # membership: the shared co-occurrence shuffle + kNN cut
+        # membership: the shared co-occurrence derivation + kNN cut
         # (knn_edges_frame — the corpus-sized work), then the two
-        # skinny degree aggregates.  Counting the histogram cannot
-        # eliminate the co-occurrence join (it feeds the aggregate's
-        # cardinality), but forced_count pins that in the executed
-        # plan anyway (round-11 task #7 posture).
+        # skinny degree aggregates.  Since round 12 the co-occurrence
+        # is a per-group collect_set + map-side pair explosion (no
+        # join operator), so the load-bearing node to pin is the
+        # ObjectHashAggregate building the sets — counting the
+        # histogram cannot eliminate it (it feeds the aggregate's
+        # cardinality); forced_count pins it in the executed plan
+        # (round-11 task #7 posture).
         from mapreduce_framework_spark.queries.graphs import knn_edges_frame
 
         edges = knn_edges_frame(corpus("membership", n), 5)
@@ -480,7 +483,7 @@ def build_tiers(spark, small: int, big: int) -> dict[str, dict[int, callable]]:
             .agg(F.count(F.lit(1)).alias("degree"))
         )
         hist = deg.groupBy("degree").agg(F.count(F.lit(1)).alias("n_nodes"))
-        return forced_count(hist, [r"Join", r"HashAggregate"])
+        return forced_count(hist, [r"ObjectHashAggregate", r"HashAggregate"])
 
     def t_pq(n):
         from mapreduce_framework_spark.operators.annsearch import (
