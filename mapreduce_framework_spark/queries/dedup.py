@@ -939,24 +939,37 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = table(spark, sf_dir, "documents").select(
         "doc_id", "lang", "source", F.array_distinct(F.split("text", " ")).alias("toks")
-    ).withColumn("band", _count_band("toks"))
-    # Token-count band in the join key (round-12 optimization; guide
-    # §2.5 — prune the quadratic block): Jaccard ≥ 0.8 bounds the
-    # distinct-token counts within one geometric band (see _count_band),
-    # so the probe side explodes band±2 and the equi-join prunes
-    # non-qualifying pairs BEFORE the jaccard kernel runs — identical
-    # pair multiset (each qualifying pair matches exactly once), with
-    # the within-block comparison count cut by the band histogram
-    # instead of |block|².  A/B at sf0.1: every paired run faster
-    # (11.09→7.98 first-touch, 4.54→4.49 min-of-3), results
-    # bit-identical.  The full overflow-capped tiering of
-    # banded_jaccard_pairs was ALSO measured here: its eager checkpoint
-    # + cap-aggregate + two-tier union costs +1.4 s at sf0.1 on pair
-    # sets this size — the in-join band keeps the pruning without the
-    # structural overhead; a corpus whose (lang, source) categories
-    # approach the block cap should derive pairs via
-    # banded_jaccard_pairs instead (same result, bounded worst case).
-    a = d.select(
+    )
+    return connected_components(
+        cluster_pairs_banded(d, threshold=0.8), "doc_a", "doc_b"
+    )
+
+
+def cluster_pairs_banded(d: DataFrame, threshold: float = 0.8) -> DataFrame:
+    """(doc_a, doc_b) near-dup pairs at Jaccard ≥ ``threshold`` from a
+    (doc_id, lang, source, toks) frame — the SHARED pair derivation of
+    dedup_clusters and dedup_canonical_keep.
+
+    Token-count band in the join key (round-12 optimization; guide
+    §2.5 — prune the quadratic block): Jaccard ≥ 0.8 bounds the
+    distinct-token counts within one geometric band (see _count_band),
+    so the probe side explodes band±2 and the equi-join prunes
+    non-qualifying pairs BEFORE the jaccard kernel runs — identical
+    pair multiset to the plain (lang, source) block join (each
+    qualifying pair matches exactly once; pinned by
+    tests/test_scale_operators.py::test_cluster_pairs_banded_match_plain_join),
+    with the within-block comparison count cut by the band histogram
+    instead of |block|².  A/B at sf0.1 on dedup_clusters: every paired
+    run faster (11.09→7.98 first-touch, 4.54→4.49 min-of-3).  The full
+    overflow-capped tiering of banded_jaccard_pairs was ALSO measured
+    here: its eager checkpoint + cap-aggregate + two-tier union costs
+    +1.4 s at sf0.1 on pair sets this size — the in-join band keeps
+    the pruning without the structural overhead; a corpus whose
+    (lang, source) categories approach the block cap should derive
+    pairs via banded_jaccard_pairs instead (same result, bounded worst
+    case)."""
+    banded = d.withColumn("band", _count_band("toks"))
+    a = banded.select(
         F.col("doc_id").alias("doc_a"),
         "lang",
         "source",
@@ -965,14 +978,14 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array(*[F.col("band") + F.lit(i) for i in range(-2, 3)])
         ).alias("band_probe"),
     )
-    b = d.select(
+    b = banded.select(
         F.col("doc_id").alias("doc_b"),
         F.col("lang").alias("lang_b"),
         F.col("source").alias("source_b"),
         F.col("toks").alias("toks_b"),
         "band",
     )
-    pairs = (
+    return (
         a.join(
             b,
             (F.col("lang") == F.col("lang_b"))
@@ -980,10 +993,9 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("band_probe") == F.col("band")),
         )
         .where(F.col("doc_a") < F.col("doc_b"))
-        .where(jaccard(F.col("toks_a"), F.col("toks_b")) >= 0.8)
+        .where(jaccard(F.col("toks_a"), F.col("toks_b")) >= threshold)
         .select("doc_a", "doc_b")
     )
-    return connected_components(pairs, "doc_a", "doc_b")
 
 
 @register(
@@ -1358,38 +1370,14 @@ def dedup_canonical_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         F.array_distinct(F.split("text", " ")).alias("toks"),
     )
-    # Same lossless token-count band as dedup_clusters (see the comment
-    # there; round-12 optimization, guide §2.5): identical pair
-    # multiset, quadratic block pruned in-join via _count_band.
-    banded = d.withColumn("band", _count_band("toks"))
-    a = banded.select(
-        F.col("doc_id").alias("doc_a"),
-        "lang",
-        "source",
-        F.col("toks").alias("toks_a"),
-        F.explode(
-            F.array(*[F.col("band") + F.lit(i) for i in range(-2, 3)])
-        ).alias("band_probe"),
+    # Same banded pair derivation as dedup_clusters (round-12
+    # optimization, guide §2.5): identical pair multiset, quadratic
+    # block pruned in-join — see cluster_pairs_banded.
+    comp = connected_components(
+        cluster_pairs_banded(d.select("doc_id", "lang", "source", "toks")),
+        "doc_a",
+        "doc_b",
     )
-    b = banded.select(
-        F.col("doc_id").alias("doc_b"),
-        F.col("lang").alias("lang_b"),
-        F.col("source").alias("source_b"),
-        F.col("toks").alias("toks_b"),
-        "band",
-    )
-    pairs = (
-        a.join(
-            b,
-            (F.col("lang") == F.col("lang_b"))
-            & (F.col("source") == F.col("source_b"))
-            & (F.col("band_probe") == F.col("band")),
-        )
-        .where(F.col("doc_a") < F.col("doc_b"))
-        .where(jaccard(F.col("toks_a"), F.col("toks_b")) >= 0.8)
-        .select("doc_a", "doc_b")
-    )
-    comp = connected_components(pairs, "doc_a", "doc_b")
     member = (
         d.select("doc_id", "n_chars")
         .join(comp, F.col("doc_id") == F.col("node"), "left")

@@ -708,3 +708,118 @@ def test_reliable_checkpoint_requires_dir(spark):
     df = spark.range(3)
     with pytest.raises(ValueError, match="checkpoint dir"):
         iter_checkpoint(df, reliable=True)
+
+
+def test_knn_edges_set_form_matches_join_form(spark):
+    """Round-12 rewrote knn_edges_frame's co-occurrence derivation from
+    a distinct+self-join to per-group collect_set + map-side pair
+    explosion.  The two must be bit-identical on a membership frame
+    WITH duplicate (order, supplier) rows (the dedup the old distinct
+    and the new collect_set must both perform) and with weight ties
+    (the kNN cut's s2-ascending tie-break)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from mapreduce_framework_spark.queries.graphs import knn_edges_frame
+
+    # 1200 membership rows, ~6 items/order over a 20-supplier pool,
+    # plus every row duplicated once (collect_set/distinct must fold).
+    base = spark.range(1200).select(
+        (F.col("id") / 6).cast("bigint").alias("l_orderkey"),
+        F.pmod(F.xxhash64("id", F.lit(7)), F.lit(20)).alias("l_suppkey"),
+    )
+    l = base.unionByName(base)
+
+    def edges_join_form(l, k=5):
+        a = l.select(
+            F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("s1")
+        ).distinct()
+        b = a.select("ok", F.col("s1").alias("s2"))
+        co = (
+            a.join(b, "ok")
+            .where(F.col("s1") != F.col("s2"))
+            .groupBy("s1", "s2")
+            .agg(F.count(F.lit(1)).alias("w"))
+        )
+        w = Window.partitionBy("s1").orderBy(F.desc("w"), F.asc("s2"))
+        knn = (
+            co.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= k)
+            .select("s1", "s2")
+        )
+        return knn.select(
+            F.least("s1", "s2").alias("u"), F.greatest("s1", "s2").alias("v")
+        ).distinct()
+
+    got = sorted(map(tuple, knn_edges_frame(l, 5).collect()))
+    ref = sorted(map(tuple, edges_join_form(l, 5).collect()))
+    assert got, "probe graph should produce edges"
+    assert got == ref
+
+
+def test_cluster_pairs_banded_match_plain_join(spark):
+    """Round-12 added the lossless token-count band to the
+    dedup_clusters/dedup_canonical_keep pair join.  On a corpus whose
+    near-dup pairs straddle band boundaries (token counts at the 0.8
+    size-ratio edge), the banded derivation must return exactly the
+    plain (lang, source)-block join's pairs."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_framework_spark.operators.minhash import jaccard
+    from mapreduce_framework_spark.queries.dedup import cluster_pairs_banded
+
+    # Docs of sizes n and ceil(0.8*n) sharing a prefix vocabulary:
+    # pairs sit right at the qualifying-ratio edge, where the band±2
+    # probe does the absorbing.  Sizes sweep across band boundaries.
+    rows = []
+    for g in range(30):
+        n = 5 + g * 3
+        m = -(-4 * n // 5)  # ceil(0.8 n)
+        toks_big = [f"w{g}_{i}" for i in range(n)]
+        rows.append((2 * g, "en", f"s{g % 3}", toks_big))
+        rows.append((2 * g + 1, "en", f"s{g % 3}", toks_big[:m]))
+    d = spark.createDataFrame(
+        rows, "doc_id long, lang string, source string, toks array<string>"
+    )
+
+    plain_a = d.select(
+        F.col("doc_id").alias("doc_a"), "lang", "source",
+        F.col("toks").alias("toks_a"),
+    )
+    plain_b = d.select(
+        F.col("doc_id").alias("doc_b"), "lang", "source",
+        F.col("toks").alias("toks_b"),
+    )
+    plain = (
+        plain_a.join(plain_b, ["lang", "source"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .where(jaccard(F.col("toks_a"), F.col("toks_b")) >= 0.8)
+        .select("doc_a", "doc_b")
+    )
+    got = sorted(map(tuple, cluster_pairs_banded(d).collect()))
+    ref = sorted(map(tuple, plain.collect()))
+    assert ref, "edge-ratio corpus should produce qualifying pairs"
+    assert got == ref
+
+
+def test_bpe_train_exhausts_pairs_gracefully(spark):
+    """Round-12 replaced bpe_train's per-round 1-row checkpoint +
+    broadcast join with a driver collect of the argmax row.  On a
+    corpus whose pair supply runs out before n_merges rounds, the loop
+    must keep applying the never-matching sentinel (not crash or mint
+    phantom merges) and the merge table must hold only the real
+    merges."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_framework_spark.queries.bpe import bpe_train
+
+    # One distinct 2-char word: round 1 merges (a, b), round 2 merges
+    # (ab, </w>), then no adjacent pairs remain for rounds 3..8.
+    d = spark.createDataFrame([(0, "ab"), (1, "ab")], "doc_id long, text string")
+    vocab, merges = bpe_train(d, n_merges=8)
+    got = sorted(map(tuple, merges.collect()))
+    assert len(got) == 2
+    assert got[0][:4] == (1, "a", "b", "ab")
+    assert got[1][:4] == (2, "ab", "</w>", "ab</w>")
+    [(word, freq, s)] = vocab.collect()
+    assert (word, freq, s) == ("ab", 2, "ab</w>")
