@@ -37,6 +37,7 @@ def fingerprints(
     tokens_col: str,
     token_hash=None,
     n_bits: int = 64,
+    dictionary_hash: bool = False,
 ) -> DataFrame:
     """DataFrame[id, fp]: ``n_bits``-bit SimHash (bigint) per document
     from a token-ARRAY column.  One explode + one codegen HashAggregate;
@@ -45,17 +46,36 @@ def fingerprints(
     ``token_hash`` maps a token Column to a bigint Column; default is
     engine-native ``xxhash64`` (fastest).  Pass :func:`md5_prefix60`
     with ``n_bits=60`` when the fingerprint must be reproducible
-    outside Spark (oracle checks)."""
+    outside Spark (oracle checks).
+
+    ``dictionary_hash=True`` evaluates ``token_hash`` once per DISTINCT
+    token instead of once per occurrence: distinct tokens → hash → join
+    the (token, hash) dictionary back onto the occurrences (round-13;
+    guide §1.2 "don't recompute").  Identical fingerprints — the hash is
+    a pure function of the token — with the hash evaluated |vocab| times
+    instead of |occurrences| times, which is the lever when the hash is
+    expensive (md5+base-16 conv costs ~20× an xxhash64).  The join stays
+    un-hinted: on a bounded vocabulary AQE broadcasts the dictionary
+    (map-side, no new shuffle of the occurrences); on an open vocabulary
+    it degrades to a shuffle join on the token — at that point prefer
+    the default per-occurrence lane, which shuffles nothing extra.
+    Leave False for cheap hashes: the dictionary's distinct aggregate
+    costs more than xxhash64 saves."""
     if token_hash is None:
         token_hash = F.xxhash64
     # explode_outer: avoids the inferred size()>0 filter that re-inlines
     # the token-array expression below the projection (see
     # operators/minhash.py).
-    ex = (
-        df.select(F.col(id_col).alias("_id"), F.explode_outer(F.col(tokens_col)).alias("_t"))
-        .where(F.col("_t").isNotNull())
-        .select("_id", token_hash(F.col("_t")).alias("_h"))
-    )
+    occ = df.select(
+        F.col(id_col).alias("_id"), F.explode_outer(F.col(tokens_col)).alias("_t")
+    ).where(F.col("_t").isNotNull())
+    if dictionary_hash:
+        dic = occ.select("_t").distinct().select(
+            "_t", token_hash(F.col("_t")).alias("_h")
+        )
+        ex = occ.join(dic, "_t").select("_id", "_h")
+    else:
+        ex = occ.select("_id", token_hash(F.col("_t")).alias("_h"))
     agg = ex.groupBy("_id").agg(
         F.count(F.lit(1)).alias("_n"),
         *[

@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 
 from mapreduce_framework_spark.functions.vector import cosine
 from mapreduce_framework_spark.io import table
+from mapreduce_framework_spark.operators.materialize import sized_local_checkpoint
 from mapreduce_framework_spark.operators.minhash import candidate_pairs, jaccard
 from mapreduce_framework_spark.operators.simhash import (
     fingerprints,
@@ -124,11 +125,22 @@ def banded_jaccard_pairs(
     # exact-tier self-join, and the overflow tier's candidate/verify
     # sides), and each consumer re-executes the caller's scan +
     # tokenize lineage — the most expensive stage of the whole key.
-    # One eager localCheckpoint runs scan+tokenize exactly once; every
-    # tier reads the materialized (doc_id, lang, source, toks, band)
-    # rows (executor-local, disk-backed — the same corpus-sized
-    # materialization a persisted dedup ladder stage would write).
-    banded = d.withColumn("band", _count_band("toks")).localCheckpoint(eager=True)
+    # SIZE-GATED (round-13): at bench scale the materialization job
+    # costs more than the re-scans it saves (driver r12: ngram_jaccard
+    # 0.84×, ladder_funnel 0.78×), and an unbounded corpus-sized
+    # localCheckpoint is a §5 availability risk — the gate keeps small
+    # inputs lazy, mid-scale on executor disk, and huge inputs on
+    # re-scan/reliable FS (operators/materialize.py).
+    banded = sized_local_checkpoint(d.withColumn("band", _count_band("toks")))
+    # Probe radius DERIVED from the threshold (round-12 ADVICE): Jaccard
+    # ≥ t bounds the distinct-count ratio by 1/t, i.e. log₁.₂₅(1/t)
+    # bands; +1 absorbs float rounding at the band edges.  At t = 0.8
+    # this is the former hard-coded ±2, bit-identically.
+    import math
+
+    # round(…, 9) keeps binary-float dust (1/0.8 → 1.2500000000000002)
+    # from bumping the ceil a whole band at exact band-edge thresholds.
+    radius = math.ceil(round(math.log(1.0 / threshold) / math.log(1.25), 9)) + 1
     big_cats = (
         banded.groupBy("lang", "source", "band")
         .agg(F.count(F.lit(1)).alias("k"))
@@ -144,7 +156,9 @@ def banded_jaccard_pairs(
         "source",
         F.col("toks").alias("toks_a"),
         F.explode(
-            F.array(*[F.col("band") + F.lit(i) for i in range(-2, 3)])
+            F.array(
+                *[F.col("band") + F.lit(i) for i in range(-radius, radius + 1)]
+            )
         ).alias("band_probe"),
     )
     b = small.select(
@@ -305,18 +319,19 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Filter on size(toks), not size(sh): a filter on the ngram array
     # gets pushdown-reordered below the projection and re-computes every
     # shingle array just to test emptiness (measured ~3s of ~4s here).
-    # Eager checkpoint (round-12; guide §1.2): the shingled frame is
-    # consumed THREE times (candidate generation + both verify sides),
-    # and shingle construction is the most expensive stage of the key
-    # — lazily it ran 3× per query.  One materialization (executor-
-    # local, disk-backed) is exactly the shingle table a production
-    # ladder persists between the sketch and verify stages.
-    d = (
+    # Size-gated checkpoint (round-12 added it eager; round-13 gates
+    # it): the shingled frame is consumed THREE times (candidate
+    # generation + both verify sides), and shingle construction is the
+    # most expensive stage of the key — lazily it runs 3× per query.
+    # But at bench scale the materialization job undercuts itself
+    # (driver r12: 0.80×), and an unbounded corpus-sized localCheckpoint
+    # is a §5 risk — operators/materialize.py sizes the decision.
+    d = sized_local_checkpoint(
         table(spark, sf_dir, "documents")
         .select("doc_id", F.split("text", " ").alias("toks"))
         .where(F.size("toks") >= 3)
         .select("doc_id", word_ngrams(F.col("toks"), 3).alias("sh"))
-    ).localCheckpoint(eager=True)
+    )
     cands = candidate_pairs(d, "doc_id", "sh")
     ta = d.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
     tb = d.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
@@ -408,8 +423,18 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents").select(
         "doc_id", F.split("text", " ").alias("toks")
     )
+    # dictionary_hash: md5+conv is ~the whole fingerprint stage when
+    # evaluated per occurrence (round-12 profile); hashing the distinct
+    # token dictionary once and joining it back computes identical
+    # fingerprints with |vocab| md5 evaluations instead of
+    # |occurrences| (round-13; guide §1.2).
     fps = fingerprints(
-        d, "doc_id", "toks", token_hash=md5_prefix60, n_bits=_SIMHASH_BITS
+        d,
+        "doc_id",
+        "toks",
+        token_hash=md5_prefix60,
+        n_bits=_SIMHASH_BITS,
+        dictionary_hash=True,
     )
     return near_pairs(fps, "doc_id", "fp", max_distance=3, n_chunks=4, width=15)
 
@@ -968,6 +993,18 @@ def cluster_pairs_banded(d: DataFrame, threshold: float = 0.8) -> DataFrame:
     (lang, source) categories approach the block cap should derive
     pairs via banded_jaccard_pairs instead (same result, bounded worst
     case)."""
+    # The ±2 probe radius is lossless only while Jaccard ≥ threshold
+    # bounds the size ratio within one 1.25-band (+rounding): at
+    # threshold < 0.8 a qualifying pair's counts may differ by MORE
+    # than one band and the equi-join would silently drop it (round-12
+    # ADVICE).  Guard rather than widen: every caller uses 0.8, and a
+    # lower threshold should derive its radius, not inherit this one.
+    if threshold < 0.8:
+        raise ValueError(
+            "cluster_pairs_banded: the band±2 probe is lossless only for "
+            f"threshold >= 0.8 (got {threshold}); use banded_jaccard_pairs "
+            "with a threshold-derived radius instead"
+        )
     banded = d.withColumn("band", _count_band("toks"))
     a = banded.select(
         F.col("doc_id").alias("doc_a"),
@@ -2092,8 +2129,10 @@ def containment_pairs(
     # is consumed by the category-size aggregate, both sides of the
     # exact tier, and the overflow tier's index/verify sides (~5
     # evaluations of the caller's scan + array_distinct tokenize,
-    # the dominant per-row cost, if left lazy).
-    d = d.localCheckpoint(eager=True)
+    # the dominant per-row cost, if left lazy).  Size-gated (round-13;
+    # see operators/materialize.py): lazy below the materialization
+    # break-even, bounded above the §5 local-disk risk.
+    d = sized_local_checkpoint(d)
     cat_sizes = d.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("k"))
     big_cats = cat_sizes.where(F.col("k") > block_cap).select("lang", "source")
 
@@ -2298,26 +2337,31 @@ def dedup_ladder_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     the composition IS the 100 TB strategy (each tier shrinks the next
     tier's quadratic surface), and at full scale tier 2's overflow
     categories route to MinHash exactly as in dedup_ngram_jaccard."""
-    # Eager checkpoint of the fingerprinted/tokenized frame: its lazy
-    # form is evaluated twice even inside one `flagged` computation
-    # (the keeper aggregate side and the probe side of the fp join),
-    # so without it the corpus is scanned + md5'd + tokenized 2× per
-    # consumer (round-12; guide §1.2).
-    d = table(spark, sf_dir, "documents").select(
-        "doc_id",
-        "lang",
-        "source",
-        F.md5(F.lower(F.trim(F.col("text"))).cast("binary")).alias("fp"),
-        F.array_distinct(F.split("text", " ")).alias("toks"),
-    ).localCheckpoint(eager=True)
+    # Checkpoint of the fingerprinted/tokenized frame: its lazy form is
+    # evaluated twice even inside one `flagged` computation (the keeper
+    # aggregate side and the probe side of the fp join), so without it
+    # the corpus is scanned + md5'd + tokenized 2× per consumer
+    # (round-12; guide §1.2).  Size-gated (round-13): the driver's r12
+    # bench showed the eager form LOSING at sf0.1 (0.78× — two
+    # materialization jobs on a few-MB corpus cost more than the
+    # re-scans they save); operators/materialize.py keeps small inputs
+    # lazy and bounds the corpus-sized case per guide §5.
+    d = sized_local_checkpoint(
+        table(spark, sf_dir, "documents").select(
+            "doc_id",
+            "lang",
+            "source",
+            F.md5(F.lower(F.trim(F.col("text"))).cast("binary")).alias("fp"),
+            F.array_distinct(F.split("text", " ")).alias("toks"),
+        )
+    )
     keeper = d.groupBy("fp").agg(F.min("doc_id").alias("keep_id"))
     # Materialize the tier-1 verdict ONCE (round-12; guide §1.2): the
     # lazy `flagged` is consumed both by tier 2 (via `surv`, whose
     # lineage the banded tier would otherwise re-derive) and by the
     # final attrition rollup (`full`) — each re-running the documents
-    # scan + md5 + tokenize.  One eager localCheckpoint makes the
-    # funnel's corpus work a single pass, as the docstring promises.
-    flagged = d.join(keeper, "fp").localCheckpoint(eager=True)
+    # scan + md5 + tokenize.  Same size gate as above.
+    flagged = sized_local_checkpoint(d.join(keeper, "fp"))
     surv = flagged.where(F.col("doc_id") == F.col("keep_id")).select(
         "doc_id", "lang", "source", "toks"
     )

@@ -304,8 +304,15 @@ def knn_edges_frame(l: DataFrame, k: int = 5) -> DataFrame:
     # construction); a membership frame with unbounded hot groups
     # should generate pairs with a distinct+self-join on the group key
     # instead, which spreads each group's pairs across reduce tasks.
-    sets = l.groupBy(F.col("l_orderkey").alias("ok")).agg(
-        F.collect_set("l_suppkey").alias("ss")
+    # Null guard (round-12 ADVICE): the former equi-join form dropped
+    # null group keys implicitly; groupBy would collect them into one
+    # null group and emit co-occurrence pairs from it.  l_orderkey is
+    # never null on TPC-H-shaped data, but the shared edge derivation
+    # should not depend on that unstated invariant.
+    sets = (
+        l.where(F.col("l_orderkey").isNotNull())
+        .groupBy(F.col("l_orderkey").alias("ok"))
+        .agg(F.collect_set("l_suppkey").alias("ss"))
     )
     co = (
         sets.select(F.explode("ss").alias("s1"), "ss")

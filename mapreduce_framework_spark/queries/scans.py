@@ -415,34 +415,50 @@ def sink_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.expr(zh).cast("int").alias("zbucket"))
     )
     # ONE pass over the clustered copy computes the whole metrics row
-    # (round-12 optimization; guide §1.2): the round-8 shape ran THREE
-    # aggregates over the re-read table (bucket total, scanned metrics,
-    # matched metrics) — three full scans of the corpus-sized rewrite.
-    # A left join against the broadcast candidate list marks scanned
-    # rows instead of filtering them, so every metric becomes a
-    # conditional aggregate of the same single scan; identical numbers
-    # (the candidate list is distinct by construction — an 8×8 grid
-    # projected through the bijective interleave — so the left join
-    # never duplicates rows).
-    sel = F.col("_c").isNotNull()
+    # (round-12 made it one scan; round-13 re-shaped the aggregate):
+    # the round-12 form ran TWO countDistinct aggregates over the
+    # row-level join, which plans as an Expand that doubles the row
+    # stream before the shuffle — the driver's r12 bench had the key
+    # 0.71× round-over-round.  Aggregating per zbucket FIRST (map-side
+    # partial aggregation, one skinny row per bucket) and joining the
+    # broadcast candidate list against the ≤64-row bucket table turns
+    # every countDistinct into a plain count and drops the Expand;
+    # numbers identical because the scanned/matched predicates are
+    # bucket-level (the candidate list is distinct by construction —
+    # an 8×8 grid projected through the bijective interleave).
     in_box = (
         (F.col("x") >= F.col("x_lo"))
         & (F.col("x") < F.col("x_hi"))
         & (F.col("y") >= F.col("y_lo"))
         & (F.col("y") < F.col("y_hi"))
     )
-    return (
-        back.join(F.broadcast(cand.withColumn("_c", F.lit(1))), "zbucket", "left")
-        .crossJoin(F.broadcast(box))
+    per_bucket = (
+        back.crossJoin(F.broadcast(box))
+        .groupBy("zbucket")
         .agg(
-            F.countDistinct("zbucket").alias("buckets_total"),
-            F.countDistinct(F.when(sel, F.col("zbucket"))).alias(
-                "buckets_scanned"
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(in_box.cast("long")).alias("n_in_box"),
+            F.sum(F.when(in_box, F.col("cents"))).alias("box_cents"),
+        )
+    )
+    sel = F.col("_c").isNotNull()
+    return (
+        per_bucket.join(
+            F.broadcast(cand.withColumn("_c", F.lit(1))), "zbucket", "left"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("buckets_total"),
+            F.count("_c").alias("buckets_scanned"),
+            # coalesce(…, 0): the round-8/12 row-level sums returned 0
+            # (not null) when nothing is scanned; keep that contract.
+            F.coalesce(F.sum(F.when(sel, F.col("n_rows"))), F.lit(0)).alias(
+                "rows_scanned"
             ),
-            F.sum(sel.cast("long")).alias("rows_scanned"),
-            F.sum((sel & in_box).cast("long")).alias("n_matched"),
+            F.coalesce(F.sum(F.when(sel, F.col("n_in_box"))), F.lit(0)).alias(
+                "n_matched"
+            ),
             F.coalesce(
-                F.sum(F.when(sel & in_box, F.col("cents"))), F.lit(0)
+                F.sum(F.when(sel, F.col("box_cents"))), F.lit(0)
             ).alias("revenue_cents"),
         )
     )

@@ -452,7 +452,16 @@ def stream_stateful_running_total(spark: SparkSession, sf_dir: str) -> DataFrame
     from mapreduce_framework_spark.streaming.stateful import running_totals
 
     ev = table(spark, sf_dir, "events").select("ts", "user_id", "value")
-    updates = run_file_stream(spark, ev, running_totals, output_mode="update")
+    # Python-stateful lane: per-key Python cost dominates the batch, so
+    # the partition autoscale gets the tighter rows-per-partition target
+    # (see run_file_stream's docstring; A/B grid in OPTIMIZATION_r13.md).
+    updates = run_file_stream(
+        spark,
+        ev,
+        running_totals,
+        output_mode="update",
+        state_rows_per_partition=6_000,
+    )
     final = (
         updates.groupBy("user_id")
         .agg(F.max(F.struct("n_events", "total_cents")).alias("s"))
@@ -879,6 +888,13 @@ def stream_session_timers(spark: SparkSession, sf_dir: str) -> DataFrame:
         transform = timeout_sessions
 
     ev = table(spark, sf_dir, "events").select("ts", "user_id")
+    # Python-stateful lane — tighter autoscale target, same rationale
+    # as stream_stateful_running_total.
     return run_file_stream(
-        spark, ev, transform, watermark=("ts", "10 seconds"), output_mode="append"
+        spark,
+        ev,
+        transform,
+        watermark=("ts", "10 seconds"),
+        output_mode="append",
+        state_rows_per_partition=6_000,
     )

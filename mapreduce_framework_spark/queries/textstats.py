@@ -12,6 +12,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from mapreduce_framework_spark.io import table
+from mapreduce_framework_spark.operators.materialize import sized_local_checkpoint
 from mapreduce_framework_spark.registry import register
 
 
@@ -445,8 +446,10 @@ def contamination_frame(d: DataFrame, n: int = 5) -> DataFrame:
     # denominator into ONE aggregate over a LEFT join against the
     # distinct train set: train is distinct on gh, so the left join
     # preserves eval row multiplicity — count(*) is the old `base`
-    # and count(match) the old `hits`, bit-identically.
-    g = g.localCheckpoint(eager=True)
+    # and count(match) the old `hits`, bit-identically.  Size-gated
+    # (round-13; operators/materialize.py): lazy below the
+    # materialization break-even, bounded above the §5 disk risk.
+    g = sized_local_checkpoint(g)
     train = (
         g.where(F.col("split") == "train")
         .select("gh")
@@ -830,14 +833,20 @@ def lm_perplexity_frame(d: DataFrame) -> DataFrame:
         ).alias("bg"),
     ).select("doc_id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
     # One corpus pass (round-12; guide §1.2): the exploded bigram frame
-    # is materialized once (eager localCheckpoint, executor-local,
-    # ~corpus-sized — the same bytes a persisted n-gram stage would
-    # write), the bigram count table aggregates from the cache, and the
-    # CONTEXT counts derive from the bigram counts (Σ_w2 c(w1,w2) ≡
-    # count by w1 — vocab²-bounded input instead of a second corpus
-    # pass; guide §2.3 "aggregate before you shuffle").  Lazily, cnt /
-    # ctx / the probe side each re-ran the corpus explode — 3 passes.
-    big = big.localCheckpoint(eager=True)
+    # is materialized once (executor-local, ~corpus-sized — the same
+    # bytes a persisted n-gram stage would write), the bigram count
+    # table aggregates from the cache, and the CONTEXT counts derive
+    # from the bigram counts (Σ_w2 c(w1,w2) ≡ count by w1 —
+    # vocab²-bounded input instead of a second corpus pass; guide §2.3
+    # "aggregate before you shuffle").  Lazily, cnt / ctx / the probe
+    # side each re-ran the corpus explode — 3 passes.  SIZE-GATED
+    # (round-13): the driver's r12 bench showed the eager checkpoint
+    # LOSING at sf0.1 (0.68× — a materialization job + disk round-trip
+    # of a few-MB explode costs more than two extra page-cached scans),
+    # and a corpus-sized unreplicated localCheckpoint is the guide-§5
+    # availability risk the round-12 verdict flagged —
+    # operators/materialize.py bounds both ends.
+    big = sized_local_checkpoint(big)
     cnt = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c"))
     ctx = cnt.groupBy("w1").agg(F.sum("c").alias("cw"))
     scored = big.join(cnt, ["w1", "w2"]).join(ctx, "w1")

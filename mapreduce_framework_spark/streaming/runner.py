@@ -32,7 +32,8 @@ def run_file_stream(
     output_mode: str = "complete",
     n_batches: int = 4,
     order_col: str = "ts",
-    state_partitions: int = 8,
+    state_partitions: int | None = None,
+    state_rows_per_partition: int = 25_000,
     max_files_per_trigger: int | None = 1,
     batch_col: str | None = None,
     collect_progress: list | None = None,
@@ -48,12 +49,26 @@ def run_file_stream(
 
     ``state_partitions`` bounds the stateful-operator parallelism for
     the run: every micro-batch commits one state-store delta PER
-    shuffle partition, so a 32-partition default spends most of a small
-    replay fsyncing near-empty state files (measured ~2× the whole
-    query).  On a cluster this maps to sizing
-    ``spark.sql.shuffle.partitions`` to the stateful stage's key
-    cardinality, not the scan width.  The session value is restored
-    after the run — streams capture the conf at start().
+    shuffle partition, so over-partitioning a small replay spends most
+    of its time fsyncing near-empty state files (measured ~2× the
+    whole query at 32 partitions on the windowed keys), while
+    UNDER-partitioning starves the operators that do real per-row work
+    (the Python stateful lanes measured 1.25× faster at 16 than at the
+    former fixed 8).  Default ``None`` = AUTOSCALE from the replay's
+    actual row count (parquet footer metadata of the staged files —
+    driver-side, no job): ``clamp(rows / state_rows_per_partition, 2,
+    defaultParallelism)``.  ``state_rows_per_partition`` is the
+    per-operator-class cost knob: the default 25 000 fits JVM windowed
+    aggregates and stream-stream joins (per-row work is ns-scale, so
+    the per-partition state-commit cost dominates early); Python
+    stateful transforms (applyInPandasWithState /
+    transformWithStateInPandas) should pass ~6 000 — their per-key
+    Python cost is ~3 orders larger, so they repay more parallelism
+    (A/B grid in OPTIMIZATION_r13.md).  On a cluster the same rule
+    sizes ``spark.sql.shuffle.partitions`` to the stateful stage's
+    volume instead of the scan width, and the parallelism clamp scales
+    with the executor fleet.  The session value is restored after the
+    run — streams capture the conf at start().
 
     ``batch_col``: when set, ``source_df`` carries an EXPLICIT integer
     batch assignment and the runner writes one file per batch value in
@@ -125,6 +140,26 @@ def run_file_stream(
     base = 1_600_000_000
     for i, f in enumerate(part_files):
         os.utime(f, (base + i * 60, base + i * 60))
+
+    if state_partitions is None:
+        # Scale-adaptive partitioning (round-13; guide §2.2 "fewer,
+        # larger partitions" / round-12 verdict task #1): the staged
+        # files' parquet footers give the exact replay row count for
+        # free (driver-side metadata, no job), and the A/B grid in
+        # OPTIMIZATION_r13.md shows both failure modes a constant
+        # invites — 8 partitions starves the Python stateful lanes on
+        # 32 cores, 32 partitions drowns the windowed/join lanes in
+        # near-empty state-store commits.
+        import pyarrow.parquet as pq
+
+        n_rows = sum(pq.ParquetFile(f).metadata.num_rows for f in part_files)
+        state_partitions = max(
+            2,
+            min(
+                spark.sparkContext.defaultParallelism,
+                n_rows // max(state_rows_per_partition, 1) + 1,
+            ),
+        )
 
     reader = spark.readStream.schema(source_df.schema)
     if max_files_per_trigger is not None:

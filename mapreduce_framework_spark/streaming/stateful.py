@@ -38,12 +38,18 @@ def running_totals(stream_df: DataFrame) -> DataFrame:
     def update(key, pdfs: Iterator, state: GroupState) -> Iterator:
         # Defined locally; cloudpickle ships it by value (executors
         # never import this module — see functions/tokenize.py).
+        import numpy as np
         import pandas as pd
 
         cnt, cents = state.get if state.exists else (0, 0)
         for pdf in pdfs:
             cnt += len(pdf)
-            cents += int(pdf["value"].fillna(0.0).mul(100).round().sum())
+            # numpy in place of fillna().mul().round().sum(): three
+            # fewer temp Series per call on a once-per-key-per-batch
+            # hot path (guide §4.2); np.round is the same banker's
+            # rounding pandas applies, so the cents are bit-identical.
+            v = pdf["value"].to_numpy(dtype="float64")
+            cents += int(np.round(np.nan_to_num(v) * 100.0).sum())
         state.update((cnt, cents))
         yield pd.DataFrame(
             {"user_id": [key[0]], "n_events": [cnt], "total_cents": [cents]}
@@ -105,6 +111,7 @@ def timer_sessions(stream_df: DataFrame, gap_ms: int = 43_200_000) -> DataFrame:
             )
 
         def handleInputRows(self, key, rows, timerValues: TimerValues):
+            import numpy as np
             import pandas as pd
 
             cur = self._sess.get() if self._sess.exists() else None
@@ -115,10 +122,15 @@ def timer_sessions(stream_df: DataFrame, gap_ms: int = 43_200_000) -> DataFrame:
                 None,
             )
             closed = []
-            parts = [pdf["ms"] for pdf in rows if len(pdf)]
+            # numpy sort + .tolist() instead of pd.concat().sort_values():
+            # this function runs once per KEY per batch over ~tens of
+            # rows, so per-call pandas object churn is the hot path
+            # (guide §4.2) — measured on the applyInPandasWithState twin
+            # below, which shares this body.
+            parts = [pdf["ms"].to_numpy() for pdf in rows if len(pdf)]
             if parts:
-                for t in pd.concat(parts).sort_values():
-                    t = int(t)
+                arr = np.concatenate(parts) if len(parts) > 1 else parts[0]
+                for t in np.sort(arr).tolist():
                     if start is None:
                         start, last, cnt = t, t, 1
                     elif t - last > gap_ms:
@@ -189,6 +201,7 @@ def timeout_sessions(stream_df: DataFrame, gap_ms: int = 43_200_000) -> DataFram
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     def update(key, pdfs, state: GroupState):
+        import numpy as np
         import pandas as pd
 
         cols = ["user_id", "start_ms", "end_ms", "n_events"]
@@ -199,10 +212,13 @@ def timeout_sessions(stream_df: DataFrame, gap_ms: int = 43_200_000) -> DataFram
             return
         start, last, cnt = state.get if state.exists else (None, None, 0)
         closed = []
-        parts = [pdf["ms"] for pdf in pdfs if len(pdf)]
+        # Same per-key hot-path shape as timer_sessions: numpy sort +
+        # .tolist() beats pd.concat().sort_values() + per-element int()
+        # when the function runs once per key per batch (guide §4.2).
+        parts = [pdf["ms"].to_numpy() for pdf in pdfs if len(pdf)]
         if parts:
-            for t in pd.concat(parts).sort_values():
-                t = int(t)
+            arr = np.concatenate(parts) if len(parts) > 1 else parts[0]
+            for t in np.sort(arr).tolist():
                 if start is None:
                     start, last, cnt = t, t, 1
                 elif t - last > gap_ms:

@@ -1016,3 +1016,64 @@ def test_span_removal_is_consistent_with_span_report(spark):
             report[doc].n_tokens - report[doc].n_dup_tokens
             == rebuilt[doc].n_kept
         )
+
+
+def test_sized_checkpoint_paths_identical(spark):
+    """The size gate picks WHERE bytes live, never WHAT the frame is:
+    lazy (below min / above max) and eagerly-checkpointed (inside the
+    window) paths must produce identical rows, and the out-of-window
+    paths must return the input frame unchanged (no job, no copy)."""
+    from mapreduce_framework_spark.operators.materialize import (
+        plan_size_estimate,
+        sized_local_checkpoint,
+    )
+    from pyspark.sql import functions as F
+
+    df = spark.range(1000).select(
+        "id", (F.col("id") % 7).alias("k"), F.sha1(F.col("id").cast("string")).alias("s")
+    )
+    est = plan_size_estimate(df)
+    assert est > 0
+
+    lazy_small = sized_local_checkpoint(df, min_bytes=est + 1)
+    assert lazy_small is df, "below min_bytes the frame must pass through"
+    lazy_big = sized_local_checkpoint(df, min_bytes=0, max_bytes=max(est - 1, 0))
+    assert lazy_big is df, "above max_bytes (no reliable dir) must pass through"
+
+    ckpt = sized_local_checkpoint(df, min_bytes=0)
+    assert ckpt is not df, "inside the window the frame must materialize"
+
+    expect = sorted(map(tuple, df.collect()))
+    assert sorted(map(tuple, ckpt.collect())) == expect
+    assert sorted(map(tuple, lazy_small.collect())) == expect
+
+
+def test_fingerprints_dictionary_hash_identical(spark):
+    """dictionary_hash only changes WHERE the token hash is evaluated
+    (once per distinct token vs once per occurrence) — fingerprints must
+    be bit-identical, md5 and xxhash64 lanes alike."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_framework_spark.io import table
+    from mapreduce_framework_spark.operators.simhash import (
+        fingerprints,
+        md5_prefix60,
+    )
+
+    d = (
+        table(spark, SF_DIR, "documents")
+        .select("doc_id", F.split("text", " ").alias("toks"))
+        .limit(200)
+    )
+    for th, bits in ((md5_prefix60, 60), (None, 64)):
+        base = {
+            r.doc_id: r.fp
+            for r in fingerprints(d, "doc_id", "toks", token_hash=th, n_bits=bits).collect()
+        }
+        dic = {
+            r.doc_id: r.fp
+            for r in fingerprints(
+                d, "doc_id", "toks", token_hash=th, n_bits=bits, dictionary_hash=True
+            ).collect()
+        }
+        assert base == dic
