@@ -116,32 +116,86 @@ def pagerank(
     ranks = deg.select(
         F.col("src").alias("node"), F.lit(1_000_000).cast("bigint").alias("rank")
     )
-    for i in range(rounds):
-        rhs = ranks.hint("shuffle_hash") if checkpoint_every else ranks
-        contrib = edges_deg.join(rhs, edges_deg.src == rhs.node).select(
-            "dst",
-            F.floor(F.col("rank") / F.col("deg")).cast("bigint").alias("c"),
-        )
-        ranks = (
-            contrib.groupBy("dst")
-            .agg(F.sum("c").alias("s"))
-            .select(
-                F.col("dst").alias("node"),
-                (F.lit(150000) + F.floor(F.lit(85) * F.col("s") / F.lit(100)))
-                .cast("bigint")
-                .alias("rank"),
-            )
-        )
-        if checkpoint_every and (i + 1) % checkpoint_every == 0 and (i + 1) < rounds:
-            ranks = iter_checkpoint(ranks, reliable, checkpoint_dir)
+    spark = edges.sparkSession
+    prev_parts = prev_aqe = None
     if checkpoint_every:
-        # Final eager checkpoint makes the returned frame independent
-        # of the persisted edge frame, so we can release it here — in
-        # local mode persisted blocks live in the DRIVER's JVM, and a
-        # leak per run is what pushed a long multi-query session into
-        # broadcast OOM (round-5 sf0.1 sweep finding).
-        ranks = iter_checkpoint(ranks, reliable, checkpoint_dir)
-        edges_deg.unpersist()
+        # Round-13 (round-12 verdict task #4; guide §1.2/§2.2): in
+        # checkpoint mode the iteration runs as ~rounds/cadence SMALL
+        # jobs, and two per-job overheads dominate at depth:
+        #
+        # 1. AQE re-plans every one of those jobs (each shuffle becomes
+        #    a materialized query stage with its own scheduling round-
+        #    trip).  The loop's join strategy is already pinned
+        #    (shuffle_hash hints above) and its partitioning static, so
+        #    AQE has nothing left to improve — bypass it for the loop's
+        #    jobs and restore after.  Bit-identical results (AQE never
+        #    changes values; the cadence-identity test pins it).
+        # 2. The session's shuffle width (sized for corpus scans) makes
+        #    every tiny per-round shuffle pay ~32 near-empty tasks per
+        #    barrier.  Derive the loop's width from the edge frame's
+        #    EXACT row count instead (the count also materializes the
+        #    persist, a job the first round would otherwise run):
+        #    (src, dst, deg) is 3 longs ≈ 24 serialized bytes/row,
+        #    target ~4 MiB of shuffle per partition in the
+        #    overhead-bound small-job regime, clamped to
+        #    [2, defaultParallelism] — per-round jobs are sequential,
+        #    so width beyond the core count only adds barrier cost.
+        #    (Catalyst's sizeInBytes is useless here: the join estimate
+        #    overshoots a 19 MiB frame to 3.5 TB.)
+        #
+        # Measured at sf0.1, N=10, warm, min-of-2: 6.67 s (AQE on,
+        # 32 parts) → 5.89 (AQE off) → 3.30 (AQE off, derived width 8);
+        # AQE back on at width 8 costs 1.45× — the per-job re-planning
+        # is the residual.  Width curve: p2 5.38, p4 3.58, p8 3.30,
+        # p16 3.85, p32 7.46.  A/B grid in OPTIMIZATION_r13.md.
+        n_edges = edges_deg.count()
+        loop_parts = max(
+            2,
+            min(
+                spark.sparkContext.defaultParallelism,
+                (n_edges * 24) // (4 << 20) + 1,
+            ),
+        )
+        prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+        prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+        spark.conf.set("spark.sql.shuffle.partitions", str(loop_parts))
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        for i in range(rounds):
+            rhs = ranks.hint("shuffle_hash") if checkpoint_every else ranks
+            contrib = edges_deg.join(rhs, edges_deg.src == rhs.node).select(
+                "dst",
+                F.floor(F.col("rank") / F.col("deg")).cast("bigint").alias("c"),
+            )
+            ranks = (
+                contrib.groupBy("dst")
+                .agg(F.sum("c").alias("s"))
+                .select(
+                    F.col("dst").alias("node"),
+                    (F.lit(150000) + F.floor(F.lit(85) * F.col("s") / F.lit(100)))
+                    .cast("bigint")
+                    .alias("rank"),
+                )
+            )
+            if (
+                checkpoint_every
+                and (i + 1) % checkpoint_every == 0
+                and (i + 1) < rounds
+            ):
+                ranks = iter_checkpoint(ranks, reliable, checkpoint_dir)
+        if checkpoint_every:
+            # Final eager checkpoint makes the returned frame independent
+            # of the persisted edge frame, so we can release it here — in
+            # local mode persisted blocks live in the DRIVER's JVM, and a
+            # leak per run is what pushed a long multi-query session into
+            # broadcast OOM (round-5 sf0.1 sweep finding).
+            ranks = iter_checkpoint(ranks, reliable, checkpoint_dir)
+            edges_deg.unpersist()
+    finally:
+        if prev_parts is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        if prev_aqe is not None:
+            spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
     return ranks
 
 
