@@ -336,7 +336,17 @@ def join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         (ord_t, table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority"), "o_orderkey"),
     ):
         (
-            src.write.mode("overwrite")
+            # repartition on the bucket key BEFORE the bucketed write
+            # (round-13; guide §6 small files): without it every scan
+            # task writes one file per bucket it holds — T tasks × 8
+            # buckets small files at scale (invisible at sf0.1, where
+            # the table is one task).  Hash-repartitioning on the key
+            # co-locates each bucket's rows in one task, so the layout
+            # is exactly 8 files (one per bucket, corpus/8 each)
+            # at ANY scale, and the write-side sortBy sorts once per
+            # bucket instead of once per (task, bucket) sliver.
+            src.repartition(8, F.col(key))
+            .write.mode("overwrite")
             .option("path", os.path.join(base, name))
             .bucketBy(8, key)
             .sortBy(key)

@@ -158,7 +158,10 @@ def synth(
 
 def synth_events(spark, n: int) -> DataFrame:
     """~n/50 users, 30 days of second-resolution activity — enough
-    per-user density that 30-minute-gap sessionization has real work."""
+    per-user density that 30-minute-gap sessionization has real work.
+    event_type/value are deterministic extras for the stream-join and
+    running-total tiers (¼ clicks, ¼ purchases — interval-join density
+    stays constant with scale)."""
     n_users = max(n // 50, 1)
     return spark.range(n).select(
         F.col("id").alias("event_id"),
@@ -167,6 +170,11 @@ def synth_events(spark, n: int) -> DataFrame:
             F.lit(1_700_000_000)
             + F.pmod(F.xxhash64("id", F.lit(2)), F.lit(30 * 86_400))
         ).alias("ts"),
+        F.element_at(
+            F.array(F.lit("click"), F.lit("view"), F.lit("purchase"), F.lit("error")),
+            (F.pmod(F.xxhash64("id", F.lit(3)), F.lit(4)) + 1).cast("int"),
+        ).alias("event_type"),
+        (F.pmod(F.xxhash64("id", F.lit(4)), F.lit(10_000)) / 100.0).alias("value"),
     )
 
 
@@ -769,6 +777,46 @@ def build_tiers(spark, small: int, big: int) -> dict[str, dict[int, callable]]:
         )
         return out
 
+    def t_stream_interval_join(n):
+        # Stream-stream interval self-join on the real micro-batch
+        # replay (round-12 verdict task #8): watermark-bounded join
+        # state on both sides, 4 state stores per partition.  Expected
+        # near-linear: per-batch state holds only the 10-minute
+        # horizon; the autoscaled state partitions grow with replay
+        # volume.  Sink count forces nothing extra — the stream already
+        # ran eagerly inside the thunk.
+        from mapreduce_framework_spark.streaming.runner import run_file_stream
+        from mapreduce_framework_spark.streaming.transforms import (
+            click_purchase_interval_join,
+        )
+
+        ev = corpus("events", n).select("ts", "user_id", "event_type", "event_id")
+        return run_file_stream(
+            spark,
+            ev,
+            click_purchase_interval_join,
+            watermark=("ts", "10 minutes"),
+            output_mode="append",
+        ).count()  # lint: materialization-only (replay already ran)
+
+    def t_stream_running_total(n):
+        # applyInPandasWithState running totals (round-12 verdict task
+        # #8): one fixed-width state row per user, update-mode emission
+        # per touched key per batch.  Cost = replay + per-key Python
+        # invocation; the Python-lane autoscale target (6k rows per
+        # state partition) is exactly what this tier prices at depth.
+        from mapreduce_framework_spark.streaming.runner import run_file_stream
+        from mapreduce_framework_spark.streaming.stateful import running_totals
+
+        ev = corpus("events", n).select("ts", "user_id", "value")
+        return run_file_stream(
+            spark,
+            ev,
+            running_totals,
+            output_mode="update",
+            state_rows_per_partition=6_000,
+        ).count()  # lint: materialization-only (replay already ran)
+
     def t_pagerank_deep(n):
         # graph_pagerank_deep's EXACT execution config (rounds=10,
         # checkpoint_every=2 lineage truncation), forced via a rank-sum
@@ -914,6 +962,14 @@ def build_tiers(spark, small: int, big: int) -> dict[str, dict[int, callable]]:
         "session_timers": {
             small: lambda: t_session_timers(small),
             big: lambda: t_session_timers(big),
+        },
+        "stream_interval_join": {
+            small: lambda: t_stream_interval_join(small),
+            big: lambda: t_stream_interval_join(big),
+        },
+        "stream_running_total": {
+            small: lambda: t_stream_running_total(small),
+            big: lambda: t_stream_running_total(big),
         },
         "bfs": {
             10 * small: lambda: t_bfs(10 * small),
