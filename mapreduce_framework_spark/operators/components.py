@@ -98,20 +98,48 @@ def connected_components(
     # round (the labels side still shuffles, but it is node-sized).
     # Measured on the isolated propagation loop at sf0.1: 6.7 → 5.3 s,
     # results bit-identical.
-    sym = (
+    # Same per-round-job treatment as graphs.py pagerank (round-13;
+    # guide §1.2/§2.2, measured there 6.67 → 3.30 s): the loop runs
+    # 2 small jobs per round (eager checkpoint + convergence count)
+    # whose plans are static — AQE's per-job re-planning and the
+    # session's scan-sized shuffle width are pure overhead at that
+    # cadence.  Width derives from the symmetrized edge count ((u, v)
+    # longs ≈ 16 B/row, ~4 MiB/partition, clamp [2, defaultParallelism]).
+    # Staging order matters: the caller's edge derivation is cached
+    # FIRST (raw — one materialization, charged to the counting job the
+    # old first-round distinct paid anyway), the loop width is derived,
+    # and only THEN is the v-partitioned cache built, so its cached
+    # partitioning (loop_parts on v) is exactly what every round's join
+    # requires — re-partitioning the cached frame is a cheap shuffle of
+    # cached rows, and raw is released as soon as sym is live.  Confs
+    # are restored in the finally.
+    spark = edges.sparkSession
+    raw = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
-        .repartition("v")
         .persist()
     )
-
-    labels = iter_checkpoint(
-        sym.select("u").distinct().select("u", F.col("u").alias("component")),
-        reliable,
-        checkpoint_dir,
+    n_sym = raw.count()
+    loop_parts = max(
+        2,
+        min(
+            spark.sparkContext.defaultParallelism,
+            (n_sym * 16) // (4 << 20) + 1,
+        ),
     )
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.shuffle.partitions", str(loop_parts))
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    sym = raw.repartition(loop_parts, F.col("v")).persist()
 
     try:
+        labels = iter_checkpoint(
+            sym.select("u").distinct().select("u", F.col("u").alias("component")),
+            reliable,
+            checkpoint_dir,
+        )
+        raw.unpersist()
         for _ in range(max_iter):
             # Each node's candidate label: min over neighbors' labels.
             neighbor_min = (
@@ -137,6 +165,8 @@ def connected_components(
             if changed == 0:
                 break
     finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
         sym.unpersist()
 
     return labels.select(F.col("u").alias("node"), "component")
